@@ -1,0 +1,228 @@
+"""Engine catalog: external tables with declared sort order.
+
+Mirrors the reference's table model (``docs/2_cli_create_tables.md``,
+``tests/setup_tables.rs:28-91``):
+
+- external listing tables over a single file or a directory of files
+  (CSV / Parquet / JSON), with schema inference;
+- an optional declared sort order (``WITH ORDER``) stored as catalog
+  metadata — Spark has no native equivalent for path tables;
+- an optional one-partition-per-file read mode that preserves each
+  file's sort order as an execution-partition property
+  (``tests/setup_tables.rs:86-88``);
+- in-memory tables via ``create_table`` + ``insert_into``
+  (``docs/2:142-160``);
+- introspection: ``show_tables`` / ``show_columns`` / ``describe``
+  (the ``information_schema`` surface of ``docs/1``).
+
+Scale note: one-partition-per-file unions K single-file reads; at 100
+TB you'd keep ``partition_per_file=False`` (let Spark split by byte
+range) unless the sort order is load-bearing, in which case files
+should be written bucketed+sorted so the shuffle is elided by
+bucketing instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from sparkplans.ordering import SortKey, normalize_sort_keys
+
+
+_EXTENSIONS = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}
+
+
+@dataclass
+class TableSpec:
+    name: str
+    path: str | None
+    fmt: str = "parquet"
+    sort_order: tuple[SortKey, ...] = ()
+    has_header: bool = True
+    partition_per_file: bool = False
+    schema: StructType | None = None
+    options: dict[str, str] = field(default_factory=dict)
+    in_memory: bool = False
+
+    @property
+    def files(self) -> list[str]:
+        """Files backing the table (a single path, or dir listing)."""
+        if self.path is None:
+            return []
+        if os.path.isdir(self.path):
+            ext = _EXTENSIONS.get(self.fmt, "")
+            return sorted(
+                f
+                for f in glob.glob(os.path.join(self.path, "*"))
+                if os.path.isfile(f) and (not ext or f.endswith(ext))
+            )
+        return [self.path]
+
+
+class Catalog:
+    """Session-scoped table catalog with sort-order metadata."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, TableSpec] = {}
+
+    # -- registration ---------------------------------------------------
+
+    def create_external_table(
+        self,
+        name: str,
+        path: str,
+        format: str = "parquet",
+        with_order: Any = None,
+        partition_per_file: bool | None = None,
+        schema: StructType | str | None = None,
+        has_header: bool = True,
+        **options: str,
+    ) -> TableSpec:
+        """``CREATE EXTERNAL TABLE name ... LOCATION path WITH ORDER (...)``.
+
+        ``with_order`` declares that every file at ``path`` is sorted by
+        the given keys — the engine trusts this, exactly as the
+        reference does (``docs/2:17-23``), and plans around it.
+        ``partition_per_file`` defaults to True when an order is
+        declared over a directory (order is a per-file property).
+        """
+        fmt = format.lower()
+        order = normalize_sort_keys(with_order)
+        if partition_per_file is None:
+            partition_per_file = bool(order) and os.path.isdir(path)
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        spec = TableSpec(
+            name=name,
+            path=path,
+            fmt=fmt,
+            sort_order=order,
+            has_header=has_header,
+            partition_per_file=partition_per_file,
+            schema=schema,
+            options=dict(options),
+        )
+        self._tables[name] = spec
+        # Register as a temp view so plain spark.sql() sees it too.
+        self.read(name).createOrReplaceTempView(name)
+        return spec
+
+    def create_table(
+        self, name: str, schema: StructType | str, rows: list | None = None
+    ) -> TableSpec:
+        """In-memory table (``CREATE TABLE`` + optional rows); no sort
+        order allowed, matching ``docs/2:144``."""
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        df = self.spark.createDataFrame(rows or [], schema)
+        df.createOrReplaceTempView(name)
+        spec = TableSpec(name=name, path=None, fmt="memory", schema=schema, in_memory=True)
+        self._tables[name] = spec
+        return spec
+
+    def insert_into(self, name: str, rows: list) -> None:
+        """``INSERT INTO name VALUES ...`` for in-memory tables."""
+        spec = self._tables[name]
+        if not spec.in_memory:
+            raise ValueError(f"{name} is an external table; insert not supported")
+        old = self.spark.table(name)
+        new = self.spark.createDataFrame(rows, old.schema)
+        old.unionByName(new).createOrReplaceTempView(name)
+
+    def drop(self, name: str) -> None:
+        self._tables.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
+    # -- reads ----------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        spec = self._tables[name]
+        if spec.in_memory:
+            return self.spark.table(name)
+        if spec.partition_per_file and len(spec.files) > 1:
+            return self._read_per_file(spec)
+        return self._read_path(spec, spec.path)
+
+    def _reader(self, spec: TableSpec):
+        reader = self.spark.read
+        if spec.schema is not None:
+            reader = reader.schema(spec.schema)
+        if spec.fmt == "csv":
+            reader = reader.option("header", str(spec.has_header).lower())
+            if spec.schema is None:
+                reader = reader.option("inferSchema", "true")
+        for k, v in spec.options.items():
+            reader = reader.option(k, v)
+        return reader
+
+    def _read_path(self, spec: TableSpec, path: str) -> DataFrame:
+        reader = self._reader(spec)
+        if spec.fmt == "parquet":
+            return reader.parquet(path)
+        if spec.fmt == "csv":
+            return reader.csv(path)
+        if spec.fmt == "json":
+            return reader.json(path)
+        return reader.format(spec.fmt).load(path)
+
+    def _read_per_file(self, spec: TableSpec) -> DataFrame:
+        """One execution partition per file, preserving per-file sort
+        order (the reference's listing-table behaviour,
+        ``tests/setup_tables.rs:86-88``).  Implemented as per-file
+        reads unioned by name: union keeps each input's partitions
+        intact, so K sorted files -> K sorted partitions with no
+        shuffle and no interleaving."""
+        # Infer schema once from the first file so all branches agree.
+        spec2 = spec
+        if spec.schema is None:
+            spec2 = TableSpec(**{**spec.__dict__, "schema": self._read_path(spec, spec.files[0]).schema})
+        dfs = [self._read_path(spec2, f) for f in spec2.files]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    # -- introspection (information_schema analog) ----------------------
+
+    def table_spec(self, name: str) -> TableSpec:
+        return self._tables[name]
+
+    def sort_order(self, name: str) -> tuple[SortKey, ...]:
+        spec = self._tables.get(name)
+        return spec.sort_order if spec else ()
+
+    def show_tables(self) -> list[dict]:
+        return [
+            {
+                "table_name": s.name,
+                "table_type": "MEMORY" if s.in_memory else "EXTERNAL",
+                "format": s.fmt,
+                "path": s.path,
+                "sort_order": ", ".join(str(k) for k in s.sort_order),
+                "num_files": len(s.files),
+            }
+            for s in self._tables.values()
+        ]
+
+    def show_columns(self, name: str) -> list[dict]:
+        df = self.read(name)
+        return [
+            {
+                "table_name": name,
+                "column_name": f.name,
+                "data_type": f.dataType.simpleString(),
+                "is_nullable": "YES" if f.nullable else "NO",
+            }
+            for f in df.schema.fields
+        ]
+
+    def describe(self, name: str) -> list[dict]:
+        return [
+            {"column_name": c["column_name"], "data_type": c["data_type"], "is_nullable": c["is_nullable"]}
+            for c in self.show_columns(name)
+        ]

@@ -1,0 +1,212 @@
+"""The engine facade and the order-aware plan-construction layer.
+
+This is the one genuinely custom component (SURVEY §4.4): PySpark
+cannot inject Catalyst rules without JVM code, so ordering-awareness
+lives *above* Catalyst.  :class:`OrderedFrame` wraps a DataFrame plus
+the ordering the engine knows it has (from catalog metadata, declared
+via ``WITH ORDER`` — ``docs/2_cli_create_tables.md:17-23``), and
+propagates / consumes that knowledge:
+
+- ``filter`` preserves ordering (docs/6:40-58);
+- ``select`` keeps the longest surviving prefix (docs/4:113-140);
+- ``order_by`` elides the sort when the known ordering satisfies the
+  requirement (exact or prefix — docs/4:33-84) and emits it otherwise
+  (non-prefix — docs/4:87-111);
+- ``join`` against a broadcast side preserves probe-side ordering
+  (the reference's CollectLeft hash join property, docs/8:188-196).
+
+Everything else is vanilla DataFrame construction; Catalyst and AQE
+still do all the classic optimizations underneath.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from sparkplans import plans
+from sparkplans.catalog import Catalog
+from sparkplans.ordering import (
+    SortKey,
+    normalize_sort_keys,
+    ordering_satisfies,
+    project_ordering,
+)
+from sparkplans.session import EngineOptions, build_session, configure_session, settings
+
+
+def _sort_cols(keys: Sequence[SortKey]) -> list[Column]:
+    cols = []
+    for k in keys:
+        c = F.col(k.col)
+        if k.asc:
+            c = c.asc_nulls_first() if k.effective_nulls_first else c.asc_nulls_last()
+        else:
+            c = c.desc_nulls_first() if k.effective_nulls_first else c.desc_nulls_last()
+        cols.append(c)
+    return cols
+
+
+class OrderedFrame:
+    """A DataFrame plus engine-known ordering metadata.
+
+    ``ordering`` is the per-partition sort order the engine knows the
+    data has; ``globally_ordered`` is True when the frame is a single
+    sorted stream (one partition / one file, or after a global sort).
+    """
+
+    def __init__(
+        self,
+        engine: "Engine",
+        df: DataFrame,
+        ordering: Sequence[SortKey] = (),
+        globally_ordered: bool = False,
+    ):
+        self.engine = engine
+        self.df = df
+        self.ordering = tuple(ordering)
+        self.globally_ordered = globally_ordered and bool(self.ordering)
+
+    # -- ordering-preserving relational ops -----------------------------
+
+    def filter(self, cond) -> "OrderedFrame":
+        return OrderedFrame(self.engine, self.df.filter(cond), self.ordering, self.globally_ordered)
+
+    where = filter
+
+    def select(self, *cols) -> "OrderedFrame":
+        out = self.df.select(*cols)
+        surviving = project_ordering(self.ordering, out.columns)
+        return OrderedFrame(self.engine, out, surviving, self.globally_ordered and len(surviving) == len(self.ordering))
+
+    def with_column(self, name: str, col: Column) -> "OrderedFrame":
+        return OrderedFrame(self.engine, self.df.withColumn(name, col), self.ordering, self.globally_ordered)
+
+    def limit(self, n: int) -> "OrderedFrame":
+        return OrderedFrame(self.engine, self.df.limit(n), self.ordering, self.globally_ordered)
+
+    # -- the sort-elision rule ------------------------------------------
+
+    def order_by(self, *keys) -> "OrderedFrame":
+        """Emit ``orderBy`` only when needed.
+
+        Cases (mirroring docs/4 and docs/6):
+        1. requirement satisfied AND single sorted stream -> no-op
+           (the reference's plan with *no SortExec at all*,
+           tests/setup_tables.rs:118-123);
+        2. requirement satisfied per-partition, many partitions -> a
+           global merge is still required; Spark expresses this as
+           ``orderBy`` (range exchange + in-partition sort over
+           already-sorted runs — the result-equivalent of
+           SortPreservingMergeExec, docs/6:14-37);
+        3. not satisfied -> full ``orderBy`` (docs/4:87-111).
+        """
+        req = normalize_sort_keys(list(keys))
+        prefer = self.engine.options.prefer_existing_sort
+        if prefer and ordering_satisfies(self.ordering, req):
+            if self.globally_ordered or self.df.rdd.getNumPartitions() <= 1:
+                return OrderedFrame(self.engine, self.df, self.ordering, True)
+        return OrderedFrame(self.engine, self.df.orderBy(*_sort_cols(req)), req, True)
+
+    def sort_within_partitions(self, *keys) -> "OrderedFrame":
+        req = normalize_sort_keys(list(keys))
+        if self.engine.options.prefer_existing_sort and ordering_satisfies(self.ordering, req):
+            return self
+        return OrderedFrame(self.engine, self.df.sortWithinPartitions(*_sort_cols(req)), req, False)
+
+    # -- joins ----------------------------------------------------------
+
+    def join_broadcast(self, other: DataFrame | "OrderedFrame", on, how: str = "inner") -> "OrderedFrame":
+        """Broadcast-hash join with this frame as the probe side — the
+        reference's CollectLeft hash join (docs/8:120,188-196): the
+        small side is collected/broadcast once, probe partitions stream
+        through unchanged, so probe-side ordering survives."""
+        small = other.df if isinstance(other, OrderedFrame) else other
+        out = self.df.join(F.broadcast(small), on, how)
+        keep = self.ordering if how in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti") else ()
+        return OrderedFrame(self.engine, out, project_ordering(keep, out.columns), False)
+
+    def join(self, other: DataFrame | "OrderedFrame", on, how: str = "inner") -> "OrderedFrame":
+        right = other.df if isinstance(other, OrderedFrame) else other
+        return OrderedFrame(self.engine, self.df.join(right, on, how), ())
+
+    # -- aggregation -----------------------------------------------------
+
+    def group_by(self, *cols):
+        """Plain groupBy; Spark plans partial->shuffle->final
+        automatically (the reference's two-phase aggregate,
+        docs/7:67-97).  When the grouping keys prefix-match the known
+        ordering and partitions align with files, AQE keeps this cheap;
+        a pipeline/sorted aggregation analog is a physical-planning
+        detail Spark owns (SURVEY §2.4)."""
+        return self.df.groupBy(*cols)
+
+    # -- escape hatch ----------------------------------------------------
+
+    def __getattr__(self, item):
+        return getattr(self.df, item)
+
+
+class Engine:
+    """Top-level facade: session + catalog + order-aware planning +
+    plan inspection (the reference's ``SessionContext`` analog,
+    ``tests/setup_tables.rs:33-37``)."""
+
+    def __init__(
+        self,
+        options: EngineOptions | None = None,
+        spark: SparkSession | None = None,
+        app_name: str = "sparkplans",
+    ):
+        self.options = options or EngineOptions()
+        if spark is None:
+            self.spark = build_session(self.options, app_name=app_name)
+        else:
+            self.spark = configure_session(spark, self.options)
+        self.catalog = Catalog(self.spark)
+
+    # -- tables ----------------------------------------------------------
+
+    def create_external_table(self, name: str, path: str, **kwargs) -> OrderedFrame:
+        spec = self.catalog.create_external_table(name, path, **kwargs)
+        return self.table(name)
+
+    def create_table(self, name: str, schema, rows=None):
+        self.catalog.create_table(name, schema, rows)
+        return self.table(name)
+
+    def insert_into(self, name: str, rows: list) -> None:
+        self.catalog.insert_into(name, rows)
+
+    def table(self, name: str) -> OrderedFrame:
+        spec = self.catalog._tables.get(name)
+        df = self.catalog.read(name) if spec is not None else self.spark.table(name)
+        order = spec.sort_order if spec else ()
+        single = bool(spec) and not spec.in_memory and len(spec.files) <= 1
+        return OrderedFrame(self, df, order, globally_ordered=single and bool(order))
+
+    # -- SQL -------------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def set(self, key: str, value) -> None:
+        """``SET key = value`` (docs/1:110-127)."""
+        self.spark.conf.set(key, str(value))
+
+    def settings(self) -> dict[str, str]:
+        return settings(self.spark)
+
+    # -- plan inspection -------------------------------------------------
+
+    def explain(self, df: DataFrame | OrderedFrame, mode: str = "tree") -> str:
+        d = df.df if isinstance(df, OrderedFrame) else df
+        if mode == "analyze":
+            return plans.explain_analyze(d)
+        if mode == "verbose":
+            return plans.explain_verbose(d)
+        return plans.plan_text(d, mode)
+
+    def stop(self) -> None:
+        self.spark.stop()

@@ -1,0 +1,168 @@
+"""Plan inspection surface.
+
+The reference treats plans as first-class inspectable artifacts
+(``docs/3_cli_query_plans.md``): EXPLAIN tree/indent forms, EXPLAIN
+ANALYZE with runtime metrics, EXPLAIN VERBOSE with per-rule traces,
+and golden *plan-property* assertions in tests
+(``tests/setup_tables.rs:118-123``: no SortExec inserted;
+``tests/opt_parallel_execution.rs:65-82``: no RepartitionExec, a
+CollectLeft hash join).
+
+Spark mapping: ``explain`` modes wrap ``df.explain``; ``analyze``
+executes the plan and pulls SQLMetrics off ``executedPlan``; plan
+properties are regex counts over the executed/physical plan string.
+Property assertions (``num_exchanges``, ``num_sorts``,
+``join_strategies``) are version-drift-proof, unlike golden plan text.
+In Spark, every Exchange is a process/node shuffle boundary — counting
+them is the scale-relevant analog of the reference counting
+RepartitionExec (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+# -- plan text --------------------------------------------------------------
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    """Render a plan like the reference's EXPLAIN variants.
+
+    mode: 'tree' (physical, formatted), 'indent' (logical+physical),
+    'simple', 'cost', 'codegen', 'executed' (post-AQE final plan).
+    """
+    if mode == "executed":
+        return executed_plan_str(df)
+    spark_mode = {"tree": "formatted", "indent": "extended"}.get(mode, mode)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=spark_mode)
+    return buf.getvalue()
+
+
+def physical_plan_str(df: DataFrame) -> str:
+    """Pre-execution physical plan (Catalyst output, before AQE)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def executed_plan_str(df: DataFrame) -> str:
+    """Final plan string; if the query already ran under AQE this shows
+    the re-planned form."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def normalize_plan(text: str) -> str:
+    """Strip ids, paths and pointer-ish tokens so plan text is stable
+    across runs/versions (counterpart of the reference's insta filters,
+    ``tests/test_utils.rs:5-15``)."""
+    text = re.sub(r"#\d+[A-Z]*", "#N", text)
+    text = re.sub(r"\[id=#?\d+\]", "[id=N]", text)
+    text = re.sub(r"file:[^\s,\]]+", "file:PATH", text)
+    text = re.sub(r"\(\d+\)", "(N)", text)
+    return text
+
+
+# -- plan properties --------------------------------------------------------
+
+
+def _plan_for_matching(df: DataFrame) -> str:
+    return physical_plan_str(df)
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Count shuffle boundaries (the scale-critical metric; the
+    reference's RepartitionExec analog).  Broadcast exchanges are not
+    counted — they are the *cheap* alternative we want."""
+    plan = _plan_for_matching(df)
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def num_broadcasts(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastExchange", _plan_for_matching(df)))
+
+
+def num_sorts(df: DataFrame) -> int:
+    plan = _plan_for_matching(df)
+    return len(re.findall(r"^\s*[+\-:*\s]*Sort ", plan, flags=re.M)) + len(
+        re.findall(r"SortExec", plan)
+    )
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    plan = _plan_for_matching(df)
+    out = []
+    for name in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        out.extend([name] * len(re.findall(name, plan)))
+    return out
+
+
+def scan_pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists from the formatted plan — evidence that
+    predicates reached the parquet scan (reference 'partial_filters',
+    docs/5:31-32)."""
+    txt = plan_text(df, "formatted")
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", txt)
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """ReadSchema of each scan — evidence of column pruning
+    (docs/4:113-140 projection pushdown)."""
+    txt = plan_text(df, "formatted")
+    return re.findall(r"ReadSchema: (\S+)", txt)
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    return len(re.findall(r"WholeStageCodegen", physical_plan_str(df)))
+
+
+# -- EXPLAIN ANALYZE --------------------------------------------------------
+
+
+def explain_analyze(df: DataFrame) -> str:
+    """Execute the plan and render per-operator runtime metrics —
+    the reference's ``EXPLAIN ANALYZE`` (docs/3:69-80): output_rows,
+    elapsed times etc., pulled from Spark SQLMetrics."""
+    df.collect()
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan()
+    lines: list[str] = []
+    _walk_metrics(plan, 0, lines)
+    return "\n".join(lines)
+
+
+def _walk_metrics(jplan, depth: int, out: list[str]) -> None:
+    name = jplan.nodeName()
+    metrics = jplan.metrics()
+    it = metrics.iterator()
+    parts = []
+    while it.hasNext():
+        kv = it.next()
+        metric = kv._2()
+        parts.append(f"{kv._1()}={metric.value()}")
+    out.append("  " * depth + f"{name} [{', '.join(sorted(parts))}]")
+    children = jplan.children()
+    cit = children.iterator()
+    while cit.hasNext():
+        _walk_metrics(cit.next(), depth + 1, out)
+
+
+# -- EXPLAIN VERBOSE --------------------------------------------------------
+
+
+def explain_verbose(df: DataFrame) -> str:
+    """All four Catalyst stages (parsed/analyzed/optimized/physical) —
+    the practical Spark analog of the reference's per-rule dump
+    (docs/3:83-180).  For true per-rule traces set
+    ``spark.sql.planChangeLog.level=INFO`` and read driver logs."""
+    return plan_text(df, "extended")

@@ -1,0 +1,672 @@
+"""The engine's query library — one entry per operator family from
+SURVEY.md §2, each with a DuckDB oracle.
+
+Two kinds of entries:
+
+- **shared-SQL**: one ANSI-SQL string valid in both Spark SQL and
+  DuckDB; the Spark side runs it via ``spark.sql`` over registered
+  views, the oracle runs it verbatim.  Declarative-first: Catalyst
+  owns the physical strategy.
+- **DataFrame-API**: queries that showcase engine features (broadcast
+  / merge / shuffle-hash join strategies, ``date_bin`` windows, text
+  and vector functions, dedup / similarity operators); the oracle SQL
+  is written separately to produce identical columns.
+
+Numeric discipline: floating sums/avgs accumulate in DECIMAL (exact,
+order-independent) and cast back to double at the end, so Spark and
+DuckDB produce BIT-IDENTICAL results regardless of summation order —
+no round-half ties (a plain round(sum(..), 2) flipped on a .005
+boundary at sf0.01).  Per-row scalar arithmetic and min/max are left
+unrounded: same doubles, same IEEE ops, same order on both engines.
+Dot products fold sequentially in the same order on both sides and
+are rounded to 6dp as a belt-and-suspenders.
+
+Scale notes per query are in the docstrings — the same plans run on a
+real cluster: small dims broadcast, aggregations are partial+final,
+filters/projections reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from sparkplans.functions import (
+    cosine_similarity,
+    date_bin,
+    doc_fingerprint,
+    l2_norm,
+    quality_score,
+    token_count,
+)
+from sparkplans.sources import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, None => rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _shared_sql(name: str, sql: str) -> None:
+    """Register a query whose Spark and DuckDB text are identical."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        _register_needed_views(spark, sf_dir, _sql)
+        return spark.sql(_sql)
+
+    REGISTRY[name] = QuerySpec(fn, sql)
+
+
+_ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _register_needed_views(spark: SparkSession, sf_dir: str, sql: str) -> None:
+    low = sql.lower()
+    for t in _ALL_TABLES:
+        if t in low:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Scans / filters / projections / sorts / limits  (SURVEY §2.1-2.2, §2.6)
+# =====================================================================
+
+
+@register(
+    "scan_order",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q_scan_order(spark, sf_dir):
+    """Full scan + ORDER BY (docs/4 sort cases).  Tiny table; at scale
+    a global sort = range exchange, unavoidable for a total order."""
+    return _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "filter_pushdown",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
+    "WHERE l_quantity > 45 AND l_returnflag = 'R'",
+)
+def q_filter_pushdown(spark, sf_dir):
+    """Predicate reaches the parquet scan (PushedFilters) — the
+    reference's partial_filters (docs/5:31-38)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "projection_pushdown",
+    "SELECT o_orderkey, o_totalprice FROM orders",
+)
+def q_projection_pushdown(spark, sf_dir):
+    """Column pruning: ReadSchema shows only two columns
+    (docs/4:113-140)."""
+    return _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "topk",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def q_topk(spark, sf_dir):
+    """ORDER BY + LIMIT fuses into TakeOrderedAndProject — no global
+    sort, each partition keeps k then merges (free in Spark; SURVEY
+    §2.6)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# =====================================================================
+# Aggregations  (SURVEY §2.4)
+# =====================================================================
+
+
+@register(
+    "agg_count_star",
+    "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
+)
+def q_agg_count_star(spark, sf_dir):
+    """Single group-by count (docs/7:4-12); partial+final two-phase
+    automatically."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+_shared_sql(
+    "pricing_summary",
+    # TPC-H Q1 shape: the classic two-phase aggregation workout
+    # (docs/7:67-97 multi-step aggregate).
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)          AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)     AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_disc,
+           count(*)                                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+_shared_sql(
+    "distinct_agg",
+    "SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts, "
+    "count(DISTINCT l_suppkey) AS distinct_supps FROM lineitem GROUP BY l_returnflag",
+)
+
+_shared_sql(
+    "rollup_agg",
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+
+_shared_sql(
+    "cube_agg",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+
+_shared_sql(
+    "grouping_sets_agg",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+)
+
+_shared_sql(
+    "case_when_agg",
+    "SELECT l_linestatus, "
+    "CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_qty, "
+    "CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS discounted_price, "
+    "count(*) FILTER (WHERE l_tax > 0.04) AS high_tax_rows "
+    "FROM lineitem GROUP BY l_linestatus",
+)
+
+
+# =====================================================================
+# Joins  (SURVEY §2.3)
+# =====================================================================
+
+
+@register(
+    "broadcast_join_agg",
+    "SELECT s_name, count(*) AS cnt, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "GROUP BY s_name",
+)
+def q_broadcast_join_agg(spark, sf_dir):
+    """Small dim broadcast — the reference's CollectLeft hash join
+    (docs/8:120,188-196).  At 100 TB the fact side never shuffles for
+    the join; only the final agg exchanges on s_name."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "merge_join",
+    "SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_totalprice > 400000",
+)
+def q_merge_join(spark, sf_dir):
+    """Sort-merge join via hint — the reference's 'More Advanced Join'
+    future (docs/8:201).  The right strategy when both sides are large
+    and neither fits a broadcast."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = _t(spark, sf_dir, "lineitem")
+    return o.hint("merge").join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "shuffle_hash_join",
+    "SELECT c_custkey, c_name, o_orderkey, o_totalprice "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "WHERE o_orderstatus = 'F'",
+)
+def q_shuffle_hash_join(spark, sf_dir):
+    """Partitioned hash join via hint — the reference's TODO
+    'partitioned hash join' (docs/8:202): many hash tables over
+    co-partitioned inputs, no sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.hint("shuffle_hash").join(o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_shared_sql(
+    "join_implicit_equi",
+    # docs/8:59-89 mirror: implicit join + equality + timestamp
+    # predicates; Catalyst extracts the equi-join like DataFusion's
+    # extract_equijoin_predicate.
+    """
+    SELECT o_orderkey, o_orderdate, l_linenumber, l_shipdate, l_quantity
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND o_orderstatus = 'F'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <> TIMESTAMP '1998-06-01 00:00:00'
+    """,
+)
+
+@register(
+    "left_join_agg",
+    "SELECT c_custkey, count(o_orderkey) AS n_orders, "
+    "CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_custkey",
+)
+def q_left_join_agg(spark, sf_dir):
+    """Left outer join keeping customers without orders (inheritance
+    scope — the reference never exercises outer joins, SURVEY §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)).cast("double").alias("total_spent"),
+        )
+    )
+
+
+_shared_sql(
+    "full_outer_join",
+    "SELECT n_nationkey, n_name, s_suppkey, s_name "
+    "FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey",
+)
+
+@register(
+    "semi_join",
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)",
+)
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_shared_sql(
+    "cross_join_small",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation WHERE n_regionkey = 0",
+)
+
+
+# =====================================================================
+# Set operations  (SURVEY §2.7)
+# =====================================================================
+
+_shared_sql(
+    "union_distinct",
+    "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000 "
+    "UNION SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000",
+)
+
+_shared_sql(
+    "union_all",
+    "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000 "
+    "UNION ALL SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000",
+)
+
+_shared_sql(
+    "intersect_op",
+    "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000 "
+    "INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000",
+)
+
+_shared_sql(
+    "except_op",
+    "SELECT c_custkey AS k FROM customer "
+    "EXCEPT SELECT o_custkey AS k FROM orders",
+)
+
+
+# =====================================================================
+# Window functions  (SURVEY §2.5 — inheritance scope)
+# =====================================================================
+
+
+@register(
+    "window_rank",
+    "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) t WHERE rn <= 3",
+)
+def q_window_rank(spark, sf_dir):
+    """Top-3 orders per customer via row_number — one hash exchange on
+    the partition key, sort within partitions only."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag",
+    "SELECT user_id, ts, value, "
+    "value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta "
+    "FROM events",
+)
+def q_window_lag(spark, sf_dir):
+    """Per-user time-series delta via lag — the bread-and-butter
+    sessionization primitive."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return e.select(
+        "user_id", "ts", "value", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+# =====================================================================
+# date_bin / time-series  (the reference's flagship, §2.8)
+# =====================================================================
+
+
+@register(
+    "flagship_datebin",
+    # The reference's flagship query shape (tests/opt_parallel_execution.rs:33-41)
+    # mapped onto the driver tables: dim=customer (broadcast), fact=events,
+    # date_bin(30s) + group + max.
+    "SELECT e.user_id, time_bucket(INTERVAL '30 seconds', e.ts) AS time_bin, "
+    "c.c_mktsegment, max(e.value) AS max_bin_val "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "GROUP BY e.user_id, time_bin, c.c_mktsegment",
+)
+def q_flagship_datebin(spark, sf_dir):
+    """dim ⋈ fact + date_bin + grouped max: broadcast the dim, bucket
+    timestamps JVM-side, two-phase agg.  Identical plan shape scales to
+    100 TB: no fact-side shuffle before the aggregation."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .select("user_id", date_bin("ts", "30 seconds").alias("time_bin"), "c_mktsegment", "value")
+        .groupBy("user_id", "time_bin", "c_mktsegment")
+        .agg(F.max("value").alias("max_bin_val"))
+    )
+
+
+@register(
+    "datebin_5min_counts",
+    "SELECT time_bucket(INTERVAL '5 minutes', ts) AS bin, event_type, "
+    "count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY bin, event_type",
+)
+def q_datebin_5min(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(date_bin("ts", "5 minutes").alias("bin"), "event_type", "value")
+        .groupBy("bin", "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# =====================================================================
+# Scalar function surface  (SURVEY §2.8 inheritance)
+# =====================================================================
+
+_shared_sql(
+    "string_funcs",
+    "SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix, "
+    "length(c_name) AS name_len, concat(c_mktsegment, ':', c_name) AS tagged "
+    "FROM customer",
+)
+
+_shared_sql(
+    "math_funcs",
+    "SELECT l_orderkey, l_linenumber, "
+    "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge, "
+    "abs(l_discount - 0.05) AS disc_dev, "
+    "CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil, "
+    "CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k "
+    "FROM lineitem",
+)
+
+_shared_sql(
+    "date_funcs",
+    "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS cnt, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "FROM orders GROUP BY year(o_orderdate), month(o_orderdate)",
+)
+
+
+# =====================================================================
+# Multi-join analytical queries (TPC-H shapes)
+# =====================================================================
+
+_shared_sql(
+    "tpch_q3_topk_revenue",
+    """
+    SELECT o_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+_shared_sql(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+
+# =====================================================================
+# Training-data pipeline: dedup / text / similarity  (north star)
+# =====================================================================
+
+
+@register(
+    "dedup_exact",
+    "SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint, "
+    "min(doc_id) AS keep_id, count(*) AS n_copies "
+    "FROM documents GROUP BY fingerprint",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a normalized fingerprint, keep the
+    lowest id.  At 100 TB this is one shuffle on a 128-bit key —
+    optimal; near-dup variants live in sparkplans.operators.dedup."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "
+    "FROM documents",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "text_stats",
+    "SELECT lang, count(*) AS n_docs, "
+    "round(avg(n_chars), 4) AS avg_chars, "
+    "round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens "
+    "FROM documents GROUP BY lang",
+)
+def q_text_stats(spark, sf_dir):
+    """Token counting + per-language profile, all JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "ngram_distinct",
+    "SELECT doc_id, len(list_distinct(list_transform("
+    "range(1, greatest(len(text) - 2, 0) + 1), i -> substr(text, i, 3)))) AS n_distinct_trigrams "
+    "FROM documents",
+)
+def q_ngram_distinct(spark, sf_dir):
+    """Distinct character-trigram count per document — the shingle
+    stage of MinHash, JVM-side via transform/sequence."""
+    d = _t(spark, sf_dir, "documents")
+    # Guard: Spark's sequence(1, 0) yields a DESCENDING array (unlike
+    # DuckDB's empty range), so short strings need an explicit branch.
+    tri = F.when(
+        F.length("text") >= 3,
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", F.size(F.array_distinct(tri)).alias("n_distinct_trigrams")
+    )
+
+
+@register(
+    "embedding_norms",
+    "SELECT vec_id, label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm "
+    "FROM embeddings",
+)
+def q_embedding_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", F.round(l2_norm("embedding"), 6).alias("norm"))
+
+
+@register(
+    "knn_brute_force",
+    """
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(e.embedding::DOUBLE[], p.p::DOUBLE[]) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(p.p::DOUBLE[], p.p::DOUBLE[]))), 6) AS cos_sim
+    FROM embeddings e CROSS JOIN probe p
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_knn_brute(spark, sf_dir):
+    """Brute-force cosine top-k for one probe vector: broadcast the
+    probe, score JVM-side, TakeOrderedAndProject keeps k per partition.
+    The all-pairs / LSH-bucketed variants live in
+    sparkplans.operators.similarity."""
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity("embedding", "p"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "quality_scores",
+    None,  # composite heuristic: checked rows-only + unit-tested vs spec
+)
+def q_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", quality_score("text").alias("quality"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

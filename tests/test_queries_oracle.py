@@ -1,0 +1,35 @@
+"""Every registered query hash-matches its DuckDB oracle at sf0.001
+(fast inner loop; the driver reruns the same contract at sf0.01)."""
+
+import pytest
+
+import sparkplans.queries as Q
+from tests.conftest import SF_DIR
+from tests.oracle_harness import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+ORACLE_QUERIES = sorted(Q.oracle_sql().keys())
+ROWS_ONLY = sorted(set(Q.queries()) - set(Q.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    spec = Q.REGISTRY[name]
+    res = compare(spark, duck, spec.fn, spec.oracle, SF_DIR)
+    assert res["rows_match"], f"{name}: row count {res['spark'][0]} vs {res['duck'][0]}"
+    assert res["schema_match"], f"{name}: columns {res['spark'][1]} vs {res['duck'][1]}"
+    assert res["hash_match"], f"{name}: value hash mismatch"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = Q.REGISTRY[name].fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
