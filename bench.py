@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}``.
+
+Each query executes fully via the noop sink (no driver-side collect
+bottleneck — results are materialized and discarded executor-side,
+which is how a cluster job would behave).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkplans.session import EngineOptions, build_session  # noqa: E402
+import sparkplans.queries as Q  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "tpch_q3_topk_revenue",
+    "tpch_q5_local_supplier",
+    "flagship_datebin",
+    "datebin_5min_counts",
+    "broadcast_join_agg",
+    "merge_join",
+    "window_rank",
+    "distinct_agg",
+    "dedup_exact",
+    "text_stats",
+    "knn_brute_force",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    opts = EngineOptions(target_partitions=cpus)
+    spark = build_session(opts, app_name="sparkplans-bench", master=f"local[{cpus}]")
+
+    # Warm the JVM + parquet footers once with a trivial action so the
+    # per-query timings measure query execution, not session warmup.
+    Q.REGISTRY["agg_count_star"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
