@@ -49,13 +49,19 @@ def normalize_sort_keys(keys: Iterable[SortKeyLike] | SortKeyLike | None) -> tup
     canonical tuple of :class:`SortKey`."""
     if keys is None:
         return ()
-    if isinstance(keys, (str, tuple, SortKey)):
+    if isinstance(keys, (str, SortKey)):
+        keys = [keys]
+    elif isinstance(keys, tuple) and keys and isinstance(keys[0], str):
+        # a single ("col", asc, nulls_first) spec — NOT a sequence of
+        # keys (a tuple of SortKeys iterates below)
         keys = [keys]
     out: list[SortKey] = []
     for k in keys:
         if isinstance(k, SortKey):
             out.append(k)
         elif isinstance(k, tuple):
+            if not (k and isinstance(k[0], str)):
+                raise TypeError(f"cannot interpret sort key: {k!r}")
             col = k[0]
             asc = bool(k[1]) if len(k) > 1 else True
             nf = k[2] if len(k) > 2 else None

@@ -151,6 +151,14 @@ def _walk_metrics(jplan, depth: int, out: list[str]) -> None:
         metric = kv._2()
         parts.append(f"{kv._1()}={metric.value()}")
     out.append("  " * depth + f"{name} [{', '.join(sorted(parts))}]")
+    # AQE wrappers hide their subtree from children(): descend through
+    # the final re-planned tree / materialized stage plans explicitly.
+    if name == "AdaptiveSparkPlan":
+        _walk_metrics(jplan.finalPhysicalPlan(), depth + 1, out)
+        return
+    if name.endswith("QueryStage"):
+        _walk_metrics(jplan.plan(), depth + 1, out)
+        return
     children = jplan.children()
     cit = children.iterator()
     while cit.hasNext():

@@ -1,0 +1,131 @@
+"""Catalog + order-aware engine tests over reference-shaped fixtures
+(mirrors tests/setup_tables.rs registration + golden behaviour)."""
+
+import duckdb
+import pytest
+
+from sparkplans import plans
+from sparkplans.engine import Engine
+from tests.fixtures import DIM_ROWS, write_dimension, write_dimension_csv, write_fact2
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("reffix")
+    dim_dir = str(base / "dimension1")
+    fact_dir = str(base / "fact2")
+    write_dimension(dim_dir)
+    write_dimension_csv(dim_dir + "_csv")
+    write_fact2(fact_dir)
+    return {"dim": dim_dir, "dim_csv": dim_dir + "_csv", "fact": fact_dir}
+
+
+@pytest.fixture(scope="module")
+def eng(spark, fixture_dirs):
+    e = Engine(spark=spark)
+    e.create_external_table(
+        "dim", fixture_dirs["dim"], format="parquet",
+        with_order=["env", "service", "host"],
+    )
+    e.create_external_table(
+        "dim_csv", fixture_dirs["dim_csv"], format="csv",
+        with_order=["env", "service", "host"],
+    )
+    e.create_external_table(
+        "fact", fixture_dirs["fact"], format="parquet",
+        with_order=["f_dkey", "timestamp"],
+    )
+    return e
+
+
+def test_dimension_scan(eng):
+    # tests/setup_tables.rs:103-115: 4 rows in declared order
+    rows = [tuple(r) for r in eng.table("dim").order_by("env", "service", "host").df.collect()]
+    assert rows == DIM_ROWS
+
+
+def test_csv_table_scan(eng):
+    rows = [tuple(r) for r in eng.table("dim_csv").df.collect()]
+    assert sorted(rows) == sorted(DIM_ROWS)
+
+
+def test_sort_elision_exact_and_prefix(eng):
+    """docs/4:33-84 — ordered single-file table: ORDER BY matching the
+    declared order (exactly or by prefix) emits NO sort at all."""
+    for keys in (["env", "service", "host"], ["env", "service"], ["env"]):
+        df = eng.table("dim").order_by(*keys).df
+        assert plans.num_sorts(df) == 0, f"sort not elided for {keys}"
+
+
+def test_sort_kept_for_non_prefix(eng):
+    # docs/4:87-111 "Bad Subset": must NOT elide
+    df = eng.table("dim").order_by("env", "host").df
+    assert plans.num_sorts(df) >= 1
+
+
+def test_elided_sort_is_still_correct(eng, fixture_dirs):
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT * FROM read_parquet('{fixture_dirs['dim']}/*.parquet') ORDER BY env, service"
+    ).fetchall()
+    got = [tuple(r) for r in eng.table("dim").order_by("env", "service").df.collect()]
+    assert got == want
+
+
+def test_filter_preserves_ordering_metadata(eng):
+    f = eng.table("dim").filter("env = 'prod'")
+    assert [k.col for k in f.ordering] == ["env", "service", "host"]
+    df = f.order_by("env", "service").df
+    assert plans.num_sorts(df) == 0
+
+
+def test_projection_drops_ordering_suffix(eng):
+    p = eng.table("dim").select("env", "host")
+    assert [k.col for k in p.ordering] == ["env"]
+    assert plans.num_sorts(p.order_by("env").df) == 0
+    assert plans.num_sorts(p.order_by("host").df) >= 1
+
+
+def test_fact_partition_per_file(eng):
+    """tests/setup_tables.rs:86-88: each sorted file is one execution
+    partition; no shuffle in the read."""
+    of = eng.table("fact")
+    assert of.df.rdd.getNumPartitions() == 2
+    assert plans.num_exchanges(of.df) == 0
+    assert of.df.count() == 45
+
+
+def test_fact_ordered_merge_matches_oracle(eng, fixture_dirs):
+    # tests/setup_tables.rs:138-191: 45 rows merged in (f_dkey, ts) order
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT * FROM read_parquet('{fixture_dirs['fact']}/*.parquet') "
+        "ORDER BY f_dkey, timestamp"
+    ).fetchall()
+    got = [tuple(r) for r in eng.table("fact").order_by("f_dkey", "timestamp").df.collect()]
+    assert got == want
+
+
+def test_in_memory_table_insert(eng):
+    eng.create_table("mem", "k STRING, v BIGINT", [("a", 1)])
+    eng.insert_into("mem", [("b", 2)])
+    assert eng.spark.table("mem").count() == 2
+
+
+def test_introspection(eng):
+    tables = {t["table_name"] for t in eng.catalog.show_tables()}
+    assert {"dim", "fact", "mem"} <= tables
+    cols = eng.catalog.show_columns("dim")
+    assert [c["column_name"] for c in cols] == ["d_dkey", "env", "service", "host"]
+    assert all(c["is_nullable"] == "YES" for c in cols)
+    spec = eng.catalog.table_spec("fact")
+    assert len(spec.files) == 2
+    assert [k.col for k in spec.sort_order] == ["f_dkey", "timestamp"]
+
+
+def test_settings_surface(eng):
+    s = eng.settings()
+    assert "spark.sql.shuffle.partitions" in s
+    eng.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+    assert eng.settings()["spark.sql.autoBroadcastJoinThreshold"] == "1048576"
+    eng.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)

@@ -1,0 +1,72 @@
+"""Plan-property tests over the driver tables: pushdowns, join
+strategies, two-phase aggregation, top-k fusion — the ported version
+of the reference's golden plan snapshots (SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import sparkplans.queries as Q
+from sparkplans import plans
+from tests.conftest import SF_DIR
+
+
+def _df(spark, name):
+    return Q.REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_filter_reaches_parquet_scan(spark):
+    pushed = plans.scan_pushed_filters(_df(spark, "filter_pushdown"))
+    assert any("l_quantity" in p or "l_returnflag" in p for p in pushed), pushed
+
+
+def test_projection_prunes_read_schema(spark):
+    schemas = plans.scan_read_schema(_df(spark, "projection_pushdown"))
+    assert schemas and all("o_orderkey" in s and "o_comment" not in s for s in schemas)
+    assert all(s.count(":") <= 2 for s in schemas), schemas  # only 2 columns read
+
+
+def test_broadcast_join_selected_for_small_dim(spark):
+    strategies = plans.join_strategies(_df(spark, "broadcast_join_agg"))
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_merge_hint_produces_sort_merge_join(spark):
+    assert "SortMergeJoin" in plans.join_strategies(_df(spark, "merge_join"))
+
+
+def test_shuffle_hash_hint_produces_shuffled_hash_join(spark):
+    assert "ShuffledHashJoin" in plans.join_strategies(_df(spark, "shuffle_hash_join"))
+
+
+def test_two_phase_aggregation(spark):
+    plan = plans.physical_plan_str(_df(spark, "agg_count_star"))
+    # partial + final HashAggregate around one exchange — the exact
+    # analog of the reference's mode=Partial/FinalPartitioned
+    # (docs/7:67-97)
+    assert plan.count("HashAggregate") >= 2
+    assert plans.num_exchanges(_df(spark, "agg_count_star")) == 1
+
+
+def test_topk_fuses_into_take_ordered(spark):
+    plan = plans.physical_plan_str(_df(spark, "topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert plans.num_sorts(_df(spark, "topk")) == 0
+
+
+def test_flagship_broadcasts_dim(spark):
+    df = _df(spark, "flagship_datebin")
+    assert "BroadcastHashJoin" in plans.join_strategies(df)
+    assert plans.num_exchanges(df) <= 1  # only the group-by exchange
+
+
+def test_explain_modes_render(spark):
+    df = _df(spark, "agg_count_star")
+    assert "HashAggregate" in plans.plan_text(df, "tree")
+    ext = plans.plan_text(df, "indent")
+    assert "== Optimized Logical Plan ==" in ext
+    assert "== Physical Plan ==" in ext
+
+
+def test_explain_analyze_metrics(spark):
+    out = plans.explain_analyze(_df(spark, "agg_count_star"))
+    assert "numOutputRows" in out or "number of output rows" in out
