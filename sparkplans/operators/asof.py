@@ -1,0 +1,117 @@
+"""As-of and range joins — time-series operators the reference lacks
+(SURVEY §2.3 'not present anywhere'), expressed as compositions of
+built-in DataFrame ops so Catalyst/AQE still optimize them.
+
+- **asof_join**: for each left row, the latest right row with
+  ``right.ts <= left.ts`` (within an optional tolerance), per key.
+  Implemented as union + window last_value — one shuffle on
+  (key), no range cross-product, scales linearly.
+- **range_join**: inequality-band join with a coarse-bucket equi-join
+  prefilter so Spark gets an equi-key to shuffle on instead of a
+  broadcast-nested-loop over everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+    right_value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pandas merge_asof semantics (backward), distributed.
+
+    Union both sides tagged by origin, sort within (key) by time via a
+    window, and carry the last-seen right values forward onto left
+    rows.  One hash shuffle on the key; the window sort is
+    partition-local.
+    """
+    rv = right_value_cols or [c for c in right.columns if c not in (key, right_ts)]
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rv],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in rv],
+    )
+    # right rows sort before left rows at equal ts => <= semantics
+    w = Window.partitionBy("_k").orderBy("_ts", "_is_left").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = l_tag.unionByName(r_tag)
+    carried = merged.select(
+        "_k",
+        "_ts",
+        "_is_left",
+        "_lrow",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in rv],
+        F.last(F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("_r_ts"),
+    ).filter(F.col("_is_left") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.col("_r_ts").isNotNull()
+            & (F.unix_timestamp("_ts") - F.unix_timestamp("_r_ts") <= tolerance_seconds)
+        )
+        carried = carried.select(
+            "_k", "_ts", "_lrow",
+            *[F.when(within, F.col(f"_r_{c}")).otherwise(F.lit(None)).alias(f"_r_{c}") for c in rv],
+        )
+    return carried.select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(f"right_{c}") for c in rv],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Join rows where right.ts ∈ [left.ts + lower, left.ts + upper].
+
+    Coarse time buckets give Catalyst an equi-join key (shuffle hash
+    join on the bucket) and the precise band predicate filters inside
+    the bucket — avoiding the nested-loop cross product a naive
+    inequality join produces."""
+    width = upper_seconds - lower_seconds
+    bucket = bucket_seconds or max(width, 1)
+    lb = F.explode(
+        F.sequence(
+            ((F.unix_timestamp(F.col(left_ts)) + lower_seconds) / bucket).cast("long"),
+            ((F.unix_timestamp(F.col(left_ts)) + upper_seconds) / bucket).cast("long"),
+        )
+    ).alias("_bucket")
+    l = left.select(F.struct(*left.columns).alias("_l"), F.col(left_ts).alias("_lts"), lb)
+    r = right.select(
+        F.struct(*right.columns).alias("_r"),
+        F.col(right_ts).alias("_rts"),
+        (F.unix_timestamp(F.col(right_ts)) / bucket).cast("long").alias("_bucket"),
+    )
+    cond = (
+        (F.unix_timestamp("_rts") >= F.unix_timestamp("_lts") + lower_seconds)
+        & (F.unix_timestamp("_rts") <= F.unix_timestamp("_lts") + upper_seconds)
+    )
+    joined = l.join(r, "_bucket").filter(cond)
+    return joined.select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col("_r")[c].alias(f"right_{c}") for c in right.columns],
+    ).distinct()

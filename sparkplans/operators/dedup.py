@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-conscious and expressed as DataFrame
+compositions (explode -> groupBy -> join); the only per-row work is
+JVM-side expression evaluation, so every stage scales horizontally:
+
+- **exact**: hash-groupBy on a normalized md5 fingerprint; one
+  shuffle on a 128-bit key.
+- **MinHash + LSH**: shingle -> k minhash signature -> band buckets ->
+  candidate pairs via bucket self-join -> exact Jaccard verify.
+  At 100 TB the candidate join shuffles only (band_hash) buckets,
+  never all-pairs; skewed buckets (boilerplate docs) are capped.
+- **SimHash**: 64-bit signed-sum fingerprint; near-dups share most
+  bits — pairs within Hamming distance d found by banding the bits.
+- **n-gram Jaccard**: exact pairwise similarity on LSH candidates.
+- **embedding cosine**: see sparkplans.operators.similarity.
+
+Cross-engine determinism: the base hash is
+``cast(conv(substr(md5(s),1,15),16,10) as bigint)`` — bit-identical
+to DuckDB's ``('0x' || substr(md5(s),1,15))::BIGINT`` — so every
+stage has an exact SQL oracle (no RNG anywhere; permutation
+constants are small affine functions of the permutation index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sparkplans.functions.text import doc_fingerprint
+
+# MinHash modulus: largest 31-bit prime; keeps a*h+b < 2^62 (no
+# overflow under ANSI mode) for a < 2^31.
+MINHASH_P = 2_147_483_647
+
+
+def _md5_int(col: Column) -> Column:
+    """Deterministic 60-bit integer hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per normalized-text fingerprint (lowest id wins)."""
+    fp = df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash input set)."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(t), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, perm, minhash) — one row per document per permutation.
+
+    Permutation i applies the affine map ``(a_i * h + b_i) mod p``
+    with a_i = 2i+1 (odd), b_i = 997i+31; the signature is the min
+    over the document's shingles.  Plan shape: explode(shingles) ->
+    explode(perms) -> groupBy(id, perm).min — two narrow maps and ONE
+    shuffle keyed on (id, perm)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    ).withColumn("h", _md5_int(F.col("shingle")) % MINHASH_P)
+    perms = sh.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+    )
+    val = (F.col("h") * (F.col("perm") * 2 + 1) + (F.col("perm") * 997 + 31)) % MINHASH_P
+    return perms.groupBy(id_col, "perm").agg(F.min(val).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_hash):
+    documents agreeing on ALL rows of any band become candidates.
+
+    The self-join shuffles on the band hash — tiny compared to the
+    corpus.  ``max_bucket`` caps degenerate buckets (boilerplate
+    text) so one hot key cannot quadratically blow up a task; capped
+    buckets are dropped (standard practice — such docs are handled
+    by exact dedup on the fingerprint instead)."""
+    rows_per_band = num_perm // bands
+    banded = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    band_sig = banded.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias("band_hash")
+    )
+    sizes = band_sig.groupBy("band", "band_hash").agg(F.count("*").alias("bucket_size"))
+    pruned = band_sig.join(
+        sizes.filter(F.col("bucket_size") <= max_bucket), ["band", "band_hash"]
+    )
+    a = pruned.select("band", "band_hash", F.col(id_col).alias("id_a"))
+    b = pruned.select("band", "band_hash", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs:
+    |A ∩ B| / |A ∪ B| via an exploded equi-join on the shingle —
+    never materializes all-pairs."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(pairs, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate detection:
+    signatures -> band buckets -> candidates -> exact-Jaccard verify."""
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash: for each bit j, sum +1/-1 over token
+    hashes' bit j; the fingerprint sets bit j iff the sum is positive.
+    Near-duplicate docs differ in few bits (compare via Hamming
+    distance, e.g. ``bit_count(xor)`` — JVM-side).
+
+    Plan: explode(tokens) x explode(bits) -> groupBy(id, bit) sum ->
+    groupBy(id) reassemble.  Two shuffles, both on narrow keys."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", _md5_int(F.col("tok")))
+    bits_df = toks.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    )
+    contrib = F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+    bit_sums = bits_df.groupBy(id_col, "bit").agg(F.sum(contrib).alias("s"))
+    bit_val = F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0).cast("bigint"))
+    return bit_sums.groupBy(id_col).agg(F.sum(bit_val).alias("simhash"))

@@ -1,0 +1,135 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media are opaque ``binary`` columns with typed metadata; compute-heavy
+per-item work (decode, resize, feature extraction, frame sampling)
+runs as Arrow-batched pandas iterators via ``mapInPandas`` — the
+Spark-idiomatic shape for Python-side media processing: each task
+pulls record batches, processes locally, emits batches; no driver
+involvement, scales with partitions.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+the decode kernels are stubbed behind ``_HAVE_CODECS``: real Spark
+plumbing (schemas, batching, partition flow) with a deterministic
+fake decode, and a ``NotImplementedError`` on the true path.  Swap
+``_fake_decode_*`` for real codec calls in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_HAVE_CODECS = False  # PIL / ffmpeg / librosa not installed here
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),      # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),   # opaque encoded bytes
+        StructField("width", IntegerType()),    # metadata (nullable)
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes, n: int = 8) -> list[float]:
+    """Deterministic stand-in for decode->embed: n doubles derived
+    from the payload digest.  Replace with a real decode + model."""
+    dig = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in dig[:n]]
+
+
+def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Decode + featurize image payloads via mapInPandas (Arrow
+    batches).  Partition-parallel; the UDF sees pandas DataFrames and
+    never crosses the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if _HAVE_CODECS:
+                raise NotImplementedError("real image decode requires PIL — not in this container")
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                    "sha": pdf["payload"].map(lambda b: hashlib.sha256(b or b"").hexdigest()),
+                    "features": pdf["payload"].map(_fake_decode_features),
+                }
+            )
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame
+    (deterministic fake: digests of payload+idx).  Real impl would
+    ffmpeg-decode inside the iterator."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if _HAVE_CODECS:
+                raise NotImplementedError("real frame sampling requires ffmpeg — not in this container")
+            rows = []
+            for _, r in pdf.iterrows():
+                n_frames = max(int((r["duration_ms"] or 0) // every_ms), 1)
+                for i in range(n_frames):
+                    digest = hashlib.sha256((r["payload"] or b"") + str(i).encode()).hexdigest()
+                    rows.append((r["media_id"], i, digest))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = repeated
+    digest bytes; metadata consistent with kind)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 8)
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                payload,
+                64 + i if kind == "image" else None,
+                48 + i if kind == "image" else None,
+                3000 + 500 * i if kind in ("audio", "video") else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute_force_topk**: exact cosine top-k for a set of probe
+  vectors: broadcast the probes, score every (row, probe) JVM-side,
+  keep k per probe via window rank.  O(N·P) scored rows but zero
+  shuffle of the corpus — the right baseline, and often the right
+  answer when P is small.
+- **lsh_bucket_topk**: scale path — random-hyperplane LSH (SimHash
+  for vectors) buckets the corpus; each probe scores only its bucket
+  (+ optional multi-probe neighbors).  Hyperplanes are deterministic
+  (md5-derived pseudo-random ±1 components), so results are
+  reproducible and oracle-checkable.
+- **embedding_near_dup_pairs**: all-pairs cosine >= threshold within
+  LSH buckets — the embedding analog of MinHash dedup.
+
+At 100 TB: the corpus stays partitioned; probes/hyperplanes
+broadcast; bucket self-joins shuffle only bucket keys.  For real ANN
+at that scale you would precompute bucket assignments at write time
+(bucketBy on bucket_id) making probe lookups shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sparkplans.functions.vectors import cosine_similarity, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per probe: (probe_id, vec_id, cos_sim)."""
+    scored = corpus.join(F.broadcast(probes)).select(
+        probe_id_col,
+        id_col,
+        F.round(cosine_similarity(vec_col, probe_vec_col), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def hyperplane_signs(vec_col: str, num_planes: int, dim: int) -> F.Column:
+    """Deterministic random-hyperplane signature: plane p has
+    components sign(md5(p:i)) in {-1,+1}; bucket bit p = (v·plane_p)
+    >= 0.  Entirely JVM-side expression code over the array column."""
+    def plane_component(p: int, i) -> F.Column:
+        h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(p), i.cast("string"))), 1, 15), 16, 10).cast("bigint")
+        return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: plane_component(p, i)),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the probe's LSH
+    bucket.  Recall < 1 by design; num_planes trades bucket size vs
+    recall."""
+    sig = hyperplane_signs(vec_col, num_planes, dim)
+    c = corpus.withColumn("bucket", sig)
+    p = probes.withColumn("bucket", hyperplane_signs(probe_vec_col, num_planes, dim))
+    scored = c.join(F.broadcast(p), "bucket").select(
+        probe_id_col,
+        id_col,
+        F.round(cosine_similarity(vec_col, probe_vec_col), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairs with cosine >= threshold, found within LSH buckets: the
+    self-join shuffles on bucket only.  (Vectors this similar agree on
+    all hyperplane signs with high probability.)"""
+    c = corpus.withColumn("bucket", hyperplane_signs(vec_col, num_planes, dim))
+    a = c.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = c.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

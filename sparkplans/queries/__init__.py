@@ -670,3 +670,174 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+# =====================================================================
+# Pipeline operators as queries: MinHash / SimHash / LSH / as-of /
+# sessionization  (sparkplans.operators, SURVEY §7 phase F)
+# =====================================================================
+
+_MINHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hv
+      FROM sh
+    )
+    SELECT doc_id, p.perm,
+           min((hv * (p.perm * 2 + 1) + (p.perm * 997 + 31)) % 2147483647) AS minhash
+    FROM h, (SELECT unnest(range(0, 8)) AS perm) p
+    GROUP BY doc_id, p.perm
+"""
+
+
+@register("minhash_signatures", _MINHASH_ORACLE)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signature stage (8 perms, word-trigram shingles):
+    explode -> one shuffle on (doc, perm).  Cross-engine-deterministic
+    md5-affine hashing, exact oracle."""
+    from sparkplans.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, num_perm=8)
+
+
+_LSH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hv
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, p.perm,
+             min((hv * (p.perm * 2 + 1) + (p.perm * 997 + 31)) % 2147483647) AS minhash
+      FROM h, (SELECT unnest(range(0, 8)) AS perm) p
+      GROUP BY doc_id, p.perm
+    ), bands AS (
+      SELECT doc_id, perm // 2 AS band,
+             md5(array_to_string(list_sort(list(perm || ':' || minhash)), ',')) AS band_hash
+      FROM sig GROUP BY doc_id, perm // 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+@register("lsh_candidates", _LSH_ORACLE)
+def q_lsh_candidates(spark, sf_dir):
+    """LSH banding stage (8 perms, 4 bands of 2): bucket self-join,
+    shuffles only band-hash keys, never all-pairs."""
+    from sparkplans.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(d, num_perm=8)
+    return dedup.lsh_candidate_pairs(sig, num_perm=8, bands=4)
+
+
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM documents,
+           unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS u(tok)
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+    ), bit_sums AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(0, 32)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM bit_sums GROUP BY doc_id
+"""
+
+
+@register("simhash_fingerprints", _SIMHASH_ORACLE)
+def q_simhash_fingerprints(spark, sf_dir):
+    """32-bit SimHash per document; near-dups differ in few bits
+    (compare with bit_count(a ^ b))."""
+    from sparkplans.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, bits=32)
+
+
+@register("near_dup_pairs", None)  # full pipeline; stages oracle-checked above
+def q_near_dup_pairs(spark, sf_dir):
+    from sparkplans.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs(d, num_perm=16, bands=8, threshold=0.5)
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT a.user_id, a.ts, a.purchase_value, b.view_value AS right_view_value
+    FROM (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (latest view before each purchase, per user) —
+    union + window carry-forward, one shuffle on the key; checked
+    against DuckDB's native ASOF JOIN."""
+    from sparkplans.operators import asof
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof.asof_join(purchases, views, key="user_id")
+
+
+_shared_sql(
+    "sessionize_batch",
+    """
+    SELECT user_id, session_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30' MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events) t
+    ) s
+    GROUP BY user_id, session_id
+    """,
+)
+
+
+@register("embedding_near_dups", None)  # LSH-bucketed; exact variant oracle'd via knn
+def q_embedding_near_dups(spark, sf_dir):
+    from sparkplans.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(e, threshold=0.95, num_planes=6)
+
+
+@register("lsh_ann_topk", None)  # approximate by design; recall tested in tests/
+def q_lsh_ann_topk(spark, sf_dir):
+    from sparkplans.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return similarity.lsh_bucket_topk(e, probes, k=10, num_planes=6)

@@ -1,0 +1,175 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (its "streams" are per-partition pull
+streams, SURVEY §2.9); this module extends the same operators to
+unbounded data the Spark-idiomatic way: ``readStream`` sources,
+event-time windows + watermarks for late data, and
+``applyInPandasWithState`` for custom stateful logic
+(sessionization).  The batch ``date_bin`` flagship and the streaming
+tumbling window share ``F.window`` semantics, so results line up
+bucket-for-bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos in the parquet files
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events table (each parquet file is
+    a micro-batch unit).  Same ns->us conversion as the batch reader."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(f"{sf_dir}")
+    # Watermarks require TIMESTAMP (not NTZ); with the session tz fixed
+    # to UTC the wall-clock values match the batch reader's NTZ ones.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts with a watermark bounding state for late
+    data — the streaming form of the batch date_bin aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"))
+        .select(
+            F.col("window")["start"].cast("timestamp_ntz").alias("bin"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampNTZType()),
+        StructField("session_end", TimestampNTZType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator: per-user session windows with an
+    inactivity gap, via applyInPandasWithState (the reference has no
+    stateful streaming at all — this is the Spark-native extension
+    point for operators the engine lacks).
+
+    State per user = (start, end, count) of the open session; events
+    extend it or close it and open a new one.  Emits closed sessions;
+    event-time timeout closes idle sessions when the watermark passes.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, _us_ts(start_us), _us_ts(end_us), n)],
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            return
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+        ts_list.sort()
+        out = []
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = None, None, 0
+        for t in ts_list:
+            if start_us is None:
+                start_us, end_us, n = t, t, 1
+            elif t - end_us <= gap_us:
+                end_us, n = max(end_us, t), n + 1
+            else:
+                out.append((user_id, _us_ts(start_us), _us_ts(end_us), n))
+                start_us, end_us, n = t, t, 1
+        if start_us is not None:
+            state.update((start_us, end_us, n))
+            state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _us_ts(us: int):
+    return pd.Timestamp(us, unit="us")
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain all available input through the streaming plan into an
+    in-memory table (used by tests; production would writeStream to
+    parquet/kafka with checkpointing)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

@@ -1,0 +1,231 @@
+"""Dedup / similarity / as-of / multimodal operator tests, with
+DuckDB oracles where the computation is SQL-expressible."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplans.operators import asof, dedup, multimodal, similarity
+from sparkplans.sources import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    yield con
+    con.close()
+
+
+# -- MinHash ----------------------------------------------------------------
+
+
+def test_minhash_signatures_match_oracle(spark, docs, duck):
+    """Stage oracle: per-(doc, perm) minhash values computed
+    independently in DuckDB with the shared md5-int hash."""
+    got = {
+        (r.doc_id, r.perm): r.minhash
+        for r in dedup.minhash_signatures(docs, num_perm=4).collect()
+    }
+    want = {
+        (r[0], r[1]): r[2]
+        for r in duck.execute(
+            """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+2], ' ') AS shingle
+              FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hv
+              FROM sh
+            )
+            SELECT doc_id, p.perm,
+                   min((hv * (p.perm * 2 + 1) + (p.perm * 997 + 31)) % 2147483647)
+            FROM h, (SELECT unnest(range(0, 4)) AS perm) p
+            GROUP BY doc_id, p.perm
+            """
+        ).fetchall()
+    }
+    assert len(got) == len(want)
+    mismatches = {k for k in want if got.get(k) != want[k]}
+    assert not mismatches, f"{len(mismatches)} mismatching (doc,perm) cells"
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    two = docs.limit(1).select("text")
+    dup = two.withColumn("doc_id", F.lit(1)).unionByName(
+        two.withColumn("doc_id", F.lit(2))
+    )
+    sig = dedup.minhash_signatures(dup, num_perm=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_perm=8, bands=2)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(1, 2)]
+    jac = dedup.jaccard_pairs(dup, pairs).collect()
+    assert jac[0].jaccard == 1.0
+
+
+def test_near_dup_pipeline_finds_planted_dup(spark, docs):
+    base = docs.limit(20)
+    # plant a near-duplicate of doc 0: same text + one extra token
+    planted = base.filter(F.col("doc_id") == base.agg(F.min("doc_id")).collect()[0][0]).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(planted)
+    found = dedup.near_dup_pairs(corpus, num_perm=16, bands=8, threshold=0.5)
+    ids = {(r.id_a, r.id_b) for r in found.collect()}
+    assert any(b - a == 1_000_000 for a, b in ids), ids
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    d0 = docs.select("doc_id", "text")
+    dup = d0.unionByName(d0.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+    kept = dedup.exact_dedup(dup)
+    assert kept.count() == d0.count()
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 10_000_000
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def test_simhash_deterministic_and_discriminative(spark, docs):
+    sh = dedup.simhash(docs.limit(50), bits=32)
+    rows = sh.collect()
+    assert len(rows) == 50
+    again = {r.doc_id: r.simhash for r in dedup.simhash(docs.limit(50), bits=32).collect()}
+    assert {r.doc_id: r.simhash for r in rows} == again
+    assert len({r.simhash for r in rows}) > 25  # mostly distinct fingerprints
+
+
+def test_simhash_near_dup_small_hamming(spark, docs):
+    one = docs.orderBy("doc_id").limit(1)
+    a = one.select(F.lit(1).alias("doc_id"), "text")
+    b = one.select(F.lit(2).alias("doc_id"), F.concat("text", F.lit(" xyzzy")).alias("text"))
+    out = {r.doc_id: r.simhash for r in dedup.simhash(a.unionByName(b), bits=32).collect()}
+    ham = bin(out[1] ^ out[2]).count("1")
+    assert ham <= 6, f"near-identical docs hamming={ham}"
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def test_brute_force_topk_matches_oracle(spark, duck):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    got = sorted(
+        (r.probe_id, r.vec_id, r.cos_sim)
+        for r in similarity.brute_force_topk(emb, probes, k=5).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT p.vec_id AS probe_id, e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))), 6) AS cos_sim
+            FROM embeddings e, embeddings p
+            WHERE p.vec_id < 3
+            QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY cos_sim DESC, e.vec_id) <= 5
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_lsh_bucket_topk_subset_of_bucket(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = similarity.lsh_bucket_topk(emb, probes, k=5, num_planes=4)
+    rows = out.collect()
+    assert len(rows) > 0
+    # probe itself is in its own bucket with cos_sim 1.0
+    self_hits = [r for r in rows if r.probe_id == r.vec_id]
+    assert all(abs(r.cos_sim - 1.0) < 1e-6 for r in self_hits) and self_hits
+
+
+def test_embedding_near_dup_pairs_planted(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = similarity.embedding_near_dup_pairs(
+        emb.select("vec_id", "embedding", "label").unionByName(clone), threshold=0.999
+    )
+    assert (0, 5000) in {(r.id_a, r.id_b) for r in pairs.collect()}
+
+
+# -- as-of / range joins ----------------------------------------------------
+
+
+def test_asof_join_matches_pandas(spark):
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") < 5)
+    quotes = ev.filter(F.col("event_type") == "view").select("user_id", "ts", F.col("value").alias("quote"))
+    trades = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", F.col("value").alias("trade"))
+    got = asof.asof_join(trades, quotes, key="user_id").toPandas()
+
+    import pandas as pd
+
+    tp = trades.toPandas().sort_values("ts")
+    qp = quotes.toPandas().sort_values("ts")
+    want = pd.merge_asof(tp, qp, on="ts", by="user_id", suffixes=("", "_q"))
+    got_s = got.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    want_s = want.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert (got_s["right_quote"].fillna(-1).values == want_s["quote"].fillna(-1).values).all()
+
+
+def test_range_join_band(spark):
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") == 1).limit(50)
+    a = ev.select("event_id", "ts")
+    b = ev.select(F.col("event_id").alias("eb"), F.col("ts").alias("tsb"))
+    got = asof.range_join(a, b, "ts", "tsb", 0, 3600)
+    # oracle: plain conditional join (fine at this size)
+    want = (
+        a.join(b)
+        .filter(
+            (F.unix_timestamp("tsb") >= F.unix_timestamp("ts"))
+            & (F.unix_timestamp("tsb") <= F.unix_timestamp("ts") + 3600)
+        )
+        .count()
+    )
+    assert got.count() == want
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_image_features_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.filter("kind = 'image'").count()
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(r.n_bytes > 0 and len(r.sha) == 64 for r in rows)
+
+
+def test_video_frame_sampling_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    pdf = frames.toPandas()
+    vids = media.filter("kind = 'video'").select("media_id", "duration_ms").collect()
+    expected = sum(max(int(v.duration_ms // 1000), 1) for v in vids)
+    assert len(pdf) == expected
+    assert pdf.groupby("media_id")["frame_idx"].min().eq(0).all()

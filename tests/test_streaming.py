@@ -1,0 +1,65 @@
+"""Structured Streaming: windowed aggregation drains to the same
+result as the batch date_bin query; sessionization emits coherent
+sessions via applyInPandasWithState."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplans import streaming
+from sparkplans.sources import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # file-stream sources need a directory; stage the single parquet
+    d = tmp_path_factory.mktemp("events_stream")
+    os.symlink(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = streaming.stream_events(spark, events_dir)
+    assert stream.isStreaming
+    agg = streaming.windowed_counts(stream, window="5 minutes")
+    q = streaming.run_available_now(agg, "win_counts", output_mode="append")
+    got = {
+        (r.bin, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in spark.table("win_counts").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        (r.bin, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in ev.groupBy(
+            F.window("ts", "5 minutes")["start"].alias("bin"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    # watermark may hold back the tail window(s) in append mode, but
+    # everything emitted must match batch exactly, and coverage must be
+    # near-complete after availableNow drains.
+    assert len(got) >= len(want) - 5
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_sessionize_stateful(spark, events_dir):
+    stream = streaming.stream_events(spark, events_dir)
+    sess = streaming.sessionize(stream, gap_seconds=1800)
+    streaming.run_available_now(sess, "sessions", output_mode="append")
+    pdf = spark.table("sessions").toPandas()
+    assert len(pdf) > 0
+    assert (pdf["session_end"] >= pdf["session_start"]).all()
+    assert (pdf["n_events"] >= 1).all()
+    # sessions for one user must not overlap
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values("session_start")
+        starts = g["session_start"].iloc[1:].reset_index(drop=True)
+        ends = g["session_end"].iloc[:-1].reset_index(drop=True)
+        assert (starts > ends).all()
