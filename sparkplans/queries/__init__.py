@@ -841,3 +841,273 @@ def q_lsh_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     return similarity.lsh_bucket_topk(e, probes, k=10, num_planes=6)
+
+
+# =====================================================================
+# Subqueries (decorrelation — the reference lists the rules but never
+# fires them: docs/3:103-105; inheritance scope, fully oracle-checked)
+# =====================================================================
+
+_shared_sql(
+    "scalar_subquery",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)",
+)
+
+_shared_sql(
+    "in_subquery",
+    "SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)",
+)
+
+_shared_sql(
+    "correlated_scalar_subquery",
+    # Q2 shape: max within a correlated group
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier s "
+    "WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2 "
+    "                   WHERE s2.s_nationkey = s.s_nationkey)",
+)
+
+_shared_sql(
+    "tpch_q4_priority",
+    # Q4 shape: EXISTS-correlated count by priority
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+_shared_sql(
+    "tpch_q17_small_qty",
+    # Q17 shape: correlated avg threshold
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_brand = 'Brand#2'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+
+_shared_sql(
+    "tpch_q19_disjunctive",
+    # Q19 shape: OR-of-ANDs predicate bundle across a join
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+        OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))
+    """,
+)
+
+_shared_sql(
+    "tpch_q14_promo",
+    # Q14 shape: conditional revenue share
+    """
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+
+
+# =====================================================================
+# Scalar-function breadth: LIKE / regexp / JSON / null handling
+# =====================================================================
+
+_shared_sql(
+    "like_patterns",
+    "SELECT p_partkey, p_name, p_type FROM part "
+    "WHERE p_name LIKE '%red%' OR (p_name LIKE 'small%' AND p_type LIKE 'ECON%')",
+)
+
+_shared_sql(
+    "regexp_extract_ids",
+    "SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num "
+    "FROM customer",
+)
+
+_shared_sql(
+    "null_handling",
+    """
+    SELECT c_custkey,
+           coalesce(CAST(o_orderkey AS BIGINT), -1) AS order_or_default,
+           CASE WHEN o_orderkey IS NULL THEN 'none' ELSE 'some' END AS has_order,
+           nullif(c_acctbal, 0.0) AS acctbal_nz
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 450000
+    """,
+)
+
+_shared_sql(
+    "between_and_in_list",
+    "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
+    "WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag IN ('A', 'N')",
+)
+
+
+@register(
+    "json_extract_agg",
+    "SELECT event_type, count(*) AS cnt, "
+    "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k "
+    "FROM events GROUP BY event_type",
+)
+def q_json_extract_agg(spark, sf_dir):
+    """JSON path extraction from a string column (get_json_object —
+    JVM-side), aggregated; DuckDB oracle uses its JSON extension."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).cast("bigint").alias("sum_k"),
+    )
+
+
+# =====================================================================
+# Pivot / unpivot
+# =====================================================================
+
+
+@register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status(spark, sf_dir):
+    """DataFrame pivot (explicit value list => single-pass, no extra
+    distinct-scan job); oracle is the manual CASE form."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax' AS metric, l_tax AS val FROM lineitem
+    """,
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """unpivot/melt: wide numeric columns -> (metric, val) long form."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+# =====================================================================
+# Language identification (n-gram/stopword heuristic, SURVEY §7F)
+# =====================================================================
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+@register(
+    "lang_id_heuristic",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+        len(list_filter(t, x -> list_contains(['el','la','de','que','es'], x))) AS s_es,
+        len(list_filter(t, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+        len(list_filter(t, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+        len(list_filter(t, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+                WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM scores
+    """,
+)
+def q_lang_id_heuristic(spark, sf_dir):
+    """Stopword-marker language ID, fully JVM-side (array filter +
+    greatest); deterministic tie-break en>es>de>fr>zh."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def marker_count(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        # single-arg lambda: a second (defaulted) param would make
+        # PySpark bind the (element, index) two-arg variant
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    cols = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
+    pred = (
+        F.when(cols["en"] >= F.greatest(cols["es"], cols["de"], cols["fr"], cols["zh"]), "en")
+        .when(cols["es"] >= F.greatest(cols["de"], cols["fr"], cols["zh"]), "es")
+        .when(cols["de"] >= F.greatest(cols["fr"], cols["zh"]), "de")
+        .when(cols["fr"] >= cols["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+# =====================================================================
+# Window breadth: rank/dense_rank/ntile/running totals over joins
+# =====================================================================
+
+_shared_sql(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+
+_shared_sql(
+    "top_suppliers_per_nation",
+    """
+    SELECT * FROM (
+      SELECT n_name, s_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             rank() OVER (PARTITION BY n_name
+                          ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))) DESC, s_name) AS rnk
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, s_name
+    ) t WHERE rnk <= 2
+    """,
+)
