@@ -133,6 +133,12 @@ def build_session(
         builder = builder.config(k, v)
     builder = builder.config("spark.ui.enabled", "false")
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # Managed (bucketed) tables live outside the repo; static conf, so
+    # it must be set before the session starts.
+    builder = builder.config(
+        "spark.sql.warehouse.dir",
+        os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/sparkplans-warehouse"),
+    )
     spark = builder.getOrCreate()
     # In case getOrCreate() returned a pre-existing session, re-apply
     # the runtime-settable confs.

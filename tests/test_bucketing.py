@@ -1,0 +1,70 @@
+"""Bucketed tables: the shuffle-elision scale story.  Mirrors the
+reference's locality-preserving config golden (no RepartitionExec —
+tests/opt_parallel_execution.rs:69-81): joins and aggregations on the
+bucket key run with ZERO exchanges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplans import plans
+from sparkplans.engine import Engine
+from sparkplans.sources import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    # warehouse dir is static conf, set in build_session
+    e = Engine(spark=spark)
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    e.catalog.write_bucketed(orders, "orders_b", 8, "o_orderkey")
+    e.catalog.write_bucketed(
+        lineitem, "lineitem_b", 8, "l_orderkey", sort_cols=["l_orderkey", "l_linenumber"]
+    )
+    yield e
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_cobucketed_join_no_shuffle(spark, eng):
+    o = spark.table("orders_b")
+    li = spark.table("lineitem_b")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"
+    )
+    assert plans.num_exchanges(joined) == 0, plans.physical_plan_str(joined)
+    # correctness unchanged vs unbucketed join
+    base_o = load_table(spark, SF_DIR, "orders")
+    base_l = load_table(spark, SF_DIR, "lineitem")
+    want = base_o.join(base_l, base_o.o_orderkey == base_l.l_orderkey).count()
+    assert joined.count() == want
+
+
+def test_agg_on_bucket_key_no_shuffle(spark, eng):
+    li = spark.table("lineitem_b")
+    agg = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )
+    assert plans.num_exchanges(agg) == 0, plans.physical_plan_str(agg)
+    want = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_orderkey")
+        .count()
+        .count()
+    )
+    assert agg.count() == want
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    """Contrast case: the same join without bucketing pays exchanges
+    (unless the optimizer broadcasts — disable to be sure)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey)
+        assert plans.num_exchanges(joined) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
