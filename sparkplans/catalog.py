@@ -284,3 +284,21 @@ def write_bucketed(
 
 
 Catalog.write_bucketed = write_bucketed
+
+
+def analyze_table(self, name: str, columns: bool = True) -> None:
+    """Collect table/column statistics for CBO — the reference's
+    ``with_collect_stat(true)`` (tests/setup_tables.rs:43,69) and the
+    ``aggregate_statistics`` physical rule.  Works on managed
+    (bucketed) tables; temp views get runtime stats from AQE instead."""
+    suffix = " FOR ALL COLUMNS" if columns else ""
+    self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{suffix}")
+
+
+def peek_schema(self, name: str):
+    """The reference's LIMIT-0 schema peek (docs/1:139-158)."""
+    return self.read(name).limit(0).schema
+
+
+Catalog.analyze_table = analyze_table
+Catalog.peek_schema = peek_schema

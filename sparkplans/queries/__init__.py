@@ -655,10 +655,20 @@ def q_knn_brute(spark, sf_dir):
     )
 
 
-@register(
-    "quality_scores",
-    None,  # composite heuristic: checked rows-only + unit-tested vs spec
-)
+_QUALITY_ORACLE = """
+SELECT doc_id, lang,
+  round((
+    least(len(text) / 500.0, 1.0)
+    + (1.0 - least(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) * 1.0 / greatest(len(text), 1) * 4.0, 1.0))
+    + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+        / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) * 5.0, 1.0)
+  ) / 3.0, 6) AS quality
+FROM documents
+"""
+
+
+@register("quality_scores", _QUALITY_ORACLE)
 def q_quality_scores(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", quality_score("text").alias("quality"))

@@ -68,3 +68,10 @@ def test_unbucketed_join_does_shuffle(spark):
         assert plans.num_exchanges(joined) >= 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+
+
+def test_analyze_table_stats(spark, eng):
+    eng.catalog.analyze_table("orders_b")
+    desc = spark.sql("DESCRIBE TABLE EXTENDED orders_b").toPandas()
+    stats = desc[desc["col_name"] == "Statistics"]["data_type"]
+    assert len(stats) == 1 and "rows" in stats.iloc[0]

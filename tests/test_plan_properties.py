@@ -70,3 +70,33 @@ def test_explain_modes_render(spark):
 def test_explain_analyze_metrics(spark):
     out = plans.explain_analyze(_df(spark, "agg_count_star"))
     assert "numOutputRows" in out or "number of output rows" in out
+
+
+def test_q5_broadcasts_everything_at_test_scale(spark):
+    """Structural perf gate (BASELINE.md): the 6-table join chain
+    broadcasts every small side — only the agg + final sort exchange
+    remain."""
+    df = _df(spark, "tpch_q5_local_supplier")
+    assert plans.num_exchanges(df) <= 2
+    strategies = plans.join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 4, strategies
+
+
+def test_pricing_summary_two_phase_only(spark):
+    df = _df(spark, "pricing_summary")
+    # one hash exchange (partial->final agg) + one range (ORDER BY)
+    assert plans.num_exchanges(df) <= 2
+
+
+def test_coalesce_and_repartition_plumbing(spark):
+    df = _df(spark, "projection_pushdown")
+    assert df.coalesce(1).rdd.getNumPartitions() == 1
+    assert df.repartition(4).rdd.getNumPartitions() == 4
+
+
+def test_limit0_schema_peek(spark, engine):
+    from sparkplans.sources import load_table
+
+    load_table(spark, SF_DIR, "nation").createOrReplaceTempView("nation")
+    schema = spark.table("nation").limit(0).schema
+    assert [f.name for f in schema.fields] == ["n_nationkey", "n_name", "n_regionkey"]
