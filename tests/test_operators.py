@@ -229,3 +229,13 @@ def test_video_frame_sampling_plumbing(spark):
     expected = sum(max(int(v.duration_ms // 1000), 1) for v in vids)
     assert len(pdf) == expected
     assert pdf.groupby("media_id")["frame_idx"].min().eq(0).all()
+
+
+def test_salted_join_matches_plain(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(dim, "user_id").count()
+    salted = asof.salted_join(ev, dim, "user_id", salt=8).count()
+    assert salted == plain

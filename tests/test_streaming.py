@@ -63,3 +63,41 @@ def test_sessionize_stateful(spark, events_dir):
         starts = g["session_start"].iloc[1:].reset_index(drop=True)
         ends = g["session_end"].iloc[:-1].reset_index(drop=True)
         assert (starts > ends).all()
+
+
+def test_sliding_window_counts(spark, events_dir):
+    stream = streaming.stream_events(spark, events_dir)
+    slid = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window")["start"].cast("timestamp_ntz").alias("bin"),
+            "event_type",
+            "cnt",
+        )
+    )
+    streaming.run_available_now(slid, "slide_counts", output_mode="append")
+    got = spark.table("slide_counts")
+    assert got.count() > 0
+    # every event lands in exactly 2 sliding windows => total count is 2x
+    ev = load_table(spark, SF_DIR, "events")
+    emitted = got.agg(F.sum("cnt")).collect()[0][0]
+    assert emitted <= 2 * ev.count()
+    assert emitted >= ev.count()  # at least the fully-drained majority
+
+
+def test_stream_static_join(spark, events_dir):
+    stream = streaming.stream_events(spark, events_dir)
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(dim, "user_id").groupBy("c_mktsegment").count()
+    streaming.run_available_now(joined, "ss_join", output_mode="complete")
+    got = {r.c_mktsegment: r["count"] for r in spark.table("ss_join").collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        r.c_mktsegment: r["count"]
+        for r in ev.join(dim, "user_id").groupBy("c_mktsegment").count().collect()
+    }
+    assert got == want
