@@ -107,6 +107,114 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_build(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic k-means over the corpus.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` is the corpus
+    plus a ``cid`` column (nearest-centroid id) and ``centroids`` is
+    ``(cid, centroid: array<double>)``.
+
+    Everything is DataFrame ops: init picks the ``num_centroids`` rows
+    with the smallest ``md5(id)`` (a deterministic uniform sample);
+    each Lloyd iteration assigns via a broadcast centroid join + window
+    argmax and re-averages per (cid, dimension) with
+    ``posexplode``/``collect_list`` — no driver-side math, so the build
+    scales to a corpus that never fits on one node.  At 100 TB you
+    would run the same build on a sample, persist ``assigned``
+    partitioned by ``cid`` (``partitionBy``/``bucketBy``), and get
+    partition-pruned probe lookups at query time.
+    """
+    init = (
+        corpus.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(num_centroids)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+    w_init = Window.orderBy(F.col(id_col))
+    centroids = init.select(
+        (F.row_number().over(w_init) - 1).alias("cid"), "centroid"
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = corpus.join(F.broadcast(cents)).withColumn(
+            "__sim", cosine_similarity(vec_col, "centroid")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk", "__sim", "centroid")
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        centroids = (
+            assigned.select(
+                "cid",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("centroid")
+            )
+        )
+    return assign(centroids), centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Approximate top-k via the IVF index: each probe scores only the
+    rows assigned to its ``nprobe`` nearest centroids.  Probes and
+    centroids broadcast; the corpus is touched once with a broadcast
+    semi-filter on ``cid`` — no corpus shuffle."""
+    pw = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__sim").desc(), F.col("cid")
+    )
+    probe_cids = (
+        probes.join(F.broadcast(centroids))
+        .withColumn("__sim", cosine_similarity(probe_vec_col, "centroid"))
+        .withColumn("__rk", F.row_number().over(pw))
+        .filter(F.col("__rk") <= nprobe)
+        .select(probe_id_col, probe_vec_col, "cid")
+    )
+    scored = assigned.join(F.broadcast(probe_cids), "cid").select(
+        probe_id_col,
+        id_col,
+        F.round(cosine_similarity(vec_col, probe_vec_col), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -853,6 +853,21 @@ def q_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, probes, k=10, num_planes=6)
 
 
+@register("ivf_ann_topk", None)  # approximate by design; self-hit + recall in tests/
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN scale path: deterministic k-means coarse quantizer, then
+    probes score only their nprobe nearest clusters.  See
+    operators/similarity.ivf_build for the 100 TB deployment notes."""
+    from sparkplans.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    assigned, centroids = similarity.ivf_build(e, num_centroids=8, iters=2)
+    return similarity.ivf_topk(assigned, centroids, probes, k=10, nprobe=2)
+
+
 # =====================================================================
 # Subqueries (decorrelation — the reference lists the rules but never
 # fires them: docs/3:103-105; inheritance scope, fully oracle-checked)

@@ -161,6 +161,36 @@ def test_lsh_bucket_topk_subset_of_bucket(spark):
     assert all(abs(r.cos_sim - 1.0) < 1e-6 for r in self_hits) and self_hits
 
 
+def test_ivf_self_hit_and_recall(spark):
+    """Probes drawn from the corpus must find themselves (their own
+    cluster is always probed); recall@5 vs brute force stays useful."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    assigned, centroids = similarity.ivf_build(emb, num_centroids=8, iters=2)
+    assert centroids.count() == 8
+    out = similarity.ivf_topk(assigned, centroids, probes, k=5, nprobe=2).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid, rows in by_probe.items():
+        top = max(rows, key=lambda r: r.cos_sim)
+        assert top.vec_id == pid and abs(top.cos_sim - 1.0) < 1e-6
+    exact = similarity.brute_force_topk(emb, probes, k=5).collect()
+    exact_ids = {(r.probe_id, r.vec_id) for r in exact}
+    got_ids = {(r.probe_id, r.vec_id) for r in out}
+    recall = len(exact_ids & got_ids) / len(exact_ids)
+    assert recall >= 0.4, f"IVF recall@5 collapsed: {recall}"
+
+
+def test_ivf_build_deterministic(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    _, c1 = similarity.ivf_build(emb, num_centroids=4, iters=1)
+    _, c2 = similarity.ivf_build(emb, num_centroids=4, iters=1)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
 def test_embedding_near_dup_pairs_planted(spark):
     emb = load_table(spark, SF_DIR, "embeddings").limit(100)
     clone = emb.filter(F.col("vec_id") == 0).select(
