@@ -1,0 +1,114 @@
+"""Write sinks: the output side of the pipeline.
+
+The reference has no file sinks at all (SURVEY §2.1: "No other sinks
+exist — no COPY, no writes to files"); a complete engine needs them,
+and at 100 TB the write layout *is* the read performance of every
+downstream job.  Three layouts:
+
+- **copy_to** — ``COPY (query) TO path (FORMAT ...)``-style export to
+  parquet/csv/json.
+- **write_partitioned** — hive-style ``partitionBy`` layout; reads
+  filtered on partition columns prune whole directories (the listing
+  never touches excluded partitions).
+- **write_sorted** — writes each output file sorted on the given keys
+  and registers the result in the engine catalog ``WITH ORDER``, so
+  reads back through the catalog get sort-elision and ordered merges.
+  This closes the reference's loop: its ``WITH ORDER`` tables are
+  produced out-of-band (docs/2:17-23); ours are produced by the engine
+  itself.
+
+Scale notes: ``partitionBy`` with high-cardinality keys creates a
+small-files problem — repartition on the partition columns first so
+each task writes one file per partition (done below, cap via
+``files_per_partition``).  ``maxRecordsPerFile`` bounds file size
+without an extra shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkplans.ordering import normalize_sort_keys
+
+
+def copy_to(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    single_file: bool = False,
+    **options: str,
+) -> None:
+    """Export a result to files (parquet/csv/json).  CSV gets headers
+    by default.  ``single_file=True`` coalesces to one output file —
+    driver-friendly for small exports, never for big ones."""
+    fmt = format.lower()
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    out = df.coalesce(1) if single_file else df
+    out.write.format(fmt).mode(mode).options(**options).save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Iterable[str],
+    format: str = "parquet",
+    mode: str = "overwrite",
+    files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
+    **options: str,
+) -> None:
+    """Hive-layout write: ``path/key=value/...``.  Repartitions on the
+    partition columns first so each partition directory gets
+    ``files_per_partition`` files instead of one small file per
+    upstream task (the classic small-files failure at scale)."""
+    pcols = list(partition_by)
+    if files_per_partition > 1:
+        # round-robin over N writer tasks: every task holds rows of
+        # every partition value, so each dir gets exactly N files
+        out = df.repartition(files_per_partition)
+    else:
+        out = df.repartition(*[F.col(c) for c in pcols])
+    w = out.write.format(format.lower()).mode(mode).partitionBy(*pcols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.options(**options).save(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    order_by,
+    num_files: int = 1,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    catalog=None,
+    register_as: str | None = None,
+    **options: str,
+):
+    """Write files that are each internally sorted on ``order_by`` and
+    (optionally) register the directory in the engine catalog ``WITH
+    ORDER`` so later reads plan around the order.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives globally
+    range-split, per-file fully-sorted output — the layout the
+    reference's ListingTable expects (tests/setup_tables.rs:44-48),
+    and the one that makes merge reads / sorted aggregation cheap.
+    """
+    keys = normalize_sort_keys(order_by)
+    sort_cols = [
+        (F.col(k.col).asc() if k.asc else F.col(k.col).desc()) for k in keys
+    ]
+    out = (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+    )
+    out.write.format(format.lower()).mode(mode).options(**options).save(path)
+    if catalog is not None and register_as:
+        return catalog.create_external_table(
+            register_as, path, format=format, with_order=order_by
+        )
+    return None

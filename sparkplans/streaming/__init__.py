@@ -156,6 +156,50 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps
+    per-key state only until the watermark passes, so state is bounded
+    — the unbounded-data twin of operators/dedup.exact_dedup.  At
+    scale, state is hash-partitioned by key across executors."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    join_window_seconds: int = 300,
+) -> DataFrame:
+    """Stream-stream inner join on user_id within a bounded event-time
+    band.  Both sides are watermarked and the time-range predicate lets
+    Spark expire join state — without it, state grows forever.  Rows:
+    each click joined to views of the same user within the preceding
+    ``join_window_seconds``."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL {join_window_seconds} "
+            "SECONDS AND l_ts"
+        ),
+    )
+
+
 def _us_ts(us: int):
     return pd.Timestamp(us, unit="us")
 

@@ -1,0 +1,99 @@
+"""Write sinks: round-trips, partition pruning on hive layout, and
+sorted writes feeding the catalog's sort-elision."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplans import plans, sinks
+from sparkplans.engine import Engine
+from sparkplans.sources import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF_DIR, "orders")
+
+
+def test_copy_to_roundtrip_all_formats(spark, orders, tmp_path):
+    small = orders.limit(50).select("o_orderkey", "o_custkey", "o_totalprice")
+    for fmt in ("parquet", "csv", "json"):
+        p = str(tmp_path / f"out_{fmt}")
+        sinks.copy_to(small, p, format=fmt, single_file=True)
+        files = [f for f in os.listdir(p) if not f.startswith(("_", "."))]
+        assert len(files) == 1, f"{fmt}: expected one data file, got {files}"
+        back = (
+            spark.read.format(fmt)
+            .options(**({"header": "true", "inferSchema": "true"} if fmt == "csv" else {}))
+            .load(p)
+        )
+        assert back.count() == 50
+        got = {r.o_orderkey for r in back.select("o_orderkey").collect()}
+        want = {r.o_orderkey for r in small.select("o_orderkey").collect()}
+        assert got == want
+
+
+def test_write_partitioned_prunes(spark, orders, tmp_path):
+    p = str(tmp_path / "by_status")
+    sinks.write_partitioned(orders, p, ["o_orderstatus"])
+    statuses = [r.o_orderstatus for r in orders.select("o_orderstatus").distinct().collect()]
+    # hive layout: one dir per status, one file per dir
+    dirs = [d for d in os.listdir(p) if d.startswith("o_orderstatus=")]
+    assert sorted(dirs) == sorted(f"o_orderstatus={s}" for s in statuses)
+    back = spark.read.parquet(p)
+    one = back.filter(F.col("o_orderstatus") == statuses[0])
+    # partition filter prunes: scanned files == files of that one dir
+    plan = plans.physical_plan_str(one)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    want = orders.filter(F.col("o_orderstatus") == statuses[0]).count()
+    assert one.count() == want
+
+
+def test_write_partitioned_files_per_partition(spark, orders, tmp_path):
+    p = str(tmp_path / "salted")
+    sinks.write_partitioned(orders, p, ["o_orderstatus"], files_per_partition=3)
+    dirs = [d for d in os.listdir(p) if d.startswith("o_orderstatus=")]
+    biggest = max(
+        dirs,
+        key=lambda d: sum(
+            os.path.getsize(os.path.join(p, d, f)) for f in os.listdir(os.path.join(p, d))
+        ),
+    )
+    n = len([f for f in os.listdir(os.path.join(p, biggest)) if f.endswith(".parquet")])
+    assert 1 < n <= 3, f"expected salted multi-file partition dir, got {n}"
+    assert spark.read.parquet(p).count() == orders.count()
+
+
+def test_write_sorted_registers_with_order_and_elides(spark, orders, tmp_path):
+    eng = Engine(spark=spark)
+    p = str(tmp_path / "sorted_orders")
+    spec = sinks.write_sorted(
+        orders,
+        p,
+        order_by=["o_orderdate", "o_orderkey"],
+        num_files=2,
+        catalog=eng.catalog,
+        register_as="orders_sorted",
+    )
+    assert spec is not None and len(spec.files) == 2
+    # each file is internally sorted on the declared keys
+    for f in spec.files:
+        pdf = spark.read.parquet(f).select("o_orderdate", "o_orderkey").toPandas()
+        assert list(pdf.itertuples(index=False)) == sorted(pdf.itertuples(index=False))
+    # 2 sorted files: ORDER BY still needs the global merge (docs/6
+    # case) — engine emits it, and the result is ordered
+    of = eng.table("orders_sorted").order_by("o_orderdate")
+    dates = [r.o_orderdate for r in of.df.select("o_orderdate").collect()]
+    assert dates == sorted(dates)
+    # single sorted file: prefix ORDER BY is elided entirely (docs/4)
+    p1 = str(tmp_path / "sorted_one")
+    sinks.write_sorted(
+        orders, p1, order_by=["o_orderdate", "o_orderkey"], num_files=1,
+        catalog=eng.catalog, register_as="orders_sorted_one",
+    )
+    of1 = eng.table("orders_sorted_one").order_by("o_orderdate")
+    assert plans.num_sorts(of1.df) == 0, "sort not elided on single sorted file"
+    dates1 = [r.o_orderdate for r in of1.df.select("o_orderdate").collect()]
+    assert dates1 == sorted(dates1)

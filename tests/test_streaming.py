@@ -87,6 +87,46 @@ def test_sliding_window_counts(spark, events_dir):
     assert emitted >= ev.count()  # at least the fully-drained majority
 
 
+def test_dedup_stream_drops_planted_duplicates(spark, events_dir, tmp_path):
+    # plant duplicates: the same file symlinked twice = every event twice
+    import os as _os
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    _os.symlink(f"{SF_DIR}/events.parquet", d / "a.parquet")
+    _os.symlink(f"{SF_DIR}/events.parquet", d / "b.parquet")
+    stream = streaming.stream_events(spark, str(d), max_files_per_trigger=1)
+    deduped = streaming.dedup_stream(stream, keys=["event_id"])
+    streaming.run_available_now(deduped, "dedup_stream_t")
+    n = spark.table("dedup_stream_t").count()
+    want = load_table(spark, SF_DIR, "events").count()
+    assert n == want, f"expected {want} unique events, got {n}"
+
+
+def test_stream_stream_join_band(spark, events_dir):
+    ev = streaming.stream_events(spark, events_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = streaming.stream_stream_join(clicks, views, join_window_seconds=300)
+    streaming.run_available_now(joined, "ssj")
+    got = spark.table("ssj")
+    # batch twin: same band predicate as a plain self-join
+    b = load_table(spark, SF_DIR, "events")
+    bc = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    bv = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    want = bc.join(
+        bv,
+        F.expr("l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL 300 SECONDS AND l_ts"),
+    ).count()
+    assert got.count() == want
+
+
 def test_stream_static_join(spark, events_dir):
     stream = streaming.stream_events(spark, events_dir)
     dim = load_table(spark, SF_DIR, "customer").select(
