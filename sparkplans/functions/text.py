@@ -22,6 +22,25 @@ def token_count(text: Column | str) -> Column:
     return F.size(F.split(F.trim(_c(text)), r"\s+"))
 
 
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-style pre-tokenizer count — a GPT-2-ish split into
+    contraction suffixes / letter runs / digit runs / punctuation runs
+    (the lookahead-free subset, so Java regex and DuckDB RE2 agree).
+    Counts pre-tokens, the unit BPE merges operate on; a good
+    proxy-for-cost signal when the real tokenizer isn't on the
+    cluster.
+
+    DuckDB equivalent:
+    ``len(regexp_extract_all(text, <BPE_SPLIT_PATTERN>))``.
+    """
+    return F.regexp_count(_c(text), F.lit(BPE_SPLIT_PATTERN))
+
+
 def ngrams(text: Column | str, n: int = 3) -> Column:
     """Character n-gram (shingle) array of a string, JVM-side:
     ``transform(sequence(1, len-n+1), i -> substring(s, i, n))``.

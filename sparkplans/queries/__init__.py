@@ -591,6 +591,21 @@ def q_text_stats(spark, sf_dir):
 
 
 @register(
+    "bpe_token_counts",
+    "SELECT doc_id, len(regexp_extract_all(text, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+')) AS bpe_tokens "
+    "FROM documents",
+)
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts per document (functions.text.
+    bpe_token_count): regexp_count JVM-side, no Python in the path."""
+    from sparkplans.functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_token_count("text").alias("bpe_tokens"))
+
+
+@register(
     "ngram_distinct",
     "SELECT doc_id, len(list_distinct(list_transform("
     "range(1, greatest(len(text) - 2, 0) + 1), i -> substr(text, i, 3)))) AS n_distinct_trigrams "
