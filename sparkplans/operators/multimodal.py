@@ -114,6 +114,77 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing: emits re-encoded payloads at the target size
+    (deterministic fake: digest-derived bytes sized w*h/64 so batch
+    shapes are realistic).  Real impl: PIL open/resize/save inside the
+    iterator — same schema, same partition flow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if _HAVE_CODECS:
+                raise NotImplementedError("real resize requires PIL — not in this container")
+            fake = pdf["payload"].map(
+                lambda b: hashlib.sha256((b or b"") + f"{width}x{height}".encode()).digest()
+                * max((width * height) // (64 * 32), 1)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": fake,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("chunk_sha", StringType()),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, target_hz: int = 16000) -> DataFrame:
+    """Audio decode->resample plumbing: one row per audio item with
+    the resampled length (exact arithmetic from duration metadata) and
+    a digest standing in for the waveform.  Real impl: librosa/ffmpeg
+    load + resample inside the iterator."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if _HAVE_CODECS:
+                raise NotImplementedError("real resampling requires librosa — not in this container")
+            dur = pdf["duration_ms"].fillna(0).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": target_hz,
+                    "n_samples": dur * target_hz // 1000,
+                    "chunk_sha": pdf["payload"].map(
+                        lambda b: hashlib.sha256((b or b"") + str(target_hz).encode()).hexdigest()
+                    ),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(batches, AUDIO_RESAMPLE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = repeated
     digest bytes; metadata consistent with kind)."""

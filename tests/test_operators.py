@@ -261,6 +261,29 @@ def test_video_frame_sampling_plumbing(spark):
     assert pdf.groupby("media_id")["frame_idx"].min().eq(0).all()
 
 
+def test_image_resize_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    resized = multimodal.resize_images(media, width=128, height=96)
+    rows = resized.collect()
+    assert len(rows) == media.filter("kind = 'image'").count()
+    assert all(r.width == 128 and r.height == 96 for r in rows)
+    assert all(isinstance(r.payload, (bytes, bytearray)) and len(r.payload) > 0 for r in rows)
+    # deterministic: same input -> same payload bytes
+    again = {r.media_id: bytes(r.payload) for r in multimodal.resize_images(media, 128, 96).collect()}
+    assert {r.media_id: bytes(r.payload) for r in rows} == again
+
+
+def test_audio_resample_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    out = multimodal.resample_audio(media, target_hz=16000).collect()
+    auds = {r.media_id: r.duration_ms for r in media.filter("kind = 'audio'").collect()}
+    assert {r.media_id for r in out} == set(auds)
+    for r in out:
+        assert r.sample_rate == 16000
+        assert r.n_samples == auds[r.media_id] * 16000 // 1000
+        assert len(r.chunk_sha) == 64
+
+
 def test_salted_join_matches_plain(spark):
     ev = load_table(spark, SF_DIR, "events")
     dim = load_table(spark, SF_DIR, "customer").select(
