@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_exact",
     "text_stats",
     "knn_brute_force",
+    "bpe_token_counts",
+    "lsh_candidates",
+    "asof_join_events",
 ]
 
 
