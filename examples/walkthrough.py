@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Executable walkthrough mirroring the reference's docs/1-9 story
+(/root/reference/docs/*.md), section by section, on this engine.
+
+The reference is a set of executable datafusion-cli transcripts; this
+is the same narrative driven through sparkplans.  Run it:
+
+    python examples/walkthrough.py [sf_dir]
+
+Each section prints what the corresponding reference doc demonstrates.
+Citations in comments are reference file:line.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sparkplans import plans
+from sparkplans.engine import Engine
+from sparkplans.session import EngineOptions, build_session
+
+
+def section(n: int, title: str) -> None:
+    print(f"\n{'=' * 72}\n{n}. {title}\n{'=' * 72}")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    opts = EngineOptions(target_partitions=8, repartition_file_scans=False)
+    spark = build_session(opts, app_name="walkthrough", master="local[8]")
+    eng = Engine(spark=spark, options=opts)
+
+    # ---- docs/1: information schema & settings -----------------------
+    section(1, "information schema & settings  (docs/1_cli_information_schema.md)")
+    eng.create_external_table("orders", f"{sf_dir}/orders.parquet")
+    eng.create_external_table("lineitem", f"{sf_dir}/lineitem.parquet")
+    print("tables:", [t["table_name"] for t in eng.catalog.show_tables()])
+    print("columns(orders):", [c["column_name"] for c in eng.catalog.show_columns("orders")][:4], "...")
+    st = eng.settings()
+    print("settings sample: spark.sql.shuffle.partitions =", st.get("spark.sql.shuffle.partitions"))
+    # SET key=value (docs/1:110-127)
+    eng.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    # LIMIT 0 schema peek (docs/1:139-158)
+    print("peek:", eng.catalog.peek_schema("orders").simpleString()[:70], "...")
+
+    # ---- docs/2: creating tables (files, dirs, order, insert) --------
+    section(2, "create tables: files, dirs, WITH ORDER, INSERT  (docs/2_cli_create_tables.md)")
+    # csv with header (docs/2:11-14) — demonstrated over a temp export
+    tmp_csv = "/tmp/walkthrough_region_csv"
+    spark.read.parquet(f"{sf_dir}/region.parquet").coalesce(1).write.mode(
+        "overwrite"
+    ).option("header", True).csv(tmp_csv)
+    eng.create_external_table("region_csv", tmp_csv, format="csv", has_header=True)
+    print("region_csv rows:", eng.table("region_csv").df.count())
+    # WITH ORDER on a parquet table (docs/2:17-23)
+    eng.create_external_table(
+        "orders_ord", f"{sf_dir}/orders.parquet", with_order=["o_orderkey"]
+    )
+    # in-memory table + INSERT INTO VALUES (docs/2:142-160)
+    eng.create_table("mem_t", "k INT, v STRING")
+    eng.insert_into("mem_t", [(1, "a"), (2, "b")])
+    print("mem_t:", spark.table("mem_t").collect())
+
+    # ---- docs/3: reading query plans ---------------------------------
+    section(3, "plans: tree / indent / analyze / verbose  (docs/3_cli_query_plans.md)")
+    df = eng.sql("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus")
+    print("-- tree (EXPLAIN):")
+    print("\n".join(plans.plan_text(df, "tree").splitlines()[:8]))
+    print("-- analyze (EXPLAIN ANALYZE, runtime metrics):")
+    print("\n".join(plans.explain_analyze(df).splitlines()[:6]))
+
+    # ---- docs/4: sort elision ----------------------------------------
+    section(4, "sort elision: exact / prefix / non-prefix  (docs/4_cli_read_plans_sort_projection.md)")
+    t = eng.table("orders_ord")
+    for keys, label in [
+        (("o_orderkey",), "exact/prefix -> elided"),
+        (("o_custkey",), "non-prefix  -> sort kept"),
+    ]:
+        out = t.order_by(*keys)
+        print(f"ORDER BY {keys}: sorts in plan = {plans.num_sorts(out.df)}  ({label})")
+
+    # ---- docs/5: filter + repartition + pushdown ---------------------
+    section(5, "filters, pushdown, parallelism  (docs/5_cli_read_plans_filter_repartition_coalesce.md)")
+    f = eng.sql("SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'")
+    print("pushed filters:", plans.scan_pushed_filters(f))
+    print("read schema:", plans.scan_read_schema(f))
+
+    # ---- docs/6: ordered merge of sorted partitions ------------------
+    section(6, "sort-preserving merge  (docs/6_cli_read_plans_sortpreservingmerge.md)")
+    ordered = t.order_by("o_orderkey")  # 1 file here -> no sort at all
+    got = [r.o_orderkey for r in ordered.df.select("o_orderkey").limit(5).collect()]
+    print("first keys in order:", got, "| sorts:", plans.num_sorts(ordered.df))
+
+    # ---- docs/7: aggregation strategies ------------------------------
+    section(7, "two-phase aggregation  (docs/7_cli_read_plans_aggregation.md)")
+    agg = eng.sql("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus")
+    txt = plans.physical_plan_str(agg)
+    print("HashAggregate stages:", txt.count("HashAggregate"), "| exchanges:", plans.num_exchanges(agg))
+
+    # ---- docs/8: join strategies -------------------------------------
+    section(8, "joins: broadcast (CollectLeft) and merge  (docs/8_cli_read_plans_join.md)")
+    j = eng.sql(
+        "SELECT l.l_orderkey, o.o_orderstatus FROM lineitem l, orders o "
+        "WHERE l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'"
+    )
+    print("join strategies:", plans.join_strategies(j))
+    # the reference's future work (docs/8:199-202): merge + shuffled hash
+    print("(merge/shuffle_hash variants: queries/merge_join, queries/shuffle_hash_join)")
+
+    # ---- docs/9: what's next -> what we already do -------------------
+    section(9, "beyond  (docs/9_what_next.md)")
+    print(
+        "distributed plans: free in Spark (every Exchange is a node\n"
+        "boundary); partitioned hash join: hint('shuffle_hash') or\n"
+        "bucketed tables (tests/test_bucketing.py); plus the\n"
+        "training-data pipeline operators in sparkplans/operators/."
+    )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
