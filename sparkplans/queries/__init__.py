@@ -469,6 +469,31 @@ def q_datebin_5min(spark, sf_dir):
     )
 
 
+@register(
+    "hypertable_rollup_1h",
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS bin, event_type, "
+    "count(*) AS cnt, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
+    "min(value) AS min_value, max(value) AS max_value, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DOUBLE) AS avg_value "
+    "FROM events GROUP BY bin, event_type",
+)
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable rollup cascade (operators/rollup): the 1-hour level
+    is re-aggregated from the 5-minute level, never from raw — the
+    oracle aggregates raw directly, so a hash match proves the cascade
+    exact.  Scale: raw scanned once; coarser levels shuffle
+    geometrically less."""
+    from sparkplans.operators.rollup import finalize, timeseries_rollup
+
+    e = _t(spark, sf_dir, "events")
+    levels = timeseries_rollup(
+        e, ["5 minutes", "1 hour"], ts_col="ts", value_col="value",
+        keys=["event_type"],
+    )
+    return finalize(levels["1 hour"])
+
+
 # =====================================================================
 # Scalar function surface  (SURVEY §2.8 inheritance)
 # =====================================================================

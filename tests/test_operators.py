@@ -239,6 +239,36 @@ def test_range_join_band(spark):
     assert got.count() == want
 
 
+# -- hypertable rollup ------------------------------------------------------
+
+
+def test_rollup_cascade_equals_direct(spark):
+    """3-level cascade 1m->5m->1h: the top level must equal direct
+    aggregation of raw at 1h (the continuous-aggregate invariant)."""
+    from sparkplans.operators.rollup import timeseries_rollup
+
+    ev = load_table(spark, SF_DIR, "events")
+    cascade = timeseries_rollup(ev, ["1 minute", "5 minutes", "1 hour"], keys=["event_type"])
+    direct = timeseries_rollup(ev, ["1 hour"], keys=["event_type"])
+    got = {
+        (r.bin, r.event_type): (r.cnt, r.sum_value, r.min_value, r.max_value)
+        for r in cascade["1 hour"].collect()
+    }
+    want = {
+        (r.bin, r.event_type): (r.cnt, r.sum_value, r.min_value, r.max_value)
+        for r in direct["1 hour"].collect()
+    }
+    assert got == want
+
+
+def test_rollup_rejects_non_nesting_intervals(spark):
+    from sparkplans.operators.rollup import timeseries_rollup
+
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="must nest"):
+        timeseries_rollup(ev, ["3 minutes", "10 minutes"])
+
+
 # -- multimodal -------------------------------------------------------------
 
 
