@@ -469,6 +469,29 @@ def q_datebin_5min(spark, sf_dir):
     )
 
 
+@register("approx_distinct_users", None)  # sketch; <5% error gate in tests/
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ distinct-user counts per event type — the sketch
+    path for cardinality at 100 TB (fixed-size state, one pass, no
+    exact-distinct shuffle of the full key set)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register("approx_value_quantiles", None)  # sketch; error gate in tests/
+def q_approx_value_quantiles(spark, sf_dir):
+    """Greenwald-Khanna quantile sketch over event values: mergeable
+    per-partition state, so the plan is partial+final like any agg."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", [0.25, 0.5, 0.75, 0.95], 10000
+        ).alias("quantiles")
+    )
+
+
 @register(
     "hypertable_rollup_1h",
     "SELECT time_bucket(INTERVAL '1 hour', ts) AS bin, event_type, "

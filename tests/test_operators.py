@@ -239,6 +239,47 @@ def test_range_join_band(spark):
     assert got.count() == want
 
 
+# -- sketches ---------------------------------------------------------------
+
+
+def test_approx_distinct_within_tolerance(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {
+        r.event_type: r.approx_users
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+
+
+def test_approx_quantiles_within_tolerance(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        r.event_type: r.q
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("q"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.q
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("q"))
+        .collect()
+    }
+    for k, qs in exact.items():
+        span = max(qs) - min(qs) or 1.0
+        for a, e in zip(got[k], qs):
+            assert abs(a - e) <= 0.05 * span + 1e-9, (k, a, e)
+
+
 # -- hypertable rollup ------------------------------------------------------
 
 
