@@ -1387,6 +1387,67 @@ _shared_sql(
 )
 
 _shared_sql(
+    "tpch_q11_important_value",
+    """
+    WITH partvalue AS (
+      SELECT n_name, l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      GROUP BY n_name, l_partkey
+    )
+    SELECT n_name, l_partkey, value
+    FROM partvalue
+    WHERE value > (SELECT sum(value) * 0.0005 FROM partvalue)
+    ORDER BY value DESC, n_name, l_partkey
+    LIMIT 50
+    """,
+)
+
+_shared_sql(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'BRAND_1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 40
+    """,
+)
+
+_shared_sql(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+
+_shared_sql(
     "tpch_q22_idle_customers",
     """
     SELECT n_name AS cntrycode, count(*) AS numcust,

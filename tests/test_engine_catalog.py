@@ -129,3 +129,37 @@ def test_settings_surface(eng):
     eng.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
     assert eng.settings()["spark.sql.autoBroadcastJoinThreshold"] == "1048576"
     eng.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+
+
+def test_json_external_table(eng, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("json_tbl"))
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k BIGINT, s STRING, v DOUBLE"
+    ).coalesce(1).write.mode("overwrite").json(d)
+    eng.create_external_table("json_t", d, format="json", schema="k BIGINT, s STRING, v DOUBLE")
+    got = sorted((r.k, r.s, r.v) for r in eng.table("json_t").df.collect())
+    assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+    assert eng.sql("SELECT count(*) AS n FROM json_t").collect()[0].n == 2
+
+
+def test_date_bin_origin_shifts_grid(spark):
+    """date_bin's optional origin (the reference's third argument):
+    buckets align to origin + k*interval instead of the epoch grid."""
+    from sparkplans.functions.datetime import date_bin
+    from pyspark.sql import functions as F
+
+    df = spark.sql(
+        "SELECT TIMESTAMP '2023-01-01 09:00:17' AS ts "
+        "UNION ALL SELECT TIMESTAMP '2023-01-01 09:00:47'"
+    )
+    default = [
+        str(r.b) for r in df.select(date_bin("ts", "30 seconds").alias("b")).collect()
+    ]
+    shifted = [
+        str(r.b)
+        for r in df.select(
+            date_bin("ts", "30 seconds", origin="10 seconds").alias("b")
+        ).collect()
+    ]
+    assert sorted(default) == ["2023-01-01 09:00:00", "2023-01-01 09:00:30"]
+    assert sorted(shifted) == ["2023-01-01 09:00:10", "2023-01-01 09:00:40"]
