@@ -100,3 +100,22 @@ def test_limit0_schema_peek(spark, engine):
     load_table(spark, SF_DIR, "nation").createOrReplaceTempView("nation")
     schema = spark.table("nation").limit(0).schema
     assert [f.name for f in schema.fields] == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_no_python_in_any_query_hot_path(spark):
+    """Global structural gate: every registered query plans entirely
+    JVM-side — no row-at-a-time Python (BatchEvalPython) and no Arrow
+    Python stages (ArrowEvalPython/MapInPandas) outside the explicitly
+    Python-by-design operators.  Guards against a convenience UDF
+    sneaking into a hot path."""
+    import sparkplans.queries as Q
+    from sparkplans import plans as P
+    from tests.conftest import SF_DIR
+
+    offenders = []
+    for name, spec in sorted(Q.REGISTRY.items()):
+        df = spec.fn(spark, SF_DIR)
+        txt = P.physical_plan_str(df)
+        if "BatchEvalPython" in txt or "ArrowEvalPython" in txt or "MapInPandas" in txt:
+            offenders.append(name)
+    assert offenders == [], f"Python stages found in: {offenders}"
