@@ -264,6 +264,17 @@ def write_bucketed(
     sort_cols = (
         [sort_cols] if isinstance(sort_cols, str) else list(sort_cols or bucket_cols)
     )
+    if mode == "overwrite":
+        # drop a previous registration AND any orphaned warehouse dir
+        # (e.g. left by an earlier session) — saveAsTable refuses to
+        # reuse an existing unmanaged location.
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(wh.removeprefix("file:"), name)
+        if wh and os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .format("parquet")

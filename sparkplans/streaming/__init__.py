@@ -204,6 +204,32 @@ def _us_ts(us: int):
     return pd.Timestamp(us, unit="us")
 
 
+def to_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    output_mode: str = "append",
+):
+    """Checkpointed parquet file sink: exactly-once per micro-batch
+    via the write-ahead commit log under ``checkpoint`` — restarting
+    the same query over the same input does not duplicate output.
+    Partitioned layout optional (same pruning story as
+    sinks.write_partitioned)."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    q = w.start()
+    q.awaitTermination(120)
+    return q
+
+
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain all available input through the streaming plan into an
     in-memory table (used by tests; production would writeStream to

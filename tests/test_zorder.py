@@ -73,3 +73,38 @@ def test_zorder_key_matches_python_reference(spark):
     }
     assert got == want
     assert len(set(got.values())) == 16  # all distinct
+
+
+def test_ivf_persisted_bucketed_probe_path(spark, tmp_path):
+    """The IVF scale path from operators/similarity: persist the
+    assigned corpus bucketed by cid; the probe join then reads the
+    bucketed table with NO corpus-side exchange (the probe list
+    broadcasts), and results match the in-memory IVF search exactly."""
+    from pyspark.sql import functions as F
+
+    from sparkplans import plans
+    from sparkplans.engine import Engine
+    from sparkplans.operators import similarity
+
+    eng = Engine(spark=spark)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, centroids = similarity.ivf_build(emb, num_centroids=8, iters=1)
+    eng.catalog.write_bucketed(assigned, "ivf_assigned", 8, "cid")
+    persisted = spark.table("ivf_assigned")
+    # persist centroids too (at scale: a tiny side table); otherwise
+    # their k-means lineage re-executes inside every probe plan
+    centroids_m = spark.createDataFrame(centroids.collect(), centroids.schema)
+
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = similarity.ivf_topk(persisted, centroids_m, probes, k=5, nprobe=2)
+    # structural: only the two tiny probe-side window exchanges remain
+    # (nprobe selection + final top-k) — the corpus is never shuffled
+    assert plans.num_exchanges(out) <= 2
+    got = {(r.probe_id, r.vec_id) for r in out.collect()}
+    want = {
+        (r.probe_id, r.vec_id)
+        for r in similarity.ivf_topk(assigned, centroids, probes, k=5, nprobe=2).collect()
+    }
+    assert got == want
