@@ -40,6 +40,7 @@ HEADLINE = [
     "bpe_token_counts",
     "lsh_candidates",
     "asof_join_events",
+    "curation_pipeline",
 ]
 
 

@@ -737,6 +737,60 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", "lang", quality_score("text").alias("quality"))
 
 
+_CURATION_ORACLE = """
+WITH fp AS (
+  SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+curated AS (SELECT f.* FROM fp f WHERE f.doc_id IN (SELECT doc_id FROM keep)),
+scored AS (
+  SELECT lang, text,
+    round((
+      least(len(text) / 500.0, 1.0)
+      + (1.0 - least(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) * 1.0 / greatest(len(text), 1) * 4.0, 1.0))
+      + least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+          t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0
+          / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) * 5.0, 1.0)
+    ) / 3.0, 6) AS quality
+  FROM curated
+)
+SELECT lang,
+  count(*) AS n_docs,
+  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
+  CAST(sum(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))) AS BIGINT) AS total_bpe_tokens,
+  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+FROM scored
+WHERE quality >= 0.5
+GROUP BY lang
+"""
+
+
+@register("curation_pipeline", _CURATION_ORACLE)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: exact dedup (fingerprint
+    groupBy, lowest id wins) -> quality gate -> per-language token
+    budget.  One pass over documents, two key-only shuffles
+    (fingerprint, lang); every stage JVM-side; the whole composite is
+    hash-matched against DuckDB."""
+    from sparkplans.functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.withColumn("fingerprint", doc_fingerprint("text"))
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    curated = fp.join(keep, "doc_id", "left_semi")
+    scored = curated.withColumn("quality", quality_score("text")).filter(
+        F.col("quality") >= 0.5
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("total_ws_tokens"),
+        F.sum(bpe_token_count("text")).alias("total_bpe_tokens"),
+        F.sum(F.col("quality").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
