@@ -163,3 +163,44 @@ def test_date_bin_origin_shifts_grid(spark):
     ]
     assert sorted(default) == ["2023-01-01 09:00:00", "2023-01-01 09:00:30"]
     assert sorted(shifted) == ["2023-01-01 09:00:10", "2023-01-01 09:00:40"]
+
+
+def test_date_bin_randomized_cross_engine_parity(spark):
+    """SURVEY hard-part #3: date_bin bin-origin/edge parity.  1000
+    seeded-random timestamps, four intervals, Spark window-start vs
+    DuckDB time_bucket — every bin must agree exactly."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from sparkplans.functions.datetime import date_bin
+
+    rng = random.Random(42)
+    base = 1_672_531_200  # 2023-01-01 00:00:00 UTC
+    secs = [base + rng.randrange(0, 400 * 86400) for _ in range(1000)]
+    df = spark.createDataFrame(
+        [(s,) for s in secs], "epoch BIGINT"
+    ).select(F.timestamp_seconds("epoch").cast("timestamp_ntz").alias("ts"), "epoch")
+
+    # NB: DuckDB time_bucket defaults to a 2000-01-03 origin; DataFusion
+    # date_bin (which we mirror, via Spark's epoch-aligned window) uses
+    # the epoch — so the oracle pins origin = epoch explicitly.  For
+    # hour/day-divisor intervals the two grids coincide, which is why
+    # the plain time_bucket oracles in queries/ are correct as written.
+    con = duckdb.connect()
+    for interval in ["30 seconds", "5 minutes", "1 hour", "7 minutes"]:
+        got = {
+            r.epoch: str(r.bin)
+            for r in df.select("epoch", date_bin("ts", interval).alias("bin")).collect()
+        }
+        want = {
+            e: str(b)
+            for e, b in con.execute(
+                f"SELECT e, time_bucket(INTERVAL '{interval}', "
+                "to_timestamp(e)::TIMESTAMP, TIMESTAMP '1970-01-01') "
+                "FROM (SELECT unnest($1::BIGINT[]) AS e)",
+                [secs],
+            ).fetchall()
+        }
+        assert got == want, f"bin mismatch for interval {interval}"
