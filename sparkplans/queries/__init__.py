@@ -339,12 +339,16 @@ def q_semi_join(spark, sf_dir):
 
 @register(
     "anti_join",
+    # every customer has SOME order in this data, so the anti-join is
+    # against urgent orders only — non-empty and non-universal at
+    # every sf (checked: 18/150 at sf0.001, 203/1500 at sf0.01)
     "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderpriority = '1-URGENT')",
 )
 def q_anti_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -379,7 +383,7 @@ _shared_sql(
 _shared_sql(
     "except_op",
     "SELECT c_custkey AS k FROM customer "
-    "EXCEPT SELECT o_custkey AS k FROM orders",
+    "EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'",
 )
 
 
@@ -1345,7 +1349,7 @@ _shared_sql(
         AND p_partkey = l_partkey
         AND o_orderkey = l_orderkey
         AND s_nationkey = n_nationkey
-        AND p_name LIKE '%5%'
+        AND p_name LIKE '%red%'
     ) profit
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
@@ -1441,6 +1445,49 @@ _shared_sql(
 )
 
 _shared_sql(
+    "tpch_q2_min_cost_supplier",
+    """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 10
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND s_acctbal = (
+        SELECT max(s2.s_acctbal)
+        FROM supplier s2, lineitem l2, nation n2, region r2
+        WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+
+_shared_sql(
+    "tpch_q20_excess_shippers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_type = 'ECONOMY'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped
+        WHERE total_qty > (SELECT 0.5 * max(total_qty) FROM shipped)
+      )
+      AND s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+)
+
+_shared_sql(
     "tpch_q11_important_value",
     """
     WITH partvalue AS (
@@ -1453,7 +1500,7 @@ _shared_sql(
     )
     SELECT n_name, l_partkey, value
     FROM partvalue
-    WHERE value > (SELECT sum(value) * 0.0005 FROM partvalue)
+    WHERE value > (SELECT 3.0 * sum(value) / count(*) FROM partvalue)
     ORDER BY value DESC, n_name, l_partkey
     LIMIT 50
     """,
