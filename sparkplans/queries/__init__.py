@@ -957,10 +957,14 @@ _shared_sql(
 
 @register("embedding_near_dups", None)  # LSH-bucketed; exact variant oracle'd via knn
 def q_embedding_near_dups(spark, sf_dir):
+    """Threshold 0.35 is tuned to the driver's random synthetic
+    embeddings (organic max cosine ~0.45) so the query produces real
+    pairs; production near-dup thresholds (~0.95) are exercised by the
+    planted-clone test in tests/test_operators.py."""
     from sparkplans.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(e, threshold=0.95, num_planes=6)
+    return similarity.embedding_near_dup_pairs(e, threshold=0.35, num_planes=6)
 
 
 @register("lsh_ann_topk", None)  # approximate by design; recall tested in tests/
