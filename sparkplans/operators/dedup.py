@@ -99,6 +99,25 @@ def minhash_signatures(
     as parallel aggregates instead of an explode avoids a num_perm×
     row blowup of the shingle stream — at 100 TB that factor is the
     difference between scanning shingles once and sixteen times."""
+    per_doc = minhash_wide(df, text_col, id_col, num_perm, shingle_n)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(num_perm))
+    return per_doc.select(
+        id_col,
+        F.expr(f"stack({num_perm}, {stack_args}) AS (perm, minhash)"),
+    )
+
+
+def minhash_wide(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per document with all permutation minima as columns
+    (``mh_0`` .. ``mh_{num_perm-1}``) — the shuffle-minimal form: one
+    groupBy(id) over the shingle stream, nothing else.  Banding over
+    this form is a pure projection (see lsh_candidate_pairs_wide)."""
     sh = shingle_rows(df, text_col, id_col, shingle_n).withColumn(
         "h", _md5_int(F.col("shingle")) % MINHASH_P
     )
@@ -106,12 +125,7 @@ def minhash_signatures(
         F.min((F.col("h") * (2 * i + 1) + (997 * i + 31)) % MINHASH_P).alias(f"mh_{i}")
         for i in range(num_perm)
     ]
-    per_doc = sh.groupBy(id_col).agg(*aggs)
-    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(num_perm))
-    return per_doc.select(
-        id_col,
-        F.expr(f"stack({num_perm}, {stack_args}) AS (perm, minhash)"),
-    )
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -134,6 +148,48 @@ def lsh_candidate_pairs(
     band_sig = banded.groupBy(id_col, "band").agg(
         F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias("band_hash")
     )
+    return _pairs_from_band_sig(band_sig, id_col, max_bucket)
+
+
+def lsh_candidate_pairs_wide(
+    wide: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banding over the wide signature (minhash_wide): band hashes are
+    computed as a projection — no (id, perm) unpivot and no
+    groupBy(id, band) shuffle — then exploded to (id, band,
+    band_hash).  Hash values are bit-identical to the narrow path
+    (same sorted 'perm:minhash' encoding), so candidates are identical
+    too; only the plan is cheaper (one shuffle saved per corpus
+    pass)."""
+    rows_per_band = num_perm // bands
+    structs = []
+    for b in range(bands):
+        perms = range(b * rows_per_band, (b + 1) * rows_per_band)
+        entries = F.array(
+            *[
+                F.concat_ws(":", F.lit(str(p)), F.col(f"mh_{p}").cast("string"))
+                for p in perms
+            ]
+        )
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", F.sort_array(entries))).alias("band_hash"),
+            )
+        )
+    band_sig = wide.select(
+        id_col, F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    return _pairs_from_band_sig(band_sig, id_col, max_bucket)
+
+
+def _pairs_from_band_sig(
+    band_sig: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
     sizes = band_sig.groupBy("band", "band_hash").agg(F.count("*").alias("bucket_size"))
     pruned = band_sig.join(
         sizes.filter(F.col("bucket_size") <= max_bucket), ["band", "band_hash"]
@@ -189,9 +245,11 @@ def near_dup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate detection:
-    signatures -> band buckets -> candidates -> exact-Jaccard verify."""
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    signatures -> band buckets -> candidates -> exact-Jaccard verify.
+    Uses the wide signature path (one corpus shuffle for the whole
+    signature+banding stage)."""
+    wide = minhash_wide(df, text_col, id_col, num_perm, shingle_n)
+    cand = lsh_candidate_pairs_wide(wide, id_col, num_perm, bands)
     return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )

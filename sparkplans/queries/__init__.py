@@ -863,13 +863,14 @@ _LSH_ORACLE = """
 
 @register("lsh_candidates", _LSH_ORACLE)
 def q_lsh_candidates(spark, sf_dir):
-    """LSH banding stage (8 perms, 4 bands of 2): bucket self-join,
-    shuffles only band-hash keys, never all-pairs."""
+    """LSH banding stage (8 perms, 4 bands of 2): wide-signature path
+    — banding is a projection, the bucket self-join shuffles only
+    band-hash keys, never all-pairs."""
     from sparkplans.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(d, num_perm=8)
-    return dedup.lsh_candidate_pairs(sig, num_perm=8, bands=4)
+    wide = dedup.minhash_wide(d, num_perm=8)
+    return dedup.lsh_candidate_pairs_wide(wide, num_perm=8, bands=4)
 
 
 _SIMHASH_ORACLE = """
