@@ -119,3 +119,49 @@ def test_no_python_in_any_query_hot_path(spark):
         if "BatchEvalPython" in txt or "ArrowEvalPython" in txt or "MapInPandas" in txt:
             offenders.append(name)
     assert offenders == [], f"Python stages found in: {offenders}"
+
+
+def test_config_shapes_join_strategy(spark):
+    """Same query, different session config -> different physical join
+    (the reference's whole docs/8:140-181 vs tests/opt_parallel_execution.rs
+    story: config steers the plan, results stay identical)."""
+    import sparkplans.queries as Q
+    from sparkplans import plans as P
+    from tests.conftest import SF_DIR
+
+    def build():
+        # hint-free join: strategy is the planner's choice, so the
+        # threshold config decides (an explicit broadcast() hint would
+        # — correctly — override it)
+        return Q.REGISTRY["join_implicit_equi"].fn(spark, SF_DIR)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        assert "BroadcastHashJoin" in P.join_strategies(build())
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        no_bc = P.join_strategies(build())
+        assert "BroadcastHashJoin" not in no_bc and no_bc, no_bc
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_prefer_existing_sort_flag_shapes_plan(spark, tmp_path):
+    """Engine flag prefer_existing_sort=False disables sort elision —
+    the same ORDER BY then emits a SortExec-analog (mirrors the
+    reference's prefer_existing_sort knob, opt_parallel_execution.rs:21)."""
+    from sparkplans import plans as P, sinks
+    from sparkplans.engine import Engine
+    from sparkplans.session import EngineOptions
+    from sparkplans.sources import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    p = str(tmp_path / "so")
+    on_eng = Engine(spark=spark, options=EngineOptions(prefer_existing_sort=True))
+    sinks.write_sorted(orders, p, order_by=["o_orderkey"], num_files=1,
+                       catalog=on_eng.catalog, register_as="so_on")
+    assert plans.num_sorts(on_eng.table("so_on").order_by("o_orderkey").df) == 0
+
+    off_eng = Engine(spark=spark, options=EngineOptions(prefer_existing_sort=False))
+    off_eng.catalog.create_external_table("so_off", p, with_order=["o_orderkey"])
+    assert plans.num_sorts(off_eng.table("so_off").order_by("o_orderkey").df) == 1
