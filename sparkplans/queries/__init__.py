@@ -741,6 +741,48 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", "lang", quality_score("text").alias("quality"))
 
 
+_TREND_ORACLE = """
+WITH s AS (
+  SELECT user_id, count(*) AS n,
+    CAST(sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DECIMAL(19,0))
+             * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DECIMAL(19,0))
+             * CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DECIMAL(19,0))) AS DOUBLE) AS sxx
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n,
+  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 9) AS slope
+FROM s
+"""
+
+
+@register("user_value_trend", _TREND_ORACLE)
+def q_user_value_trend(spark, sf_dir):
+    """Per-user least-squares slope of value over time — closed form
+    from exact DECIMAL moment sums (deterministic across engines; the
+    final double arithmetic is the same IEEE ops on identical inputs).
+    The applyInPandas grouped-map twin is cross-checked in
+    tests/test_operators.py — same numbers, different engine path."""
+    e = _t(spark, sf_dir, "events")
+    # NTZ has no direct long cast; via TIMESTAMP under the UTC session
+    # this equals DuckDB's floor(epoch(ts)) on the same wall-clock
+    x = F.col("ts").cast("timestamp").cast("long").cast("decimal(19,0)")
+    v = F.col("value").cast("decimal(18,6)")
+    s = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(v).cast("double").alias("sy"),
+        F.sum(x * v).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return s.select("user_id", "n", F.round(slope, 9).alias("slope"))
+
+
 _CURATION_ORACLE = """
 WITH fp AS (
   SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint

@@ -363,3 +363,39 @@ def test_salted_join_matches_plain(spark):
     plain = ev.join(dim, "user_id").count()
     salted = asof.salted_join(ev, dim, "user_id", salt=8).count()
     assert salted == plain
+
+
+def test_applyinpandas_trend_matches_sql_twin(spark):
+    """Grouped-map Pandas UDF (SURVEY §2.10): per-user least-squares
+    slope via numpy inside applyInPandas, cross-checked against the
+    closed-form JVM-side query (queries/user_value_trend) — same
+    numbers, different engine path."""
+    import numpy as np
+    import pandas as pd
+
+    import sparkplans.queries as Q
+
+    ev = load_table(spark, SF_DIR, "events")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000
+        y = pdf["value"]
+        if len(pdf) < 2 or x.nunique() < 2:
+            return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "slope": [np.nan]})
+        slope = np.polyfit(x.to_numpy(dtype=float), y.to_numpy(dtype=float), 1)[0]
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "slope": [slope]})
+
+    got = {
+        r.user_id: r.slope
+        for r in ev.groupBy("user_id")
+        .applyInPandas(fit, "user_id BIGINT, slope DOUBLE")
+        .collect()
+    }
+    want = {
+        r.user_id: r.slope
+        for r in Q.REGISTRY["user_value_trend"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        if w is not None and got[uid] == got[uid]:  # skip NaN
+            assert abs(got[uid] - w) < 1e-6 + abs(w) * 1e-4, (uid, got[uid], w)
