@@ -198,6 +198,25 @@ class Engine:
     def settings(self) -> dict[str, str]:
         return settings(self.spark)
 
+    def refresh_information_schema(self) -> None:
+        """Register the reference's ``information_schema`` surface as
+        SQL-queryable temp views (docs/1_cli_information_schema.md:
+        24-108): ``information_schema_tables`` / ``_columns`` /
+        ``_settings``.  Snapshot views — call again after DDL."""
+        cat = self.catalog
+        tables = cat.show_tables()
+        cols = [c for t in tables for c in cat.show_columns(t["table_name"])]
+        sets = [{"key": k, "value": str(v)} for k, v in sorted(self.settings().items())]
+        for name, rows, schema in [
+            ("information_schema_tables", tables,
+             "table_name STRING, table_type STRING, format STRING, path STRING, sort_order STRING, num_files INT"),
+            ("information_schema_columns", cols,
+             "table_name STRING, column_name STRING, data_type STRING, is_nullable STRING"),
+            ("information_schema_settings", sets, "key STRING, value STRING"),
+        ]:
+            data = [tuple(r.values()) for r in rows]
+            self.spark.createDataFrame(data, schema).createOrReplaceTempView(name)
+
     # -- plan inspection -------------------------------------------------
 
     def explain(self, df: DataFrame | OrderedFrame, mode: str = "tree") -> str:

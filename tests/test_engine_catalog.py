@@ -204,3 +204,24 @@ def test_date_bin_randomized_cross_engine_parity(spark):
             ).fetchall()
         }
         assert got == want, f"bin mismatch for interval {interval}"
+
+
+def test_information_schema_sql_views(eng):
+    """The reference queries information_schema via SQL (docs/1:24-62);
+    the engine exposes the same surface as temp views."""
+    eng.refresh_information_schema()
+    t = {
+        r.table_name
+        for r in eng.sql("SELECT table_name FROM information_schema_tables").collect()
+    }
+    assert "dim" in t and "fact" in t
+    cols = eng.sql(
+        "SELECT column_name FROM information_schema_columns "
+        "WHERE table_name = 'dim' ORDER BY column_name"
+    ).collect()
+    assert [c.column_name for c in cols] == ["d_dkey", "env", "host", "service"]
+    sp = eng.sql(
+        "SELECT value FROM information_schema_settings "
+        "WHERE key = 'spark.sql.shuffle.partitions'"
+    ).collect()
+    assert sp and sp[0].value.isdigit()

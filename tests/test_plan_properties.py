@@ -165,3 +165,46 @@ def test_prefer_existing_sort_flag_shapes_plan(spark, tmp_path):
     off_eng = Engine(spark=spark, options=EngineOptions(prefer_existing_sort=False))
     off_eng.catalog.create_external_table("so_off", p, with_order=["o_orderkey"])
     assert plans.num_sorts(off_eng.table("so_off").order_by("o_orderkey").df) == 1
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: a hot key (~90% of rows) joined against
+    a medium table gets split at runtime — OptimizeSkewedJoin marks
+    the SMJ 'skew=true'.  This is the no-manual-salting path; the
+    manual salted operator is tests/test_operators.py's salted join."""
+    from pyspark.sql import functions as F
+    from sparkplans import plans as P
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    olds = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        n = 200_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        joined = left.join(right, "k")
+        # execute THIS plan (count() would be a different query
+        # execution and the AQE final plan lives on the executed one)
+        assert len(joined.collect()) == n
+        executed = P.executed_plan_str(joined)
+        assert "skew=true" in executed, executed[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        for k, v in olds.items():
+            spark.conf.set(k, v)
