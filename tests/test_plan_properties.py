@@ -208,3 +208,25 @@ def test_aqe_splits_skewed_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         for k, v in olds.items():
             spark.conf.set(k, v)
+
+
+def test_file_split_config_controls_scan_partitions(spark):
+    """§2.11 target_partitions at the scan: small maxPartitionBytes
+    splits one parquet file into many byte-range partitions (the
+    analog of the reference's RoundRobinBatch auto-parallelization,
+    docs/5:18-44); a huge setting reads one file as one partition
+    (the ordered per-file mode, tests/setup_tables.rs:86-88)."""
+    path = f"{SF_DIR}/lineitem.parquet"
+    olds = {k: spark.conf.get(k) for k in
+            ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")}
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        many = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
+        one = spark.read.parquet(path).rdd.getNumPartitions()
+        assert many > one and one == 1, (many, one)
+    finally:
+        for k, v in olds.items():
+            spark.conf.set(k, v)
