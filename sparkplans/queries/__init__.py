@@ -741,6 +741,53 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", "lang", quality_score("text").alias("quality"))
 
 
+_shared_sql(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_10m
+    FROM events
+    """,
+)
+
+
+@register(
+    "percentile_exact",
+    "SELECT event_type, "
+    "round(quantile_cont(value, 0.5), 6) AS p50, "
+    "round(quantile_cont(value, 0.9), 6) AS p90 "
+    "FROM events GROUP BY event_type",
+)
+def q_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: same linear interpolation on the same sorted
+    doubles -> identical results)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+@register(
+    "array_agg_ops",
+    "SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, "
+    "len(list(DISTINCT event_type)) AS n_types "
+    "FROM events GROUP BY user_id",
+)
+def q_array_agg_ops(spark, sf_dir):
+    """Array aggregation surface: collect_set -> sorted array (DuckDB
+    twin: list(DISTINCT) + list_sort)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
 _TREND_ORACLE = """
 WITH s AS (
   SELECT user_id, count(*) AS n,
