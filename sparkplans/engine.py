@@ -32,20 +32,13 @@ from sparkplans.ordering import (
     normalize_sort_keys,
     ordering_satisfies,
     project_ordering,
+    sort_columns,
 )
 from sparkplans.session import EngineOptions, build_session, configure_session, settings
 
 
 def _sort_cols(keys: Sequence[SortKey]) -> list[Column]:
-    cols = []
-    for k in keys:
-        c = F.col(k.col)
-        if k.asc:
-            c = c.asc_nulls_first() if k.effective_nulls_first else c.asc_nulls_last()
-        else:
-            c = c.desc_nulls_first() if k.effective_nulls_first else c.desc_nulls_last()
-        cols.append(c)
-    return cols
+    return sort_columns(keys)
 
 
 class OrderedFrame:

@@ -108,6 +108,24 @@ def ordering_satisfies(
     return True
 
 
+def sort_columns(keys: Sequence[SortKey]) -> list:
+    """SortKeys -> Spark Column sort expressions, honoring direction
+    AND null placement (shared by the engine's order_by and the
+    sorted-write sink so declared orders mean the same thing on both
+    the read and write paths)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for k in keys:
+        c = F.col(k.col)
+        if k.asc:
+            c = c.asc_nulls_first() if k.effective_nulls_first else c.asc_nulls_last()
+        else:
+            c = c.desc_nulls_first() if k.effective_nulls_first else c.desc_nulls_last()
+        cols.append(c)
+    return cols
+
+
 def project_ordering(
     provided: Sequence[SortKey], available_cols: Iterable[str]
 ) -> tuple[SortKey, ...]:

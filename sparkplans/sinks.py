@@ -30,7 +30,7 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, functions as F
 
-from sparkplans.ordering import normalize_sort_keys
+from sparkplans.ordering import normalize_sort_keys, sort_columns
 
 
 def copy_to(
@@ -99,9 +99,7 @@ def write_sorted(
     and the one that makes merge reads / sorted aggregation cheap.
     """
     keys = normalize_sort_keys(order_by)
-    sort_cols = [
-        (F.col(k.col).asc() if k.asc else F.col(k.col).desc()) for k in keys
-    ]
+    sort_cols = sort_columns(keys)
     out = (
         df.repartitionByRange(num_files, *sort_cols)
         .sortWithinPartitions(*sort_cols)
