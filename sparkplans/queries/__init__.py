@@ -788,6 +788,29 @@ def q_array_agg_ops(spark, sf_dir):
     )
 
 
+@register(
+    "argmax_struct",
+    "SELECT o_custkey, o_totalprice AS best_price, o_orderkey AS best_order "
+    "FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey DESC) = 1",
+)
+def q_argmax_struct(spark, sf_dir):
+    """Arg-max via struct ordering: max(struct(price, key)) compares
+    lexicographically, so one hash aggregate replaces a window sort —
+    at scale this is a partial+final agg instead of a per-group sort.
+    Oracle states the same semantics as a QUALIFY window."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_totalprice", "o_orderkey")).alias("m"))
+        .select(
+            "o_custkey",
+            F.col("m.o_totalprice").alias("best_price"),
+            F.col("m.o_orderkey").alias("best_order"),
+        )
+    )
+
+
 _TREND_ORACLE = """
 WITH s AS (
   SELECT user_id, count(*) AS n,

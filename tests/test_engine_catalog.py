@@ -225,3 +225,34 @@ def test_information_schema_sql_views(eng):
         "WHERE key = 'spark.sql.shuffle.partitions'"
     ).collect()
     assert sp and sp[0].value.isdigit()
+
+
+def test_csv_directory_per_file_partitions(eng, spark, tmp_path_factory):
+    """Multi-file sorted CSV dir (docs/2:134-140 is the parquet twin):
+    one partition per file, ordered merge correct."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("csv_dir"))
+    orders = spark.read.parquet(f"{__import__('tests.conftest', fromlist=['SF_DIR']).SF_DIR}/orders.parquet")
+    from sparkplans import sinks
+
+    half = orders.count() // 2
+    a = orders.filter(f"o_orderkey < {half}").sort("o_orderkey")
+    b = orders.filter(f"o_orderkey >= {half}").sort("o_orderkey")
+    a.coalesce(1).write.option("header", True).mode("overwrite").csv(d + "/p1")
+    b.coalesce(1).write.option("header", True).mode("overwrite").csv(d + "/p2")
+    import glob, shutil
+    for i, f in enumerate(sorted(glob.glob(d + "/p*/part-*.csv"))):
+        shutil.move(f, f"{d}/f{i}.csv")
+    shutil.rmtree(d + "/p1"); shutil.rmtree(d + "/p2")
+
+    eng.create_external_table(
+        "orders_csv_dir", d, format="csv",
+        schema="o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+               "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING",
+        with_order=["o_orderkey"],
+    )
+    of = eng.table("orders_csv_dir")
+    assert of.df.rdd.getNumPartitions() == 2
+    keys = [r.o_orderkey for r in of.order_by("o_orderkey").df.select("o_orderkey").collect()]
+    assert keys == sorted(keys) and len(keys) == orders.count()
