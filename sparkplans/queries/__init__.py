@@ -789,6 +789,25 @@ def q_array_agg_ops(spark, sf_dir):
 
 
 @register(
+    "train_test_split",
+    "SELECT lang, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+    "% 100 < 90 THEN 'train' ELSE 'test' END AS split, count(*) AS n_docs "
+    "FROM documents GROUP BY lang, split",
+)
+def q_train_test_split(spark, sf_dir):
+    """Reproducible train/test split: assignment = md5(id) mod 100 —
+    stable across runs, engines, and re-partitioning (never
+    rand()-based, which reshuffles membership every execution).  The
+    split is a pure projection: zero extra shuffles at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
+    split = F.when(h % 100 < 90, F.lit("train")).otherwise(F.lit("test"))
+    return d.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@register(
     "argmax_struct",
     "SELECT o_custkey, o_totalprice AS best_price, o_orderkey AS best_order "
     "FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey "

@@ -399,3 +399,22 @@ def test_applyinpandas_trend_matches_sql_twin(spark):
     for uid, w in want.items():
         if w is not None and got[uid] == got[uid]:  # skip NaN
             assert abs(got[uid] - w) < 1e-6 + abs(w) * 1e-4, (uid, got[uid], w)
+
+
+def test_stratified_sample_by_lang(spark):
+    """sampleBy: per-stratum fractions with a fixed seed — the
+    training-data downsampling idiom.  Deterministic given the seed,
+    and per-language counts land near the requested fraction."""
+    d = load_table(spark, SF_DIR, "documents")
+    fractions = {"en": 0.5, "de": 0.2, "fr": 1.0}
+    s1 = d.sampleBy("lang", fractions, seed=7)
+    s2 = d.sampleBy("lang", fractions, seed=7)
+    c1 = {r.lang: r["count"] for r in s1.groupBy("lang").count().collect()}
+    c2 = {r.lang: r["count"] for r in s2.groupBy("lang").count().collect()}
+    assert c1 == c2  # same seed -> identical sample
+    base = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    for lang, frac in fractions.items():
+        if lang in base and base[lang] >= 20:
+            got = c1.get(lang, 0) / base[lang]
+            assert abs(got - frac) < 0.25, (lang, got, frac)
+    assert set(c1) <= set(fractions)
