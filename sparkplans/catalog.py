@@ -112,7 +112,17 @@ class Catalog:
         )
         self._tables[name] = spec
         # Register as a temp view so plain spark.sql() sees it too.
-        self.read(name).createOrReplaceTempView(name)
+        df = self.read(name)
+        # A declared order over a column that doesn't exist would make
+        # the sort-elision layer silently skip real sorts — fail now.
+        missing = [k.col for k in order if k.col not in df.columns]
+        if missing:
+            del self._tables[name]
+            raise ValueError(
+                f"WITH ORDER columns not in table {name}: {missing} "
+                f"(have {df.columns})"
+            )
+        df.createOrReplaceTempView(name)
         return spec
 
     def create_table(

@@ -256,3 +256,14 @@ def test_csv_directory_per_file_partitions(eng, spark, tmp_path_factory):
     assert of.df.rdd.getNumPartitions() == 2
     keys = [r.o_orderkey for r in of.order_by("o_orderkey").df.select("o_orderkey").collect()]
     assert keys == sorted(keys) and len(keys) == orders.count()
+
+
+def test_with_order_rejects_unknown_column(eng, fixture_dirs):
+    """A declared order over a nonexistent column would silently break
+    sort elision — the catalog must refuse it at registration."""
+    with pytest.raises(ValueError, match="WITH ORDER columns not in table"):
+        eng.create_external_table(
+            "bad_order", fixture_dirs["dim"], format="parquet",
+            with_order=["env", "no_such_col"],
+        )
+    assert "bad_order" not in {t["table_name"] for t in eng.catalog.show_tables()}
