@@ -60,19 +60,6 @@ def _sql(col: Column) -> str:
     return col._jc.toString()
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (arrays of n consecutive tokens joined by
-    a space) — the MinHash input unit."""
-    s = F.split(F.trim(_c(text)), r"\s+")
-    name = _sql(_c(text))
-    return F.expr(
-        "transform(sequence(1, greatest(size(split(trim({t}), '\\\\s+')) - {m}, 0)), "
-        "i -> concat_ws(' ', slice(split(trim({t}), '\\\\s+'), i, {n})))".format(
-            t=name, m=n - 1, n=n
-        )
-    )
-
-
 def punct_ratio(text: Column | str) -> Column:
     """Punctuation chars / total chars.  DuckDB:
     ``len(regexp_extract_all(text, '[[:punct:]]')) / len(text)`` — we

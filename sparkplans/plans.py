@@ -123,7 +123,23 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    return len(re.findall(r"WholeStageCodegen", physical_plan_str(df)))
+    """Distinct whole-stage-codegen spans.  In simple plan text a
+    codegen'd operator prints as ``*(n) Op``; the span count is the
+    number of distinct n (formatted/executed trees also print
+    ``WholeStageCodegen (n)`` nodes — counted the same way)."""
+    def _ids(plan: str) -> set[str]:
+        return set(re.findall(r"\*\((\d+)\)", plan)) | set(
+            re.findall(r"WholeStageCodegen \((\d+)\)", plan)
+        )
+
+    ids = _ids(physical_plan_str(df))
+    if not ids:
+        # under AQE the pre-execution plan is an un-decorated
+        # AdaptiveSparkPlan; after an action the final plan shows the
+        # codegen stars — execute a cheap action and read that.
+        df.collect()  # executes THIS df's QueryExecution (diagnostics cost)
+        ids = _ids(executed_plan_str(df))
+    return len(ids)
 
 
 # -- EXPLAIN ANALYZE --------------------------------------------------------

@@ -230,3 +230,19 @@ def test_file_split_config_controls_scan_partitions(spark):
     finally:
         for k, v in olds.items():
             spark.conf.set(k, v)
+
+
+def test_plan_helper_surface(spark):
+    """The remaining plan-inspection helpers: codegen-span counting
+    (docs/3's WholeStageCodegen visibility), broadcast counting, and
+    the golden-normalizer (the reference's insta-filter counterpart,
+    tests/test_utils.rs:5-15)."""
+    df = _df(spark, "broadcast_join_agg")
+    assert plans.num_broadcasts(df) >= 1
+    assert plans.wholestage_codegen_spans(df) >= 1
+    raw = plans.physical_plan_str(df)
+    norm = plans.normalize_plan(raw)
+    import re
+    assert not re.search(r"#\d", norm)       # expr ids stripped
+    assert "file:PATH" in norm or "file:" not in raw
+    assert plans.normalize_plan(raw) == norm  # idempotent-stable
