@@ -24,14 +24,20 @@ def asof_join(
     right_ts: str = "ts",
     tolerance_seconds: int | None = None,
     right_value_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Pandas merge_asof semantics (backward), distributed.
+    """Pandas merge_asof semantics, distributed.
 
-    Union both sides tagged by origin, sort within (key) by time via a
-    window, and carry the last-seen right values forward onto left
+    ``direction='backward'`` (default): latest right row with
+    ``right.ts <= left.ts``; ``'forward'``: earliest right row with
+    ``right.ts >= left.ts`` — same plan with the window traversal
+    reversed.  Union both sides tagged by origin, sort within (key) by
+    time via a window, and carry the adjacent right values onto left
     rows.  One hash shuffle on the key; the window sort is
     partition-local.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rv = right_value_cols or [c for c in right.columns if c not in (key, right_ts)]
     l_tag = left.select(
         F.col(key).alias("_k"),
@@ -47,8 +53,13 @@ def asof_join(
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
         *[F.col(c).alias(f"_r_{c}") for c in rv],
     )
-    # right rows sort before left rows at equal ts => <= semantics
-    w = Window.partitionBy("_k").orderBy("_ts", "_is_left").rowsBetween(
+    # right rows sort before left rows at equal ts => <= (or >=) holds
+    order = (
+        [F.col("_ts").asc(), F.col("_is_left").asc()]
+        if direction == "backward"
+        else [F.col("_ts").desc(), F.col("_is_left").asc()]
+    )
+    w = Window.partitionBy("_k").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     merged = l_tag.unionByName(r_tag)
@@ -63,10 +74,12 @@ def asof_join(
         .alias("_r_ts"),
     ).filter(F.col("_is_left") == 1)
     if tolerance_seconds is not None:
-        within = (
-            F.col("_r_ts").isNotNull()
-            & (F.unix_timestamp("_ts") - F.unix_timestamp("_r_ts") <= tolerance_seconds)
+        gap = (
+            F.unix_timestamp("_ts") - F.unix_timestamp("_r_ts")
+            if direction == "backward"
+            else F.unix_timestamp("_r_ts") - F.unix_timestamp("_ts")
         )
+        within = F.col("_r_ts").isNotNull() & (gap <= tolerance_seconds)
         carried = carried.select(
             "_k", "_ts", "_lrow",
             *[F.when(within, F.col(f"_r_{c}")).otherwise(F.lit(None)).alias(f"_r_{c}") for c in rv],

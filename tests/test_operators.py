@@ -418,3 +418,25 @@ def test_stratified_sample_by_lang(spark):
             got = c1.get(lang, 0) / base[lang]
             assert abs(got - frac) < 0.25, (lang, got, frac)
     assert set(c1) <= set(fractions)
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    import pandas as pd
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") < 5)
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("quote")
+    )
+    trades = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    got = asof.asof_join(
+        trades, quotes, key="user_id", direction="forward"
+    ).toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    lp = trades.toPandas().sort_values("ts")
+    rp = quotes.toPandas().sort_values("ts")
+    want = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="forward"
+    ).sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    g = got.set_index(["user_id", "ts"])["right_quote"].sort_index()
+    w = want.set_index(["user_id", "ts"])["quote"].sort_index()
+    assert ((g.isna() & w.isna()) | (g == w)).all()
