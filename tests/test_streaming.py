@@ -160,3 +160,25 @@ def test_parquet_sink_exactly_once(spark, events_dir, tmp_path):
     # partitioned layout materialized
     import os as _os
     assert any(d.startswith("event_type=") for d in _os.listdir(out))
+
+
+def test_streaming_sessions_subset_of_batch(spark, events_dir):
+    """Every session the streaming sessionizer emits must exist in the
+    batch twin (queries/sessionize_batch semantics): same user, same
+    start/end, same event count.  (Streaming may hold back tail
+    sessions the watermark never closed — subset, not equality.)"""
+    stream = streaming.stream_events(spark, events_dir)
+    sess = streaming.sessionize(stream, gap_seconds=1800)
+    streaming.run_available_now(sess, "sess_subset", output_mode="append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_subset").collect()
+    }
+    assert got, "no sessions emitted"
+    import sparkplans.queries as Q
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in Q.REGISTRY["sessionize_batch"].fn(spark, SF_DIR).collect()
+    }
+    assert got <= batch, f"{len(got - batch)} streaming sessions not in batch twin"

@@ -108,3 +108,17 @@ def test_ivf_persisted_bucketed_probe_path(spark, tmp_path):
         for r in similarity.ivf_topk(assigned, centroids, probes, k=5, nprobe=2).collect()
     }
     assert got == want
+
+
+def test_zorder_three_dimensions(spark):
+    pts = [(a, b, c) for a in range(3) for b in range(3) for c in range(3)]
+    df = spark.createDataFrame(pts, "a INT, b INT, c INT")
+    keyed = zorder.with_zorder_key(df, ["a", "b", "c"])
+    got = {(r["a"], r["b"], r["c"]): r["__z"] for r in keyed.collect()}
+    want = {
+        (a, b, c): _py_morton(
+            [_py_rank16(a, 0, 2), _py_rank16(b, 0, 2), _py_rank16(c, 0, 2)]
+        )
+        for a, b, c in pts
+    }
+    assert got == want and len(set(got.values())) == 27
