@@ -788,6 +788,37 @@ def q_array_agg_ops(spark, sf_dir):
     )
 
 
+# Email-ish / US-phone-ish patterns; the lookahead-free subset so
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+PII_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+|[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_redaction_stats",
+    "SELECT lang, count(*) AS n_docs, "
+    "CAST(sum(CASE WHEN regexp_matches(text, "
+    f"'{PII_PATTERN}') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii, "
+    "CAST(sum(len(text) - len(regexp_replace(text, "
+    f"'{PII_PATTERN}', '[PII]', 'g'))) AS BIGINT) AS chars_delta "
+    "FROM documents GROUP BY lang",
+)
+def q_pii_redaction_stats(spark, sf_dir):
+    """PII scrubbing stage: per-language counts of documents with
+    email/phone-shaped spans and the character delta after redaction —
+    pure regexp projections, one shuffle on lang.  The redaction
+    itself is ``regexp_replace(text, PII_PATTERN, '[PII]')``."""
+    d = _t(spark, sf_dir, "documents")
+    has_pii = F.when(F.col("text").rlike(PII_PATTERN), 1).otherwise(0)
+    delta = F.length("text") - F.length(
+        F.regexp_replace("text", PII_PATTERN, "[PII]")
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(has_pii).cast("bigint").alias("docs_with_pii"),
+        F.sum(delta).cast("bigint").alias("chars_delta"),
+    )
+
+
 @register(
     "train_test_split",
     "SELECT lang, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "

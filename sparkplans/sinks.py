@@ -26,6 +26,8 @@ without an extra shuffle.
 
 from __future__ import annotations
 
+import os
+
 from typing import Iterable
 
 from pyspark.sql import DataFrame, functions as F
@@ -76,6 +78,46 @@ def write_partitioned(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.options(**options).save(path)
+
+
+def compact(
+    spark,
+    path: str,
+    target_files: int,
+    format: str = "parquet",
+    order_by=None,
+    **options: str,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a directory into
+    ``target_files`` files (optionally re-sorted), atomically via a
+    staging dir + rename.  Returns (files_before, files_after).
+
+    The 100 TB maintenance op: streaming sinks and fine-grained
+    partitioned writes accumulate small files; periodic compaction
+    restores scan efficiency (fewer tasks, bigger sequential reads)."""
+    import shutil
+    import tempfile
+
+    before = [
+        f for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(path, f))
+    ]
+    df = spark.read.format(format.lower()).options(**options).load(path)
+    staging = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")))
+    if order_by:
+        keys = normalize_sort_keys(order_by)
+        cols = sort_columns(keys)
+        out = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(target_files)
+    out.write.format(format.lower()).mode("overwrite").save(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    after = [
+        f for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(path, f))
+    ]
+    return len(before), len(after)
 
 
 def write_sorted(

@@ -440,3 +440,26 @@ def test_asof_join_forward_matches_pandas(spark):
     g = got.set_index(["user_id", "ts"])["right_quote"].sort_index()
     w = want.set_index(["user_id", "ts"])["quote"].sort_index()
     assert ((g.isna() & w.isna()) | (g == w)).all()
+
+
+def test_pii_redaction_planted(spark):
+    """The synthetic corpus has no PII (query shows zero counts — a
+    true negative); plant emails/phones and prove detection + full
+    redaction."""
+    from sparkplans.queries import PII_PATTERN
+
+    rows = [
+        (1, "contact me at alice.smith+work@example.co.uk today"),
+        (2, "call 555-123-4567 or 555-987-6543 now"),
+        (3, "no personal data here at all"),
+        (4, "mixed: bob@test.io and 111-222-3333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    flagged = {r.doc_id for r in df.filter(F.col("text").rlike(PII_PATTERN)).collect()}
+    assert flagged == {1, 2, 4}
+    red = df.select(F.regexp_replace("text", PII_PATTERN, "[PII]").alias("t"))
+    assert red.filter(F.col("t").rlike(PII_PATTERN)).count() == 0
+    assert red.filter(F.col("t").contains("[PII]")).count() == 3
+    # doc 2 has TWO phone numbers -> both redacted
+    two = red.collect()[1].t
+    assert two.count("[PII]") == 2

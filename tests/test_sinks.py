@@ -97,3 +97,38 @@ def test_write_sorted_registers_with_order_and_elides(spark, orders, tmp_path):
     assert plans.num_sorts(of1.df) == 0, "sort not elided on single sorted file"
     dates1 = [r.o_orderdate for r in of1.df.select("o_orderdate").collect()]
     assert dates1 == sorted(dates1)
+
+
+def test_compact_small_files(spark, orders, tmp_path):
+    p = str(tmp_path / "fragmented")
+    orders.repartition(16).write.parquet(p)
+    n = orders.count()
+    before, after = sinks.compact(spark, p, target_files=2)
+    assert before == 16 and after == 2
+    assert spark.read.parquet(p).count() == n
+
+
+def test_compact_with_resort(spark, orders, tmp_path):
+    p = str(tmp_path / "frag_sorted")
+    orders.repartition(12).write.parquet(p)
+    sinks.compact(spark, p, target_files=2, order_by=["o_orderkey"])
+    import glob
+    for f in sorted(glob.glob(p + "/*.parquet")):
+        keys = [r.o_orderkey for r in spark.read.parquet(f).select("o_orderkey").collect()]
+        assert keys == sorted(keys)
+
+
+def test_schema_evolution_merge(spark, orders, tmp_path):
+    """Pipelines append new columns over time; mergeSchema reads the
+    union schema with nulls for old files."""
+    p = str(tmp_path / "evolving")
+    v1 = orders.select("o_orderkey", "o_totalprice").limit(40)
+    v2 = orders.select("o_orderkey", "o_totalprice").limit(30).withColumn(
+        "quality_tier", F.lit("gold")
+    )
+    v1.write.parquet(p + "/batch=1")
+    v2.write.parquet(p + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "quality_tier", "batch"}
+    assert merged.count() == 70
+    assert merged.filter(F.col("quality_tier").isNull()).count() == 40
