@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import os
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
@@ -52,6 +54,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df
     return spark.read.parquet(path)
+
+
+def incremental_files(
+    spark: SparkSession,
+    path: str,
+    state_file: str,
+    format: str = "parquet",
+) -> tuple[DataFrame | None, Callable[[], None]]:
+    """Batch-incremental reads: return a DataFrame over ONLY the files
+    under ``path`` not yet recorded in ``state_file``, plus a
+    ``commit()`` that records them after a successful run.
+
+    The non-streaming half of exactly-once ingestion (the streaming
+    half is the checkpointed sink): re-running after a crash before
+    ``commit()`` reprocesses the same new files; after it, nothing.
+    Returns ``(None, commit)`` when there are no new files.  State is
+    one filename per line — trivially inspectable and mergeable."""
+    import glob as _glob
+
+    ext = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}.get(format, "")
+    present = sorted(
+        f for f in _glob.glob(os.path.join(path, "*"))
+        if os.path.isfile(f) and (not ext or f.endswith(ext))
+    )
+    seen: set[str] = set()
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            seen = {line.strip() for line in fh if line.strip()}
+    new = [f for f in present if f not in seen]
+
+    def commit() -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(state_file)), exist_ok=True)
+        with open(state_file, "a") as fh:
+            for f in new:
+                fh.write(f + "\n")
+
+    if not new:
+        return None, commit
+    return spark.read.format(format).load(new), commit
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

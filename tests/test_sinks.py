@@ -132,3 +132,35 @@ def test_schema_evolution_merge(spark, orders, tmp_path):
     assert set(merged.columns) == {"o_orderkey", "o_totalprice", "quality_tier", "batch"}
     assert merged.count() == 70
     assert merged.filter(F.col("quality_tier").isNull()).count() == 40
+
+
+def test_incremental_files_exactly_once(spark, orders, tmp_path):
+    """Batch-incremental ingestion: each file processed exactly once
+    across runs; crash-before-commit reprocesses, commit advances."""
+    from sparkplans.sources import incremental_files
+
+    d = str(tmp_path / "landing")
+    state = str(tmp_path / "state" / "seen.txt")
+    orders.limit(20).coalesce(1).write.parquet(d + "/_tmp1")
+    import glob, shutil, os as _os
+    _os.makedirs(d, exist_ok=True)
+    shutil.move(glob.glob(d + "/_tmp1/part-*.parquet")[0], d + "/a.parquet")
+    shutil.rmtree(d + "/_tmp1")
+
+    df1, commit1 = incremental_files(spark, d, state)
+    assert df1 is not None and df1.count() == 20
+    # crash before commit: same files come back
+    df1b, commit1b = incremental_files(spark, d, state)
+    assert df1b.count() == 20
+    commit1b()
+    # after commit: nothing new
+    df2, _ = incremental_files(spark, d, state)
+    assert df2 is None
+    # a second file arrives: only IT is returned
+    orders.limit(35).coalesce(1).write.parquet(d + "/_tmp2")
+    shutil.move(glob.glob(d + "/_tmp2/part-*.parquet")[0], d + "/b.parquet")
+    shutil.rmtree(d + "/_tmp2")
+    df3, commit3 = incremental_files(spark, d, state)
+    assert df3.count() == 35
+    commit3()
+    assert incremental_files(spark, d, state)[0] is None
