@@ -246,3 +246,13 @@ def test_plan_helper_surface(spark):
     assert not re.search(r"#\d", norm)       # expr ids stripped
     assert "file:PATH" in norm or "file:" not in raw
     assert plans.normalize_plan(raw) == norm  # idempotent-stable
+
+
+def test_explain_verbose_shows_all_stages(spark):
+    """docs/3:83-180 analog: the verbose dump shows all four Catalyst
+    stages in order."""
+    out = plans.explain_verbose(_df(spark, "agg_count_star"))
+    stages = ["== Parsed Logical Plan ==", "== Analyzed Logical Plan ==",
+              "== Optimized Logical Plan ==", "== Physical Plan =="]
+    idx = [out.index(s) for s in stages]
+    assert idx == sorted(idx)
