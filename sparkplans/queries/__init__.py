@@ -788,6 +788,19 @@ def q_array_agg_ops(spark, sf_dir):
     )
 
 
+_shared_sql(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+
+
 # Email-ish / US-phone-ish patterns; the lookahead-free subset so
 # Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
 PII_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+|[0-9]{3}-[0-9]{3}-[0-9]{4}"

@@ -463,3 +463,30 @@ def test_pii_redaction_planted(spark):
     # doc 2 has TWO phone numbers -> both redacted
     two = red.collect()[1].t
     assert two.count("[PII]") == 2
+
+
+def test_validate_rules_single_pass(spark):
+    """All expectations in one aggregate pass; violations counted
+    exactly (planted bad rows)."""
+    from sparkplans import plans
+    from sparkplans.operators import quality as Qa
+
+    base = load_table(spark, SF_DIR, "orders")
+    planted = base.unionByName(
+        base.limit(3).withColumn("o_totalprice", F.lit(-5.0))  # dup keys + bad range
+    )
+    rules = [
+        Qa.not_null("o_custkey"),
+        Qa.unique("o_orderkey"),
+        Qa.in_range("o_totalprice", 0, 1e9),
+        Qa.accepted_values("o_orderstatus", ["F", "O", "P"]),
+        Qa.matches("o_orderpriority", r"^\d-[A-Z ]+$"),
+    ]
+    report = Qa.validate(planted, rules)
+    assert report["not_null(o_custkey)"] == 0
+    assert report["unique(o_orderkey)"] == 3
+    assert report["in_range(o_totalprice,0,1000000000.0)"] == 3
+    assert report["accepted_values(o_orderstatus)"] == 0
+    assert report["matches(o_orderpriority)"] == 0
+    # clean data -> all zeros
+    assert all(v == 0 for v in Qa.validate(base, rules).values())
