@@ -788,6 +788,41 @@ def q_array_agg_ops(spark, sf_dir):
     )
 
 
+@register(
+    "session_window_agg",
+    """
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30' MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events) t
+    ) s
+    GROUP BY user_id, session_id
+    """,
+)
+def q_session_window_agg(spark, sf_dir):
+    """Native ``session_window`` sessionization — Spark's built-in
+    gap-merge operator (one shuffle on user_id, sessions merged
+    map-side).  The oracle is the classic lag/cumsum SQL formulation:
+    identical sessions prove the built-in's gap semantics.  The
+    applyInPandasWithState twin (streaming/sessionize) covers the
+    custom-stateful path; this is the declarative one."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 _shared_sql(
     "window_distribution",
     """
