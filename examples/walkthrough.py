@@ -121,6 +121,22 @@ def main() -> None:
         "training-data pipeline operators in sparkplans/operators/."
     )
 
+    # ---- 10: the training-data pipeline on the same engine -----------
+    section(10, "training-data pipeline (beyond the reference)")
+    import sparkplans.queries as Q
+
+    cur = Q.REGISTRY["curation_pipeline"].fn(spark, sf_dir)
+    print("curation (dedup -> quality gate -> token budget):")
+    for r in sorted(cur.collect(), key=lambda r: r.lang):
+        print(f"  {r.lang}: {r.n_docs} docs, {r.total_bpe_tokens} bpe tokens")
+    dups = Q.REGISTRY["near_dup_pairs"].fn(spark, sf_dir).count()
+    knn = Q.REGISTRY["knn_brute_force"].fn(spark, sf_dir)
+    top = knn.collect()[0]
+    print(f"minhash-LSH near-dup pairs: {dups}")
+    print(f"knn top hit for probe 0: vec {top.vec_id} (cos {top.cos_sim})")
+    print("(scale paths: IVF + bucketed layout, z-order writes, AQE skew —")
+    print(" see COVERAGE.md and tests/)")
+
     spark.stop()
 
 
