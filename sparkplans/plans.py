@@ -46,7 +46,10 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def physical_plan_str(df: DataFrame) -> str:
-    """Pre-execution physical plan (Catalyst output, before AQE)."""
+    """Current physical plan string.  Under AQE this is the adaptive
+    plan — initial shape before any action, re-planned final shape
+    after one (same accessor as :func:`executed_plan_str`; both names
+    kept because call sites read differently pre- vs post-action)."""
     return df._jdf.queryExecution().executedPlan().toString()
 
 

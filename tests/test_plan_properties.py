@@ -256,3 +256,11 @@ def test_explain_verbose_shows_all_stages(spark):
               "== Optimized Logical Plan ==", "== Physical Plan =="]
     idx = [out.index(s) for s in stages]
     assert idx == sorted(idx)
+
+
+def test_explain_cost_shows_statistics(spark):
+    """EXPLAIN COST: the logical plan annotated with size/row stats —
+    the visible face of statistics-driven planning (reference
+    collect_stat / aggregate_statistics, SURVEY §4.2)."""
+    out = plans.plan_text(_df(spark, "agg_count_star"), "cost")
+    assert "Statistics(" in out and "sizeInBytes" in out
