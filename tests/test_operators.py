@@ -490,3 +490,42 @@ def test_validate_rules_single_pass(spark):
     assert report["matches(o_orderpriority)"] == 0
     # clean data -> all zeros
     assert all(v == 0 for v in Qa.validate(base, rules).values())
+
+
+def test_pandas_udf_scalar_and_grouped_agg(spark):
+    """The remaining two UDF quadrants (SURVEY §2.10): Arrow-batched
+    scalar pandas_udf and grouped-agg pandas_udf, each cross-checked
+    against the JVM-side equivalent."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value")
+
+    @pandas_udf("double")
+    def clipped(v: pd.Series) -> pd.Series:
+        return v.clip(lower=0.0, upper=100.0)
+
+    got = ev.select(F.sum(clipped("value")).alias("s")).collect()[0].s
+    want = ev.select(
+        F.sum(F.least(F.greatest("value", F.lit(0.0)), F.lit(100.0))).alias("s")
+    ).collect()[0].s
+    assert abs(got - want) < 1e-6
+
+    @pandas_udf("double")
+    def mean_udaf(v: pd.Series) -> float:
+        return float(v.mean())
+
+    got_g = {
+        r.user_id: r.m
+        for r in ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(mean_udaf("value").alias("m"))
+        .collect()
+    }
+    want_g = {
+        r.user_id: r.m
+        for r in ev.filter(F.col("user_id") < 10).groupBy("user_id").agg(F.avg("value").alias("m")).collect()
+    }
+    assert set(got_g) == set(want_g)
+    for k in want_g:
+        assert abs(got_g[k] - want_g[k]) < 1e-9
