@@ -4,4 +4,12 @@ joins.  All are compositions of DataFrame ops (explode / groupBy /
 join) — no driver-side loops, no row-at-a-time Python — so they scale
 with the cluster."""
 
-from sparkplans.operators import dedup, similarity, multimodal, asof  # noqa: F401
+from sparkplans.operators import (  # noqa: F401
+    asof,
+    dedup,
+    multimodal,
+    quality,
+    rollup,
+    similarity,
+    zorder,
+)
