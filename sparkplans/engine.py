@@ -191,6 +191,16 @@ class Engine:
     def settings(self) -> dict[str, str]:
         return settings(self.spark)
 
+    def cache_table(self, name: str) -> None:
+        """Pin a registered table in executor memory (columnar
+        InMemoryRelation); repeated scans then skip the file source.
+        Right for hot dimension tables; wrong for anything near the
+        size of the cluster's memory."""
+        self.spark.catalog.cacheTable(name)
+
+    def uncache_table(self, name: str) -> None:
+        self.spark.catalog.uncacheTable(name)
+
     def refresh_information_schema(self) -> None:
         """Register the reference's ``information_schema`` surface as
         SQL-queryable temp views (docs/1_cli_information_schema.md:

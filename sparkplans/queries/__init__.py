@@ -788,6 +788,17 @@ def q_array_agg_ops(spark, sf_dir):
     )
 
 
+_shared_sql(
+    "length_histogram",
+    """
+    SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY bucket_lo
+    """,
+)
+
+
 @register(
     "session_window_agg",
     """

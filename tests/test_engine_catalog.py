@@ -267,3 +267,14 @@ def test_with_order_rejects_unknown_column(eng, fixture_dirs):
             with_order=["env", "no_such_col"],
         )
     assert "bad_order" not in {t["table_name"] for t in eng.catalog.show_tables()}
+
+
+def test_cache_table_uses_inmemory_scan(eng, spark):
+    eng.cache_table("dim")
+    try:
+        plan = plans.physical_plan_str(spark.table("dim"))
+        assert "InMemoryRelation" in plan, plan[:400]
+        assert spark.table("dim").count() == 4
+    finally:
+        eng.uncache_table("dim")
+    assert "InMemoryRelation" not in plans.physical_plan_str(spark.table("dim"))
