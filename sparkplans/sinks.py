@@ -120,6 +120,44 @@ def compact(
     return len(before), len(after)
 
 
+def upsert(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    target_files: int | None = None,
+    format: str = "parquet",
+) -> tuple[int, int]:
+    """MERGE-style upsert into a file directory: rows in ``updates``
+    replace same-key rows in the target; new keys append.  Implemented
+    as anti-join + union + atomic staging rewrite (the
+    copy-on-write strategy lakehouse formats use, minus the txn log).
+    Returns (rows_updated, rows_inserted).
+
+    Scale: one broadcast/shuffled anti-join on the key and one full
+    rewrite — right for dimension-table maintenance; for fact-scale
+    upserts partition the target and rewrite only touched partitions.
+    """
+    import shutil
+    import tempfile
+
+    target = spark.read.format(format.lower()).load(path)
+    existing_keys = target.select(key).distinct()
+    upd_keys = updates.select(key).distinct()
+    updated = existing_keys.join(upd_keys, key, "left_semi").count()
+    inserted = upd_keys.join(existing_keys, key, "left_anti").count()
+
+    kept = target.join(updates.select(key), key, "left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+    if target_files:
+        merged = merged.repartition(target_files)
+    staging = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path.rstrip("/")))
+    merged.write.format(format.lower()).mode("overwrite").save(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return updated, inserted
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

@@ -164,3 +164,26 @@ def test_incremental_files_exactly_once(spark, orders, tmp_path):
     assert df3.count() == 35
     commit3()
     assert incremental_files(spark, d, state)[0] is None
+
+
+def test_upsert_replaces_and_appends(spark, orders, tmp_path):
+    p = str(tmp_path / "upsert_target")
+    base = orders.limit(100).select("o_orderkey", "o_custkey", "o_totalprice")
+    base.write.parquet(p)
+    # 10 updated keys (price zeroed) + 5 brand-new keys
+    upd = base.limit(10).withColumn("o_totalprice", F.lit(0.0))
+    new = base.limit(5).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice",
+    )
+    n_upd, n_ins = sinks.upsert(spark, p, upd.unionByName(new), key="o_orderkey")
+    assert (n_upd, n_ins) == (10, 5)
+    back = spark.read.parquet(p)
+    assert back.count() == 105
+    zeroed = back.filter(F.col("o_totalprice") == 0.0).count()
+    assert zeroed == 10
+    assert back.filter(F.col("o_orderkey") >= 10_000_000).count() == 5
+    # idempotent: same upsert again changes nothing
+    n_upd2, n_ins2 = sinks.upsert(spark, p, upd.unionByName(new), key="o_orderkey")
+    assert (n_upd2, n_ins2) == (15, 0)
+    assert spark.read.parquet(p).count() == 105
