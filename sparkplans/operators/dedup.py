@@ -190,16 +190,32 @@ def lsh_candidate_pairs_wide(
 def _pairs_from_band_sig(
     band_sig: DataFrame, id_col: str, max_bucket: int
 ) -> DataFrame:
-    sizes = band_sig.groupBy("band", "band_hash").agg(F.count("*").alias("bucket_size"))
-    pruned = band_sig.join(
-        sizes.filter(F.col("bucket_size") <= max_bucket), ["band", "band_hash"]
+    """One groupBy(band, band_hash) collecting the bucket's ids, then
+    pair generation as a codegen'd array expression (sorted ids =>
+    id_a < id_b for free).  A single aggregation replaces the
+    size-prefilter join + bucket self-join formulation: the upstream
+    signature lineage is evaluated once instead of three times, and
+    the only shuffles left are the bucket groupBy and the final
+    distinct.  Per-bucket pair fan-out is bounded by ``max_bucket``
+    (<= max_bucket²/2 pairs generated inside one task), so a hot
+    boilerplate bucket cannot blow up memory at 100 TB scale."""
+    buckets = (
+        band_sig.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    a = pruned.select("band", "band_hash", F.col(id_col).alias("id_a"))
-    b = pruned.select("band", "band_hash", F.col(id_col).alias("id_b"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -89,6 +89,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table for a CPU-heavy per-row stage (shingling, hashing,
+    vector math): fans a narrow small-file scan out to the session's
+    parallelism (sources.fan_out — the reference's RoundRobinBatch
+    analog, docs/5:18-44).  No-op once the input is already split
+    across enough files, i.e. at real scale."""
+    from sparkplans.sources import fan_out
+
+    return fan_out(spark, load_table(spark, sf_dir, name))
+
+
 # =====================================================================
 # Scans / filters / projections / sorts / limits  (SURVEY §2.1-2.2, §2.6)
 # =====================================================================
@@ -737,7 +748,7 @@ FROM documents
 
 @register("quality_scores", _QUALITY_ORACLE)
 def q_quality_scores(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t_cpu(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", quality_score("text").alias("quality"))
 
 
@@ -1053,7 +1064,7 @@ def q_minhash_signatures(spark, sf_dir):
     md5-affine hashing, exact oracle."""
     from sparkplans.operators import dedup
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_cpu(spark, sf_dir, "documents")
     return dedup.minhash_signatures(d, num_perm=8)
 
 
@@ -1089,7 +1100,7 @@ def q_lsh_candidates(spark, sf_dir):
     band-hash keys, never all-pairs."""
     from sparkplans.operators import dedup
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_cpu(spark, sf_dir, "documents")
     wide = dedup.minhash_wide(d, num_perm=8)
     return dedup.lsh_candidate_pairs_wide(wide, num_perm=8, bands=4)
 
@@ -1119,7 +1130,7 @@ def q_simhash_fingerprints(spark, sf_dir):
     (compare with bit_count(a ^ b))."""
     from sparkplans.operators import dedup
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_cpu(spark, sf_dir, "documents")
     return dedup.simhash(d, bits=32)
 
 
@@ -1127,7 +1138,7 @@ def q_simhash_fingerprints(spark, sf_dir):
 def q_near_dup_pairs(spark, sf_dir):
     from sparkplans.operators import dedup
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_cpu(spark, sf_dir, "documents")
     return dedup.near_dup_pairs(d, num_perm=16, bands=8, threshold=0.5)
 
 
@@ -1185,7 +1196,7 @@ def q_embedding_near_dups(spark, sf_dir):
     planted-clone test in tests/test_operators.py."""
     from sparkplans.operators import similarity
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_cpu(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(e, threshold=0.35, num_planes=6)
 
 
@@ -1193,7 +1204,7 @@ def q_embedding_near_dups(spark, sf_dir):
 def q_lsh_ann_topk(spark, sf_dir):
     from sparkplans.operators import similarity
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_cpu(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -1207,7 +1218,7 @@ def q_ivf_ann_topk(spark, sf_dir):
     operators/similarity.ivf_build for the 100 TB deployment notes."""
     from sparkplans.operators import similarity
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_cpu(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )

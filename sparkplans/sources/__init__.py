@@ -56,6 +56,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(spark: SparkSession, df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow scan up to the session's
+    parallelism target — the Spark analog of DataFusion inserting
+    ``RepartitionExec RoundRobinBatch(target_partitions)`` above a
+    single-file scan (reference docs/5_cli_read_plans_filter_
+    repartition_coalesce.md:18-44): a small file arrives as ONE scan
+    partition, and any CPU-heavy per-row stage above it (shingling,
+    hashing, vector math) would otherwise run on one core.
+
+    No-op when the scan is already parallel enough — at 100 TB the
+    input spans thousands of splits and this helper adds nothing; it
+    only fans out the small-file case.  Only use above per-row
+    compute that dwarfs the (tiny) round-robin exchange; never on
+    scan-light aggregations, and never where partition-local order
+    matters (Spark round-robin does not preserve it)."""
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    # File count is a cheap (driver-side, no plan conversion) proxy for
+    # scan parallelism: few input files => few scan partitions.  A
+    # single LARGE file is already byte-range-split by Spark, so the
+    # repartition this triggers is redundant-but-harmless (one small
+    # round-robin exchange); converting to .rdd to count true scan
+    # partitions costs ~1s of plan translation per call, which would
+    # dwarf the work being parallelized.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= n:
+        return df
+    return df.repartition(n)
+
+
 def incremental_files(
     spark: SparkSession,
     path: str,
