@@ -120,45 +120,63 @@ def ivf_build(
     plus a ``cid`` column (nearest-centroid id) and ``centroids`` is
     ``(cid, centroid: array<double>)``.
 
-    Everything is DataFrame ops: init picks the ``num_centroids`` rows
-    with the smallest ``md5(id)`` (a deterministic uniform sample);
-    each Lloyd iteration assigns via a broadcast centroid join + window
-    argmax and re-averages per (cid, dimension) with
-    ``posexplode``/``collect_list`` — no driver-side math, so the build
-    scales to a corpus that never fits on one node.  At 100 TB you
-    would run the same build on a sample, persist ``assigned``
-    partitioned by ``cid`` (``partitionBy``/``bucketBy``), and get
-    partition-pruned probe lookups at query time.
+    Distributed-k-means shape (the Spark MLlib pattern): per-row work
+    is DataFrame ops, but the **centroids are model state** — k·dim
+    doubles, kilobytes — so each Lloyd iteration materializes them on
+    the driver and re-emits a literal DataFrame.  Without that cut the
+    whole iteration history unrolls into ONE plan (every broadcast
+    replays all previous assignments: 23 exchanges for iters=2);
+    with it the returned ``assigned`` is a flat scan → broadcast join
+    → one aggregation.
+
+    Assignment is a ``max(struct(sim, -cid, vec))`` groupBy, not a
+    window rank: partial aggregation collapses the k candidate rows
+    per id map-side, so the shuffle carries one row per corpus id —
+    a window would shuffle the full k× scored stream first.
+
+    At 100 TB you would run the same build on a sample, persist
+    ``assigned`` partitioned by ``cid`` (``partitionBy``/``bucketBy``),
+    and get partition-pruned probe lookups at query time.
     """
-    init = (
+    spark = corpus.sparkSession
+    init_rows = (
         corpus.withColumn("__h", F.md5(F.col(id_col).cast("string")))
         .orderBy("__h")
         .limit(num_centroids)
         .select(
-            F.col(id_col),
+            F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )
+        .collect()
     )
-    w_init = Window.orderBy(F.col(id_col))
-    centroids = init.select(
-        (F.row_number().over(w_init) - 1).alias("cid"), "centroid"
-    )
+    init_rows.sort(key=lambda r: r["__id"])
+    cents = [(i, list(r["centroid"])) for i, r in enumerate(init_rows)]
 
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = corpus.join(F.broadcast(cents)).withColumn(
-            "__sim", cosine_similarity(vec_col, "centroid")
+    def cents_df() -> DataFrame:
+        return spark.createDataFrame(cents, "cid int, centroid array<double>")
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        scored = corpus.join(F.broadcast(cdf)).select(
+            F.col(id_col),
+            F.struct(
+                cosine_similarity(vec_col, "centroid").alias("__sim"),
+                (-F.col("cid")).alias("__negcid"),
+                F.col(vec_col).alias("__vec"),
+            ).alias("__cand"),
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cid"))
-        return (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .drop("__rk", "__sim", "centroid")
+        # (sim, -cid) is unique per candidate, so the vec field never
+        # participates in the ordering — it just rides along.
+        best = scored.groupBy(id_col).agg(F.max("__cand").alias("__b"))
+        return best.select(
+            id_col,
+            F.col("__b.__vec").alias(vec_col),
+            (-F.col("__b.__negcid")).alias("cid"),
         )
 
     for _ in range(iters):
-        assigned = assign(centroids)
-        centroids = (
-            assigned.select(
+        new_rows = (
+            assign(cents_df())
+            .select(
                 "cid",
                 F.posexplode(F.col(vec_col).cast("array<double>")).alias(
                     "pos", "val"
@@ -173,8 +191,12 @@ def ivf_build(
                     lambda s: s["v"],
                 ).alias("centroid")
             )
+            .collect()
         )
-    return assign(centroids), centroids
+        cents = sorted(
+            (r["cid"], list(r["centroid"])) for r in new_rows
+        )
+    return assign(cents_df()), cents_df()
 
 
 def ivf_topk(

@@ -1,0 +1,141 @@
+"""Per-query shuffle budgets — the engine's structural cost contract.
+
+The reference asserts plan *shape* (its golden plans fail if a
+RepartitionExec sneaks in: tests/opt_parallel_execution.rs:65-82).
+This is our version at library scale: every registered query has a
+pinned maximum Exchange count (broadcasts excluded — those are the
+cheap alternative).  A refactor that silently adds a shuffle anywhere
+in the 96-query library fails here, at sf0.001, long before it costs
+hours at 100 TB.
+
+Budgets are the currently-achieved counts — a deliberate ratchet.
+Lowering one is an optimization; raising one must be argued in the
+diff.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import sparkplans.queries as Q
+from sparkplans import plans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# name -> max allowed shuffle exchanges in the (pre-AQE) physical plan
+BUDGETS = {
+    "agg_count_star": 1,
+    "anti_join": 0,
+    "approx_distinct_users": 1,
+    "approx_value_quantiles": 1,
+    "argmax_struct": 1,
+    "array_agg_ops": 1,
+    "asof_join_events": 1,
+    "between_and_in_list": 0,
+    "bpe_token_counts": 0,
+    "broadcast_join_agg": 1,
+    "case_when_agg": 1,
+    "correlated_scalar_subquery": 1,
+    "cross_join_small": 0,
+    "cube_agg": 1,
+    "curation_pipeline": 2,
+    "date_funcs": 1,
+    "datebin_5min_counts": 1,
+    "dedup_exact": 1,
+    "distinct_agg": 2,
+    "doc_fingerprints": 0,
+    "embedding_near_dups": 2,
+    "embedding_norms": 0,
+    "except_op": 1,
+    "filter_pushdown": 0,
+    "flagship_datebin": 1,
+    "full_outer_join": 2,
+    "grouping_sets_agg": 1,
+    "hypertable_rollup_1h": 2,
+    "in_subquery": 0,
+    "intersect_op": 1,
+    "ivf_ann_topk": 5,
+    "join_implicit_equi": 0,
+    "json_extract_agg": 1,
+    "knn_brute_force": 0,
+    "lang_id_heuristic": 0,
+    "left_join_agg": 1,
+    "length_histogram": 1,
+    "like_patterns": 0,
+    "lsh_ann_topk": 3,
+    "lsh_candidates": 4,
+    "math_funcs": 0,
+    "merge_join": 2,
+    "minhash_signatures": 2,
+    "near_dup_pairs": 10,
+    "ngram_distinct": 0,
+    "null_handling": 0,
+    "percentile_exact": 1,
+    "pii_redaction_stats": 1,
+    "pivot_status": 2,
+    "pricing_summary": 2,
+    "projection_pushdown": 0,
+    "quality_scores": 1,
+    "regexp_extract_ids": 0,
+    "rollup_agg": 1,
+    "scalar_subquery": 2,
+    "scan_order": 1,
+    "semi_join": 0,
+    "session_window_agg": 1,
+    "sessionize_batch": 1,
+    "shuffle_hash_join": 2,
+    "simhash_fingerprints": 2,
+    "string_funcs": 0,
+    "text_stats": 1,
+    "top_suppliers_per_nation": 2,
+    "topk": 0,
+    "tpch_q10_returned_items": 1,
+    "tpch_q11_important_value": 3,
+    "tpch_q12_priority_shipping": 2,
+    "tpch_q13_custdist": 3,
+    "tpch_q14_promo": 1,
+    "tpch_q15_top_supplier": 4,
+    "tpch_q16_supplier_cnt": 2,
+    "tpch_q17_small_qty": 2,
+    "tpch_q18_large_volume": 3,
+    "tpch_q19_disjunctive": 1,
+    "tpch_q20_excess_shippers": 5,
+    "tpch_q21_waiting_supplier": 1,
+    "tpch_q22_idle_customers": 4,
+    "tpch_q2_min_cost_supplier": 4,
+    "tpch_q3_topk_revenue": 1,
+    "tpch_q4_priority": 2,
+    "tpch_q5_local_supplier": 2,
+    "tpch_q6_forecast_revenue": 1,
+    "tpch_q7_volume_shipping": 2,
+    "tpch_q8_market_share": 2,
+    "tpch_q9_product_profit": 2,
+    "train_test_split": 1,
+    "union_all": 0,
+    "union_distinct": 1,
+    "unpivot_metrics": 0,
+    "user_value_trend": 1,
+    "window_distribution": 1,
+    "window_lag": 1,
+    "window_range_frame": 1,
+    "window_rank": 1,
+    "window_running_total": 1,
+}
+
+
+def test_budget_covers_every_registered_query():
+    """A new query must declare its shuffle budget here."""
+    assert set(BUDGETS) == set(Q.REGISTRY), (
+        sorted(set(Q.REGISTRY) - set(BUDGETS)),
+        sorted(set(BUDGETS) - set(Q.REGISTRY)),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, name):
+    df = Q.REGISTRY[name].fn(spark, SF_DIR)
+    n = plans.num_exchanges(df)
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} exchanges > budget {BUDGETS[name]} — a shuffle "
+        "crept into the plan; see tests/test_shuffle_budgets.py"
+    )
