@@ -484,6 +484,96 @@ def q_datebin_5min(spark, sf_dir):
     )
 
 
+@register(
+    "sliding_window_counts",
+    """
+    SELECT make_timestamp(CAST(((floor(epoch(ts) / 300) - o.off) * 300) * 1000000 AS BIGINT)) AS win_start,
+           event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events, (SELECT unnest([0, 1]) AS off) o
+    GROUP BY win_start, event_type
+    """,
+)
+def q_sliding_window_counts(spark, sf_dir):
+    """Sliding windows in batch: 10-minute windows every 5 minutes via
+    ``F.window(ts, '10 minutes', '5 minutes')`` — each event lands in
+    exactly window/slide = 2 panes.  Spark expands panes with a
+    projection (no join), then ONE key shuffle of partial counts; at
+    100 TB the 2× pane fan-out happens map-side inside codegen.  The
+    oracle derives pane starts arithmetically: epoch-aligned
+    floor(t/slide)*slide - off*slide, matching Spark's epoch-origin
+    window assignment (same origin convention as date_bin, SURVEY
+    §2.8)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "heavy_hitters_tokens",
+    """
+    SELECT tok, count(*) AS cnt
+    FROM documents,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(tok)
+    GROUP BY tok
+    ORDER BY cnt DESC, tok
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters_tokens(spark, sf_dir):
+    """Corpus-wide top-20 tokens: explode is pipelined (no shuffle),
+    counts combine map-side, and the final top-k fuses to
+    TakeOrderedAndProject — per-partition heaps, no global sort.  The
+    classic vocabulary/stopword profile over a training corpus; at
+    100 TB the only full-width transfer is one shuffle of partial
+    (token, count) states."""
+    d = _t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+    )
+
+
+_shared_sql(
+    "exists_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+)
+
+
+_shared_sql(
+    "not_exists_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+
+
 @register("approx_distinct_users", None)  # sketch; <5% error gate in tests/
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct-user counts per event type — the sketch

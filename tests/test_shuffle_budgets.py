@@ -47,6 +47,10 @@ BUDGETS = {
     "embedding_near_dups": 2,
     "embedding_norms": 0,
     "except_op": 1,
+    "exists_subquery": 0,
+    "not_exists_subquery": 0,
+    "heavy_hitters_tokens": 2,
+    "sliding_window_counts": 1,
     "filter_pushdown": 0,
     "flagship_datebin": 1,
     "full_outer_join": 2,
