@@ -322,6 +322,21 @@ def test_image_features_plumbing(spark):
     assert all(r.n_bytes > 0 and len(r.sha) == 64 for r in rows)
 
 
+def test_image_features_arrow_twin_identical(spark):
+    """mapInArrow path produces bit-identical output to the
+    mapInPandas path (same kernel, no pandas conversion)."""
+    media = multimodal.synthetic_media(spark, n=30)
+    pd_rows = sorted(
+        multimodal.extract_image_features(media).collect(),
+        key=lambda r: r.media_id,
+    )
+    ar_rows = sorted(
+        multimodal.extract_image_features_arrow(media).collect(),
+        key=lambda r: r.media_id,
+    )
+    assert [r.asDict() for r in pd_rows] == [r.asDict() for r in ar_rows]
+
+
 def test_video_frame_sampling_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=30)
     frames = multimodal.sample_video_frames(media, every_ms=1000)
