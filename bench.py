@@ -41,6 +41,8 @@ HEADLINE = [
     "lsh_candidates",
     "asof_join_events",
     "curation_pipeline",
+    "heavy_hitters_tokens",
+    "sliding_window_counts",
 ]
 
 
