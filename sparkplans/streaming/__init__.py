@@ -12,6 +12,7 @@ bucket-for-bucket.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -226,6 +227,55 @@ def to_parquet_sink(
     if partition_by:
         w = w.partitionBy(*partition_by)
     q = w.start()
+    q.awaitTermination(120)
+    return q
+
+
+def upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    format: str = "parquet",
+):
+    """Streaming MERGE: apply each micro-batch as an upsert into a
+    file-backed table via ``foreachBatch`` + ``sinks.upsert`` — the
+    standard CDC-apply pattern when the sink has no native streaming
+    MERGE.  Within a batch, the last row per key wins (deterministic:
+    highest ``ts`` if present, else arbitrary-but-single via
+    ``dropDuplicates``).
+
+    Exactly-once: foreachBatch is at-least-once on retries, but the
+    upsert itself is idempotent per batch (same keys replace the same
+    rows), which upgrades the pipeline to effectively-once — the same
+    argument lakehouse MERGE sinks make.  Scale notes inherit from
+    sinks.upsert (copy-on-write; partition the target for fact-scale).
+    """
+    from sparkplans import sinks
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = batch_df.columns
+        if "ts" in cols:
+            w_latest = batch_df.groupBy(key).agg(
+                F.max(F.struct("ts", *[c for c in cols if c != key and c != "ts"])).alias("__r")
+            )
+            latest = w_latest.select(
+                key, *[F.col(f"__r.{c}").alias(c) for c in cols if c != key]
+            ).select(*cols)
+        else:
+            latest = batch_df.dropDuplicates([key])
+        if not os.path.isdir(path) or not os.listdir(path):
+            latest.write.format(format).mode("overwrite").save(path)
+            return
+        sinks.upsert(spark, path, latest, key, format=format)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination(120)
     return q
 

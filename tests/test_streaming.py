@@ -162,6 +162,28 @@ def test_parquet_sink_exactly_once(spark, events_dir, tmp_path):
     assert any(d.startswith("event_type=") for d in _os.listdir(out))
 
 
+def test_upsert_sink_streaming_merge(spark, events_dir, tmp_path):
+    """foreachBatch CDC-apply: the target ends with exactly one row
+    per user_id — the latest event by ts — and a restart over the same
+    source changes nothing (idempotent merge)."""
+    target = str(tmp_path / "merge_target")
+    ckpt = str(tmp_path / "merge_ckpt")
+    for _ in range(2):  # second run = restart over same input
+        stream = streaming.stream_events(spark, events_dir).select(
+            "user_id", "ts", "event_type", "value"
+        )
+        streaming.upsert_sink(stream, target, ckpt, key="user_id")
+    got = spark.read.parquet(target)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    assert got.count() == ev.select("user_id").distinct().count()
+    # spot-check: each user's row carries their max ts
+    want = {r.user_id: r.max_ts for r in ev.groupBy("user_id").agg(F.max("ts").alias("max_ts")).collect()}
+    for r in got.collect():
+        assert r.ts == want[r.user_id], (r.user_id, r.ts, want[r.user_id])
+
+
 def test_streaming_sessions_subset_of_batch(spark, events_dir):
     """Every session the streaming sessionizer emits must exist in the
     batch twin (queries/sessionize_batch semantics): same user, same
