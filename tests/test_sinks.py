@@ -187,3 +187,59 @@ def test_upsert_replaces_and_appends(spark, orders, tmp_path):
     n_upd2, n_ins2 = sinks.upsert(spark, p, upd.unionByName(new), key="o_orderkey")
     assert (n_upd2, n_ins2) == (15, 0)
     assert spark.read.parquet(p).count() == 105
+
+
+def test_upsert_partitioned_touches_only_updated_partitions(spark, tmp_path):
+    """Partition-scoped MERGE: updates for one lang rewrite only that
+    partition dir; other partitions' files are byte-for-byte untouched
+    (same paths, same mtimes)."""
+    import glob
+    import os as _os
+
+    from sparkplans.sources import load_table
+
+    p = str(tmp_path / "docs_part")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    sinks.write_partitioned(docs, p, ["lang"])
+
+    def snapshot(exclude: str):
+        return {
+            f: _os.path.getmtime(f)
+            for f in glob.glob(p + "/lang=*/*")
+            if f"lang={exclude}" not in f
+        }
+
+    before = snapshot("en")
+    upd = docs.filter(F.col("lang") == "en").limit(10).withColumn(
+        "n_chars", F.lit(-1)
+    )
+    new = spark.createDataFrame(
+        [(9_000_001, "en", -2)], "doc_id long, lang string, n_chars long"
+    )
+    n, touched = sinks.upsert_partitioned(
+        spark, p, upd.unionByName(new), key="doc_id", partition_col="lang"
+    )
+    assert touched == ["en"]
+    assert n == 11
+    assert snapshot("en") == before, "untouched partitions were rewritten"
+
+    back = spark.read.parquet(p)
+    assert back.count() == docs.count() + 1
+    assert back.filter(F.col("n_chars") == -1).count() == 10
+    assert back.filter(F.col("doc_id") == 9_000_001).count() == 1
+    # reads filtered on the partition column still prune directories
+    assert back.filter(F.col("lang") == "de").count() == docs.filter(
+        F.col("lang") == "de"
+    ).count()
+
+    # brand-new partition value lands in a fresh directory
+    nv = spark.createDataFrame(
+        [(9_000_002, "xx", -3)], "doc_id long, lang string, n_chars long"
+    )
+    _, touched2 = sinks.upsert_partitioned(
+        spark, p, nv, key="doc_id", partition_col="lang"
+    )
+    assert touched2 == ["xx"]
+    assert spark.read.parquet(p).filter(F.col("lang") == "xx").count() == 1
