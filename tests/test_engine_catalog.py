@@ -278,3 +278,26 @@ def test_cache_table_uses_inmemory_scan(eng, spark):
     finally:
         eng.uncache_table("dim")
     assert "InMemoryRelation" not in plans.physical_plan_str(spark.table("dim"))
+
+
+def test_fan_out_small_file_yes_many_files_no(spark, tmp_path):
+    """sources.fan_out repartitions a single-small-file scan up to
+    session parallelism, and is a NO-OP once the input already spans
+    enough files (the 100 TB case) — so the helper can never add a
+    shuffle at real scale."""
+    from sparkplans import plans
+    from sparkplans.sources import fan_out, load_table
+
+    from tests.conftest import SF_DIR
+
+    single = load_table(spark, SF_DIR, "documents")
+    fanned = fan_out(spark, single)
+    assert "RoundRobinPartitioning" in plans.physical_plan_str(fanned)
+
+    n = spark.sparkContext.defaultParallelism
+    many_dir = str(tmp_path / "many_files")
+    single.repartition(n).write.parquet(many_dir)
+    multi = spark.read.parquet(many_dir)
+    assert len(multi.inputFiles()) >= n
+    same = fan_out(spark, multi)
+    assert same is multi  # not even a new plan node
