@@ -125,6 +125,51 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (\S+)", txt)
 
 
+def num_reused_exchanges(df: DataFrame) -> int:
+    """Count ``ReusedExchange`` nodes — shuffles/broadcasts Catalyst
+    deduplicated because an identical subtree appears elsewhere in the
+    plan (self-joins, diamond lineage).  High reuse means the plan
+    pays for shared lineage once; the pair ``(num_exchanges,
+    num_reused_exchanges)`` is the full shuffle story.
+
+    Under AQE, reuse is decided when query stages materialize, so the
+    marker often appears only in the executed plan — count whichever
+    rendering shows more (execute the df first for the runtime
+    answer)."""
+    pre = len(re.findall(r"ReusedExchange", _plan_for_matching(df)))
+    try:
+        post = len(re.findall(r"ReusedExchange", executed_plan_str(df)))
+    except Exception:
+        post = 0
+    return max(pre, post)
+
+
+def num_python_stages(df: DataFrame) -> int:
+    """Count stages that leave the JVM (row-at-a-time or Arrow-batched
+    Python).  0 for every registered query's hot path — the global
+    gate in tests/test_plan_properties.py."""
+    plan = _plan_for_matching(df)
+    return sum(
+        len(re.findall(marker, plan))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "MapInArrow")
+    )
+
+
+def audit(df: DataFrame) -> dict:
+    """One-call structural cost summary of a plan — the quantities the
+    engine treats as the performance contract (SCALE.md).  Cheap: pure
+    plan-text inspection, no execution."""
+    return {
+        "exchanges": num_exchanges(df),
+        "reused_exchanges": num_reused_exchanges(df),
+        "broadcasts": num_broadcasts(df),
+        "sorts": num_sorts(df),
+        "python_stages": num_python_stages(df),
+        "join_strategies": join_strategies(df),
+        "pushed_filters": scan_pushed_filters(df),
+    }
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans.  In simple plan text a
     codegen'd operator prints as ``*(n) Op``; the span count is the

@@ -264,3 +264,30 @@ def test_explain_cost_shows_statistics(spark):
     collect_stat / aggregate_statistics, SURVEY §4.2)."""
     out = plans.plan_text(_df(spark, "agg_count_star"), "cost")
     assert "Statistics(" in out and "sizeInBytes" in out
+
+
+def test_audit_summary_and_exchange_reuse(spark):
+    """plans.audit returns the full structural cost summary in one
+    call, and a diamond-lineage query shows Catalyst deduplicating
+    identical exchanges (ReusedExchange) — lineage is paid for once."""
+    import sparkplans.queries as Q
+    from tests.conftest import SF_DIR
+
+    df = Q.REGISTRY["lsh_candidates"].fn(spark, SF_DIR)
+    a = plans.audit(df)
+    assert set(a) == {
+        "exchanges", "reused_exchanges", "broadcasts", "sorts",
+        "python_stages", "join_strategies", "pushed_filters",
+    }
+    assert a["python_stages"] == 0
+    assert a["exchanges"] <= 4  # mirrors tests/test_shuffle_budgets.py
+
+    # diamond lineage: self-join of one aggregated subtree => the
+    # second scan+shuffle is a ReusedExchange, not a recomputation
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    per_user = ev.groupBy("user_id").count()
+    diamond = per_user.alias("a").join(
+        per_user.alias("b"), "user_id"
+    )
+    diamond.collect()  # AQE decides reuse when stages materialize
+    assert plans.num_reused_exchanges(diamond) >= 1
