@@ -137,6 +137,20 @@ def main() -> None:
     print("(scale paths: IVF + bucketed layout, z-order writes, AQE skew —")
     print(" see COVERAGE.md and tests/)")
 
+    # ---- 11: SQL function surface + plan audit -----------------------
+    section(11, "SQL UDF macros & structural plan audit")
+    from sparkplans.functions import register_sql_functions
+
+    names = register_sql_functions(spark)
+    print("registered SQL functions:", names)
+    spark.sql(f"SELECT * FROM parquet.`{sf_dir}/documents.parquet`").createOrReplaceTempView("docs_w")
+    row = spark.sql(
+        "SELECT token_count(text) tc, quality_score(text) q FROM docs_w LIMIT 1"
+    ).first()
+    print(f"token_count/quality_score via SQL: {row.tc} tokens, q={row.q}")
+    audit = plans.audit(Q.REGISTRY["flagship_datebin"].fn(spark, sf_dir))
+    print("flagship audit:", {k: v for k, v in audit.items() if k != "pushed_filters"})
+
     spark.stop()
 
 
