@@ -237,6 +237,7 @@ def upsert_sink(
     checkpoint: str,
     key: str,
     format: str = "parquet",
+    partition_col: str | None = None,
 ):
     """Streaming MERGE: apply each micro-batch as an upsert into a
     file-backed table via ``foreachBatch`` + ``sinks.upsert`` — the
@@ -248,8 +249,11 @@ def upsert_sink(
     Exactly-once: foreachBatch is at-least-once on retries, but the
     upsert itself is idempotent per batch (same keys replace the same
     rows), which upgrades the pipeline to effectively-once — the same
-    argument lakehouse MERGE sinks make.  Scale notes inherit from
-    sinks.upsert (copy-on-write; partition the target for fact-scale).
+    argument lakehouse MERGE sinks make.
+
+    ``partition_col`` switches to the fact-scale path
+    (sinks.upsert_partitioned): each batch rewrites only the hive
+    partitions it touches instead of the whole target.
     """
     from sparkplans import sinks
 
@@ -265,6 +269,12 @@ def upsert_sink(
             ).select(*cols)
         else:
             latest = batch_df.dropDuplicates([key])
+        if partition_col is not None:
+            os.makedirs(path, exist_ok=True)
+            sinks.upsert_partitioned(
+                spark, path, latest, key, partition_col, format=format
+            )
+            return
         if not os.path.isdir(path) or not os.listdir(path):
             latest.write.format(format).mode("overwrite").save(path)
             return

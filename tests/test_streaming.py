@@ -184,6 +184,35 @@ def test_upsert_sink_streaming_merge(spark, events_dir, tmp_path):
         assert r.ts == want[r.user_id], (r.user_id, r.ts, want[r.user_id])
 
 
+def test_upsert_sink_partitioned_path(spark, events_dir, tmp_path):
+    """Partitioned streaming MERGE: same last-row-per-key result, laid
+    out hive-style so each batch rewrites only touched partitions."""
+    target = str(tmp_path / "pmerge_target")
+    ckpt = str(tmp_path / "pmerge_ckpt")
+    stream = streaming.stream_events(spark, events_dir).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    streaming.upsert_sink(
+        stream, target, ckpt, key="user_id", partition_col="event_type"
+    )
+    back = spark.read.parquet(target)
+    ev = load_table(spark, SF_DIR, "events")
+    # one current row per key, living in the partition of its latest
+    # event (the batch collapses to last-row-per-key BEFORE layout)
+    assert back.count() == ev.select("user_id").distinct().count()
+    latest_type = {
+        r.user_id: r.t
+        for r in ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_type")).alias("m"))
+        .select("user_id", F.col("m.event_type").alias("t"))
+        .collect()
+    }
+    for r in back.limit(50).collect():
+        assert r.event_type == latest_type[r.user_id]
+    import os as _os
+    assert any(d.startswith("event_type=") for d in _os.listdir(target))
+
+
 def test_streaming_sessions_subset_of_batch(spark, events_dir):
     """Every session the streaming sessionizer emits must exist in the
     batch twin (queries/sessionize_batch semantics): same user, same
