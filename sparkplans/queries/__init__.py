@@ -1448,6 +1448,22 @@ def q_json_extract_agg(spark, sf_dir):
     )
 
 
+@register(
+    "variant_extract",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+    "FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50",
+)
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured columns as first-class VARIANT (Spark 4):
+    parse once, typed-path extraction (variant_get) — the binary
+    variant encoding scans ~8× faster than per-access JSON re-parsing
+    at corpus scale, and the predicate on the extracted field stays in
+    codegen.  Oracle: DuckDB JSON path semantics on the same column."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return e.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
 # =====================================================================
 # Pivot / unpivot
 # =====================================================================

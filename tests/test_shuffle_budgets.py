@@ -119,6 +119,7 @@ BUDGETS = {
     "union_distinct": 1,
     "unpivot_metrics": 0,
     "user_value_trend": 1,
+    "variant_extract": 0,
     "window_distribution": 1,
     "window_lag": 1,
     "window_range_frame": 1,
