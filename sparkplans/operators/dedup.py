@@ -220,6 +220,73 @@ def _pairs_from_band_sig(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster a near-duplicate pair list into components:
+    ``(node, comp)`` with ``comp`` = min node id in the component —
+    the step that turns candidate PAIRS into a dedup DECISION (keep
+    one doc per component).
+
+    Iterative min-label propagation over the undirected edge list;
+    each round joins labels to neighbors and takes the min.  Rounds
+    needed = graph diameter, and near-dup clusters are shallow (a
+    handful of hops), so this converges in 2-4 rounds where web-scale
+    graphs would want large-star/small-star.  ``localCheckpoint()``
+    truncates lineage each round — without it the plan doubles per
+    iteration (the same failure mode the IVF build had).  The driver
+    only ever holds the convergence counter, never data."""
+    e1 = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    edges = (
+        e1.unionByName(
+            e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(labels, "node")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -1158,8 +1158,8 @@ def q_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(d, num_perm=8)
 
 
-_LSH_ORACLE = """
-    WITH toks AS (
+_LSH_PAIR_CTES = """
+    toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -1176,10 +1176,16 @@ _LSH_ORACLE = """
       SELECT doc_id, perm // 2 AS band,
              md5(array_to_string(list_sort(list(perm || ':' || minhash)), ',')) AS band_hash
       FROM sig GROUP BY doc_id, perm // 2
+    ), cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+_LSH_ORACLE = f"""
+    WITH {_LSH_PAIR_CTES}
+    SELECT id_a, id_b FROM cand_pairs
 """
 
 
@@ -1230,6 +1236,39 @@ def q_near_dup_pairs(spark, sf_dir):
 
     d = _t_cpu(spark, sf_dir, "documents")
     return dedup.near_dup_pairs(d, num_perm=16, bands=8, threshold=0.5)
+
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand_pairs
+      UNION
+      SELECT id_b, id_a FROM cand_pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node, min(comp) AS comp FROM reach GROUP BY node
+"""
+
+
+@register("dedup_clusters", _CC_ORACLE)
+def q_dedup_clusters(spark, sf_dir):
+    """Candidate pairs -> connected components: every doc in a
+    near-dup cluster labeled with the cluster's min doc id (the
+    canonical survivor).  Iterative min-label propagation with
+    checkpointed lineage (operators/dedup.connected_components);
+    the oracle computes the same components via a recursive CTE —
+    min reachable label == min component member on an undirected
+    graph."""
+    from sparkplans.operators import dedup
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    wide = dedup.minhash_wide(d, num_perm=8)
+    pairs = dedup.lsh_candidate_pairs_wide(wide, num_perm=8, bands=4)
+    return dedup.connected_components(pairs)
 
 
 @register(

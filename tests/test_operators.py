@@ -544,3 +544,23 @@ def test_pandas_udf_scalar_and_grouped_agg(spark):
     assert set(got_g) == set(want_g)
     for k in want_g:
         assert abs(got_g[k] - want_g[k]) < 1e-9
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, pair 10-11, isolated-by-absence 99: min-label
+    propagation finds exact components in diameter rounds."""
+    from sparkplans.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (5, 4), (4, 3)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty_pairs(spark):
+    from sparkplans.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).collect() == []

@@ -41,6 +41,9 @@ BUDGETS = {
     "curation_pipeline": 2,
     "date_funcs": 1,
     "datebin_5min_counts": 1,
+    # 0 = the RETURNED plan reads checkpointed labels; the iterative
+    # shuffles happen during construction (bounded: 3/round x diameter)
+    "dedup_clusters": 0,
     "dedup_exact": 1,
     "distinct_agg": 2,
     "doc_fingerprints": 0,
