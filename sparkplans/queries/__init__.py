@@ -1950,3 +1950,167 @@ _shared_sql(
     ORDER BY cntrycode
     """,
 )
+
+
+# =====================================================================
+# Round-1 continuation: higher-order array functions, corpus TF-IDF,
+# quota sampling, repetition-ratio quality signal
+# =====================================================================
+
+
+@register(
+    "higher_order_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+    FROM embeddings
+    """,
+)
+def q_higher_order_funcs(spark, sf_dir):
+    """Higher-order array functions (SURVEY §2.8 inheritance scope):
+    transform / filter / aggregate lambdas evaluate JVM-side inside
+    codegen — the idiomatic way to process array<float> columns without
+    ever leaving the executor.  Zero shuffles; scales as a pure map.
+    Sums fold left-to-right on both engines; 6dp round is the same
+    belt-and-suspenders as the dot-product queries."""
+    e = _t(spark, sf_dir, "embeddings")
+    x2 = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x2(x)), 6
+        ).alias("sum_sq"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+            , 6
+        ).alias("max_abs"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(tok)
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    stats AS (SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY tok),
+    total AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tok, df, cf,
+           round(cf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM stats, total
+    ORDER BY tfidf DESC, tok
+    LIMIT 20
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF vocabulary profile: collection frequency weighted
+    by inverse document frequency — the standard signal for stopword
+    and boilerplate discovery in training-corpus curation.  Tokenize →
+    per-doc tf (1 shuffle on (doc_id, tok)) → per-token df/cf (1 more,
+    map-side combined) → the corpus row count joins in as a broadcast
+    (one aggregated row, never a driver collect) → top-20 fuses to
+    TakeOrderedAndProject.  At 100 TB nothing wider than (token, df,
+    cf) ever crosses the wire after the tf stage."""
+    d = _t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("tok").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    # plain read for the scalar count — no fan_out repartition needed
+    total = _t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "df",
+            "cf",
+            F.round(
+                F.col("cf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "quota_sample_per_lang",
+    """
+    SELECT doc_id, lang, rn
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def q_quota_sample_per_lang(spark, sf_dir):
+    """Deterministic per-language quota sampling — the data-mixing
+    primitive (fix a per-language budget, pick a reproducible uniform
+    sample).  Ordering by md5(doc_id) is a seedable uniform shuffle
+    with no RNG state, so the sample is identical on any cluster and
+    any partitioning (same property as train_test_split).  One shuffle
+    on lang.  Scale note: parallelism is bounded by #languages, which
+    is fine — the window input can be pre-thinned with a generous
+    md5-threshold filter when groups are huge, keeping ≥ quota rows
+    per group, before the exact rank."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@register(
+    "repetition_ratio",
+    """
+    SELECT doc_id, count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_distinct,
+           round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)
+             AS distinct_ratio
+    FROM (SELECT doc_id, tok
+          FROM documents,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(tok))
+    GROUP BY doc_id
+    """,
+)
+def q_repetition_ratio(spark, sf_dir):
+    """Distinct-token ratio per document — the Gopher-style repetition
+    quality signal (heavily repeated documents have low ratios and are
+    candidates for removal).  Explode is pipelined; the distinct-agg
+    expands to two shuffles keyed by doc_id — partial combines keep
+    the transfer at one row per (doc_id, tok).  Pure corpus-quality
+    map-reduce: no joins, no driver state."""
+    d = _t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.round(
+            F.countDistinct("tok").cast("double") / F.count("*"), 6
+        ).alias("distinct_ratio"),
+    )

@@ -53,6 +53,12 @@ BUDGETS = {
     "exists_subquery": 0,
     "not_exists_subquery": 0,
     "heavy_hitters_tokens": 2,
+    "higher_order_funcs": 0,
+    # fan_out + tf + per-token stats + single-row corpus count
+    "tfidf_top_terms": 4,
+    "quota_sample_per_lang": 1,
+    # fan_out + distinct-agg expand (2 keyed shuffles)
+    "repetition_ratio": 3,
     "sliding_window_counts": 1,
     "filter_pushdown": 0,
     "flagship_datebin": 1,
