@@ -2114,3 +2114,163 @@ def q_repetition_ratio(spark, sf_dir):
             F.countDistinct("tok").cast("double") / F.count("*"), 6
         ).alias("distinct_ratio"),
     )
+
+
+@register(
+    "decontamination_ngrams",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, split,
+             unnest(CASE WHEN len(toks) >= 8
+                    THEN list_transform(range(0, len(toks) - 7),
+                         i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+                    ELSE []::VARCHAR[] END) AS gram
+      FROM base)
+    SELECT a.doc_id, count(DISTINCT a.gram) AS n_shared_grams
+    FROM g a
+    JOIN (SELECT DISTINCT gram FROM g WHERE split = 'train') b
+      ON a.gram = b.gram
+    WHERE a.split = 'test'
+    GROUP BY a.doc_id
+    """,
+)
+def q_decontamination_ngrams(spark, sf_dir):
+    """Train/test decontamination by token 8-gram overlap — the
+    GPT-3/Pile recipe (there, 13-grams): a held-out document sharing
+    any long token n-gram with the training split is contaminated and
+    must be dropped before evaluation.  Gram streams are projections
+    of one tokenized scan; the overlap check is an equi-join on the
+    md5 of the gram (one keyed shuffle per side, never all-pairs) and
+    the verdict aggregates per test doc.  The split itself is the
+    md5-mod hash of train_test_split, so the whole check is
+    deterministic end-to-end at any scale."""
+    d = _t_cpu(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    base = d.select(
+        "doc_id",
+        F.when(h % 100 < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    grams_expr = (
+        "CASE WHEN size(toks) >= 8 THEN "
+        "transform(sequence(0, size(toks) - 8), "
+        "i -> md5(concat_ws(' ', slice(toks, i + 1, 8)))) "
+        "ELSE array() END"
+    )
+    g = base.select(
+        "doc_id", "split", F.explode(F.expr(grams_expr)).alias("gram")
+    )
+    train_grams = g.filter(F.col("split") == "train").select("gram").distinct()
+    return (
+        g.filter(F.col("split") == "test")
+        .join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "unigram_logprob_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(tok)),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS t FROM toks)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(ln(cnt / CAST(t AS DOUBLE))) / count(*), 6) AS avg_logprob
+    FROM toks JOIN freq USING (tok), total
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob_scores(spark, sf_dir):
+    """Per-document mean token log-probability under the corpus's own
+    unigram LM — the classic cheap perplexity proxy for quality
+    filtering (rare-token-heavy gibberish scores low, natural text
+    scores high).  The vocabulary (token, count) table is small
+    relative to the corpus, so the score join broadcasts at any scale;
+    the corpus token total rides along as one aggregated broadcast
+    row.  In a production pipeline the vocabulary would be a persisted
+    table from a previous pass rather than recomputed lineage."""
+    d = _t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("t"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("cnt") / F.col("t").cast("double")))
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM t)
+    SELECT lang, (cum - n_tokens) // 2048 AS seq_idx,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+    FROM c
+    GROUP BY lang, seq_idx
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic order (doc_id) per shard (lang), token offsets
+    accumulate via a running-total window, and each document is
+    assigned to the 2048-token context window its start offset lands
+    in — the standard way training examples are packed from a corpus.
+    One shuffle on the shard key; the window is a single ordered pass
+    per shard, and shard count (not corpus size) bounds parallelism —
+    real pipelines shard much finer than language (e.g. hash(doc_id)
+    buckets) for exactly that reason, which this plan inherits by
+    swapping the partition column."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w).cast("bigint"))
+    return (
+        c.select(
+            "lang",
+            F.expr("(cum - n_tokens) DIV 2048").alias("seq_idx"),
+            "n_tokens",
+        )
+        .groupBy("lang", "seq_idx")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens"))
+    )

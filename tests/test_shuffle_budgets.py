@@ -59,6 +59,13 @@ BUDGETS = {
     "quota_sample_per_lang": 1,
     # fan_out + distinct-agg expand (2 keyed shuffles)
     "repetition_ratio": 3,
+    # fan_out x2 (test/train gram subtrees) + train distinct + per-doc
+    # verdict agg + gram join
+    "decontamination_ngrams": 5,
+    # fan_out x3 (toks/freq/total subtrees) + vocab agg + corpus count
+    # + per-doc score agg; the score join itself broadcasts
+    "unigram_logprob_scores": 6,
+    "sequence_packing": 1,
     "sliding_window_counts": 1,
     "filter_pushdown": 0,
     "flagship_datebin": 1,
