@@ -36,7 +36,7 @@ from pyspark.sql.types import StructType
 from sparkplans.ordering import SortKey, normalize_sort_keys
 
 
-_EXTENSIONS = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}
+_EXTENSIONS = {"parquet": ".parquet", "csv": ".csv", "json": ".json", "orc": ".orc"}
 
 
 @dataclass

@@ -301,3 +301,18 @@ def test_fan_out_small_file_yes_many_files_no(spark, tmp_path):
     assert len(multi.inputFiles()) >= n
     same = fan_out(spark, multi)
     assert same is multi  # not even a new plan node
+
+
+def test_orc_external_table_roundtrip(eng, spark, tmp_path):
+    """ORC is a first-class external-table format: same catalog path
+    (WITH ORDER metadata, temp-view registration) as parquet."""
+    from sparkplans import sinks
+
+    src = spark.table("dim")
+    p = str(tmp_path / "dim_orc")
+    sinks.copy_to(src, p, format="orc")
+    eng.catalog.create_external_table("dim_orc", p, format="orc")
+    got = sorted(tuple(r) for r in spark.table("dim_orc").collect())
+    want = sorted(tuple(r) for r in src.collect())
+    assert got == want
+    eng.catalog.drop("dim_orc")

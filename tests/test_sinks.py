@@ -19,7 +19,7 @@ def orders(spark):
 
 def test_copy_to_roundtrip_all_formats(spark, orders, tmp_path):
     small = orders.limit(50).select("o_orderkey", "o_custkey", "o_totalprice")
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "csv", "json", "orc"):
         p = str(tmp_path / f"out_{fmt}")
         sinks.copy_to(small, p, format=fmt, single_file=True)
         files = [f for f in os.listdir(p) if not f.startswith(("_", "."))]
