@@ -43,6 +43,8 @@ HEADLINE = [
     "curation_pipeline",
     "heavy_hitters_tokens",
     "sliding_window_counts",
+    "tfidf_top_terms",
+    "decontamination_ngrams",
 ]
 
 

@@ -238,3 +238,34 @@ def explain_verbose(df: DataFrame) -> str:
     (docs/3:83-180).  For true per-rule traces set
     ``spark.sql.planChangeLog.level=INFO`` and read driver logs."""
     return plan_text(df, "extended")
+
+
+def partition_histogram(df: DataFrame) -> dict:
+    """Runtime skew diagnostic: rows per partition of the final stage.
+
+    The structural metrics above say *where* the shuffles are; this
+    says whether their output is balanced — the quantity that decides
+    straggler behaviour on a real cluster (one hot partition = one
+    task running while 999 executors idle).  Executes the frame once;
+    only per-partition counts come back to the driver (one long per
+    partition, never data).
+
+    Returns ``{"partitions", "rows", "max", "mean", "skew"}`` where
+    ``skew`` = max/mean row count (1.0 = perfectly balanced;
+    SCALE.md's rule of thumb flags > ~5 on a keyed shuffle as a
+    salting/AQE-skew candidate).
+    """
+    counts = sorted(
+        df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    )
+    total = sum(counts)
+    n = len(counts)
+    mean = total / n if n else 0.0
+    mx = counts[-1] if counts else 0
+    return {
+        "partitions": n,
+        "rows": total,
+        "max": mx,
+        "mean": round(mean, 2),
+        "skew": round(mx / mean, 3) if mean else 0.0,
+    }

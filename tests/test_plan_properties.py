@@ -291,3 +291,18 @@ def test_audit_summary_and_exchange_reuse(spark):
     )
     diamond.collect()  # AQE decides reuse when stages materialize
     assert plans.num_reused_exchanges(diamond) >= 1
+
+
+def test_partition_histogram_balanced_and_skewed(spark):
+    from pyspark.sql import functions as F
+
+    even = spark.range(0, 10000, 1, 8)
+    h = plans.partition_histogram(even)
+    assert h["partitions"] == 8 and h["rows"] == 10000
+    assert h["skew"] <= 1.01
+
+    # all rows share one key -> one hot partition after a keyed shuffle
+    hot = spark.range(0, 10000).withColumn("k", F.lit(1)).repartition(8, "k")
+    h2 = plans.partition_histogram(hot)
+    assert h2["rows"] == 10000
+    assert h2["skew"] >= 7.9  # max==total, mean==total/8
