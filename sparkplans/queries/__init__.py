@@ -2274,3 +2274,91 @@ def q_sequence_packing(spark, sf_dir):
         .groupBy("lang", "seq_idx")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens"))
     )
+
+
+@register(
+    "posexplode_vectors",
+    """
+    SELECT vec_id, pos, embedding[pos + 1] AS val
+    FROM embeddings, unnest(range(0, len(embedding))) AS u(pos)
+    WHERE vec_id < 100
+    """,
+)
+def q_posexplode_vectors(spark, sf_dir):
+    """Ordinal array explode (posexplode): unpivot array<float> to
+    (id, position, value) rows — the layout conversions between
+    vector-per-row and element-per-row that feature stores need.
+    Pure pipelined generate, zero shuffles at any scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 100)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    )
+
+
+@register(
+    "bitwise_agg",
+    """
+    SELECT event_type,
+           bit_and(user_id) AS band,
+           bit_or(user_id) AS bor,
+           bit_xor(user_id) AS bxor
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitwise_agg(spark, sf_dir):
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — exact integer
+    semantics, associative+commutative so partial/final combine is
+    free; the building block for bitmap-style set summaries."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+    )
+
+
+@register(
+    "stats_moments",
+    """
+    WITH m AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS sx,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS sx2
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+           round((CAST(sx2 AS DOUBLE)
+                  - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                 / (n - 1), 6) AS var_samp,
+           round(sqrt((CAST(sx2 AS DOUBLE)
+                  - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                 / (n - 1)), 6) AS stddev_samp
+    FROM m
+    """,
+)
+def q_stats_moments(spark, sf_dir):
+    """Variance/stddev from exact DECIMAL moment sums — the same
+    discipline as user_value_trend: the only order-dependent step
+    (summation) is exact, every double op after it is a fixed scalar
+    expression, so Spark's partial/final combine and DuckDB's
+    single-node fold agree bit-for-bit before the 6dp round.  One
+    shuffle of three machine words per group at any scale; the
+    pattern extends to skewness/kurtosis with higher moments."""
+    e = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(x).alias("sx"), F.sum(x * x).alias("sx2")
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = (
+        F.col("sx2").cast("double") - F.col("n") * mean * mean
+    ) / (F.col("n") - 1)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("var_samp"),
+        F.round(F.sqrt(var), 6).alias("stddev_samp"),
+    )

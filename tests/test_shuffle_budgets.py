@@ -66,6 +66,9 @@ BUDGETS = {
     # + per-doc score agg; the score join itself broadcasts
     "unigram_logprob_scores": 6,
     "sequence_packing": 1,
+    "posexplode_vectors": 0,
+    "bitwise_agg": 1,
+    "stats_moments": 1,
     "sliding_window_counts": 1,
     "filter_pushdown": 0,
     "flagship_datebin": 1,
