@@ -151,6 +151,24 @@ def main() -> None:
     audit = plans.audit(Q.REGISTRY["flagship_datebin"].fn(spark, sf_dir))
     print("flagship audit:", {k: v for k, v in audit.items() if k != "pushed_filters"})
 
+    # ---- 12: corpus curation, end to end ------------------------------
+    section(12, "corpus curation: decontaminate, score, pack")
+    contaminated = Q.REGISTRY["decontamination_ngrams"].fn(spark, sf_dir)
+    n_cont = contaminated.count()
+    print(f"test docs sharing a token 8-gram with train: {n_cont}")
+    lp = Q.REGISTRY["unigram_logprob_scores"].fn(spark, sf_dir)
+    worst = lp.orderBy("avg_logprob").first()
+    print(
+        f"lowest unigram-LM score: doc {worst.doc_id} "
+        f"(avg logprob {worst.avg_logprob})"
+    )
+    packed = Q.REGISTRY["sequence_packing"].fn(spark, sf_dir)
+    print(f"2048-token training sequences packed: {packed.count()}")
+    hist = plans.partition_histogram(
+        Q.REGISTRY["dedup_exact"].fn(spark, sf_dir)
+    )
+    print(f"dedup output balance: skew={hist['skew']} over {hist['partitions']} partitions")
+
     spark.stop()
 
 

@@ -2362,3 +2362,30 @@ def q_stats_moments(spark, sf_dir):
         F.round(var, 6).alias("var_samp"),
         F.round(F.sqrt(var), 6).alias("stddev_samp"),
     )
+
+
+@register(
+    "map_roundtrip",
+    """
+    SELECT user_id, event_type AS etype, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_map_roundtrip(spark, sf_dir):
+    """MapType round-trip: per-user (event_type -> count) built with
+    map_from_entries over collected structs, then exploded back to
+    rows.  The oracle is the plain relational twin, so a hash match
+    proves the map construction/explosion is lossless.  Maps here are
+    per-user and bounded by the event-type vocabulary, so the
+    collect_list state stays small at any corpus size (state is
+    per-group, not per-corpus)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    return maps.select(
+        "user_id", F.explode("m").alias("etype", "cnt")
+    )

@@ -69,6 +69,8 @@ BUDGETS = {
     "posexplode_vectors": 0,
     "bitwise_agg": 1,
     "stats_moments": 1,
+    # per-(user,type) counts then per-user map assembly
+    "map_roundtrip": 2,
     "sliding_window_counts": 1,
     "filter_pushdown": 0,
     "flagship_datebin": 1,
