@@ -2389,3 +2389,35 @@ def q_map_roundtrip(spark, sf_dir):
     return maps.select(
         "user_id", F.explode("m").alias("etype", "cnt")
     )
+
+
+@register(
+    "salted_agg",
+    """
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Salted two-stage aggregation — the deterministic fallback for
+    hot grouping keys (AQE skew-join splitting covers joins, but a
+    degenerate agg key still funnels into one reducer).  Stage 1
+    aggregates on (key, salt) — the hot key's rows spread over 16
+    reducers; stage 2 merges the 16 partial states per key (rows =
+    16 x #groups, negligible).  Salt is derived from a data column
+    (not rand()), so the result is reproducible and the DECIMAL sums
+    make it order-exact; the oracle is the unsalted twin, proving the
+    decomposition lossless."""
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("cnt"),
+        F.sum("s").cast("double").alias("sum_value"),
+    )

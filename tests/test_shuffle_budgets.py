@@ -71,6 +71,8 @@ BUDGETS = {
     "stats_moments": 1,
     # per-(user,type) counts then per-user map assembly
     "map_roundtrip": 2,
+    # (key,salt) spread stage + tiny per-key merge stage — by design
+    "salted_agg": 2,
     "sliding_window_counts": 1,
     "filter_pushdown": 0,
     "flagship_datebin": 1,
