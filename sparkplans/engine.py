@@ -179,6 +179,18 @@ class Engine:
         single = bool(spec) and not spec.in_memory and len(spec.files) <= 1
         return OrderedFrame(self, df, order, globally_ordered=single and bool(order))
 
+    def read_range(self, name: str, col: str, lo=None, hi=None) -> OrderedFrame:
+        """Range scan with catalog file-level min/max pruning (the
+        reference's statistics-driven scan, lifted to the listing
+        table: files proven disjoint from [lo, hi] are never
+        scheduled).  Row-level filtering still applies; ordering
+        metadata survives because filter preserves per-partition
+        order."""
+        spec = self.catalog._tables.get(name)
+        df = self.catalog.read_range(name, col, lo, hi)
+        order = spec.sort_order if spec else ()
+        return OrderedFrame(self, df, order)
+
     # -- SQL -------------------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:

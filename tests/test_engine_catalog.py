@@ -316,3 +316,58 @@ def test_orc_external_table_roundtrip(eng, spark, tmp_path):
     want = sorted(tuple(r) for r in src.collect())
     assert got == want
     eng.catalog.drop("dim_orc")
+
+
+def test_file_level_stats_pruning(eng, spark, tmp_path):
+    """Catalog min/max file pruning: a range predicate over a
+    multi-file sorted table schedules only the files whose footer
+    stats intersect it — the reference's pruning_predicate
+    (docs/5:97,108) at listing-table granularity."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sparkplans.sources import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    base = str(tmp_path / "orders_ranged")
+    # three files with disjoint o_orderkey ranges
+    bounds = [(0, 500), (500, 1000), (1000, 10**9)]
+    os.makedirs(base, exist_ok=True)
+    for i, (lo, hi) in enumerate(bounds):
+        part = orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).sort("o_orderkey")
+        part.coalesce(1).write.mode("overwrite").parquet(f"{base}/tmp_{i}")
+        f = [x for x in os.listdir(f"{base}/tmp_{i}") if x.endswith(".parquet")][0]
+        os.rename(f"{base}/tmp_{i}/{f}", f"{base}/part_{i}.parquet")
+    for i in range(3):
+        shutil.rmtree(f"{base}/tmp_{i}")
+
+    eng.catalog.create_external_table(
+        "orders_ranged", base, with_order=["o_orderkey"]
+    )
+    stats = eng.catalog.file_stats("orders_ranged", "o_orderkey")
+    assert len(stats) == 3 and all(s["min"] is not None for s in stats if s["rows"])
+
+    # predicate inside the middle file's range -> exactly one file kept
+    kept = eng.catalog.prune_files("orders_ranged", "o_orderkey", 600, 900)
+    assert len(kept) == 1 and kept[0].endswith("part_1.parquet")
+
+    pruned = eng.read_range("orders_ranged", "o_orderkey", 600, 900).df
+    full = spark.table("orders_ranged").filter(
+        F.col("o_orderkey").between(600, 900)
+    )
+    assert sorted(r.o_orderkey for r in pruned.collect()) == sorted(
+        r.o_orderkey for r in full.collect()
+    )
+    # only one scan branch in the pruned plan
+    assert plans.plan_text(pruned, "simple").count("Scan parquet") == 1
+
+    # disjoint predicate -> all files pruned, empty frame, schema kept
+    none_df = eng.read_range("orders_ranged", "o_orderkey", -50, -1).df
+    assert none_df.count() == 0
+    assert none_df.schema == spark.table("orders_ranged").schema
+    eng.catalog.drop("orders_ranged")
