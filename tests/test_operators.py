@@ -564,3 +564,84 @@ def test_connected_components_empty_pairs(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).collect() == []
+
+
+def test_planted_contamination_is_flagged(spark, tmp_path):
+    """A text planted into both splits must be caught by the n-gram
+    decontamination check — correctness beyond the DuckDB twin."""
+    import sparkplans.queries as Q
+    from sparkplans.sources import load_table
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents")
+    # doc_ids whose md5-mod split is train vs test
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
+    ids = docs.select("doc_id", (h % 100 < 90).alias("is_train")).collect()
+    train_id = next(r.doc_id for r in ids if r.is_train)
+    test_id = next(r.doc_id for r in ids if not r.is_train)
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(train_id, test_id), F.lit(leak)).otherwise(
+            F.col("text")
+        ),
+    )
+    out = str(tmp_path / "planted_docs")
+    planted.write.mode("overwrite").parquet(out)
+    import shutil, os
+
+    sf_dir = str(tmp_path / "sf_planted")
+    os.makedirs(sf_dir)
+    for t in ("documents",):
+        shutil.move(out, os.path.join(sf_dir, "documents.parquet"))
+    flagged = Q.REGISTRY["decontamination_ngrams"].fn(spark, sf_dir)
+    rows = {r.doc_id: r.n_shared_grams for r in flagged.collect()}
+    assert test_id in rows and rows[test_id] >= 3  # 10 tokens -> 3 8-grams
+
+
+def test_quota_sample_exact_quota_and_determinism(spark):
+    import sparkplans.queries as Q
+    from sparkplans.sources import load_table
+
+    SF = "/root/testdata/sf0.01"
+    out1 = Q.REGISTRY["quota_sample_per_lang"].fn(spark, SF)
+    sizes = {r.lang: r.cnt for r in out1.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    docs = load_table(spark, SF, "documents")
+    group_sizes = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, n in group_sizes.items():
+        assert sizes.get(lang, 0) == min(10, n)
+    # deterministic: second run picks the identical sample
+    a = sorted((r.lang, r.doc_id) for r in out1.collect())
+    b = sorted(
+        (r.lang, r.doc_id)
+        for r in Q.REGISTRY["quota_sample_per_lang"].fn(spark, SF).collect()
+    )
+    assert a == b
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    """Every token lands in exactly one sequence; per-shard totals are
+    conserved and seq indices are contiguous from 0."""
+    import sparkplans.queries as Q
+    from sparkplans.sources import load_table
+
+    SF = "/root/testdata/sf0.01"
+    packed = Q.REGISTRY["sequence_packing"].fn(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    want = {
+        r.lang: r.tok
+        for r in docs.select(
+            "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("tok"))
+        .collect()
+    }
+    got = {}
+    idx = {}
+    for r in packed.collect():
+        got[r.lang] = got.get(r.lang, 0) + r.tokens
+        idx.setdefault(r.lang, set()).add(r.seq_idx)
+    assert got == want
+    for lang, s in idx.items():
+        assert s == set(range(len(s))), f"gaps in seq indices for {lang}"
