@@ -2421,3 +2421,85 @@ def q_salted_agg(spark, sf_dir):
         F.sum("c").alias("cnt"),
         F.sum("s").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "label_centroids",
+    """
+    SELECT label, pos,
+           round(CAST(sum(CAST(embedding[pos + 1] AS DECIMAL(18,9)) )
+                 AS DOUBLE) / count(*), 6) AS centroid
+    FROM embeddings, unnest(range(0, len(embedding))) AS u(pos)
+    GROUP BY label, pos
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in exploded form (label, dim,
+    mean) — the inner step of k-means / IVF training, expressed as a
+    plain two-key aggregation: posexplode is pipelined, component sums
+    accumulate in DECIMAL (exact, order-independent), and the single
+    shuffle carries one partial state per (label, dim) — constant in
+    corpus size.  Reassembling array centroids is a sort_array over
+    collect_list downstream (operators/similarity.ivf_build does
+    exactly that)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid")
+        )
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           count(t_view) AS saw_view,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS view_then_click,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS full_funnel
+    FROM firsts
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    """Conversion funnel (view -> click -> purchase) via conditional
+    min-timestamp pivoting — sequential pattern analysis with ONE
+    shuffle keyed by user (the MATCH_RECOGNIZE-lite formulation).
+    NULL ordering semantics do the step gating: a missing stage makes
+    the comparison NULL, which counts as not-converted on both
+    engines.  At 100 TB the per-user state is three timestamps, and
+    the final rollup is a single-row combine."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("saw_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "view_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )

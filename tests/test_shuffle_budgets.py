@@ -73,6 +73,9 @@ BUDGETS = {
     "map_roundtrip": 2,
     # (key,salt) spread stage + tiny per-key merge stage — by design
     "salted_agg": 2,
+    "label_centroids": 1,
+    # per-user pivot + single-row rollup
+    "event_funnel": 2,
     "sliding_window_counts": 1,
     "filter_pushdown": 0,
     "flagship_datebin": 1,
