@@ -2503,3 +2503,101 @@ def q_event_funnel(spark, sf_dir):
             )
         ).alias("full_funnel"),
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    activity AS (
+      SELECT e.user_id,
+             time_bucket(INTERVAL '1 day', f.first_ts) AS cohort_day,
+             datediff('day', time_bucket(INTERVAL '1 day', f.first_ts),
+                      time_bucket(INTERVAL '1 day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_day, day_offset,
+           count(DISTINCT user_id) AS active_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen day, activity
+    counted per day offset — the standard engagement triangle.  The
+    first-seen table is one user-keyed aggregation that joins back to
+    the event stream (broadcast when users ≪ events, AQE decides);
+    distinct-user counts shuffle (cohort, offset, user) once.  Date
+    arithmetic is integer-exact on both engines."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    activity = e.join(firsts, "user_id").select(
+        "user_id",
+        F.date_trunc("day", F.col("first_ts")).cast("timestamp_ntz").alias("cohort_day"),
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.date_trunc("day", F.col("first_ts"))
+        ).alias("day_offset"),
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
+@register(
+    "gopher_quality_rules",
+    """
+    WITH sig AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             length(text)
+               - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+               AS n_symbols
+      FROM documents)
+    SELECT count(*) AS n_docs,
+           count(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 END)
+             AS pass_length,
+           count(CASE WHEN n_tokens > 0 AND
+                 CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 10 THEN 1 END)
+             AS pass_mean_word_len,
+           count(CASE WHEN n_chars > 0 AND
+                 CAST(n_symbols AS DOUBLE) / n_chars < 0.1 THEN 1 END)
+             AS pass_symbol_ratio,
+           count(CASE WHEN n_tokens BETWEEN 50 AND 100000
+                 AND n_tokens > 0
+                 AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 10
+                 AND n_chars > 0
+                 AND CAST(n_symbols AS DOUBLE) / n_chars < 0.1 THEN 1 END)
+             AS pass_all
+    FROM sig
+    """,
+)
+def q_gopher_quality_rules(spark, sf_dir):
+    """Gopher-style rule-based quality gate (length bounds, mean word
+    length band, symbol-to-char ratio) evaluated corpus-wide in one
+    pass: every signal is a per-row JVM expression, the rollup is a
+    single-row combine — zero keyed shuffles at any corpus size.
+    Ratios compare as doubles on integer inputs (exact on both
+    engines); thresholds follow Rae et al.'s published heuristics,
+    loosened to this corpus's synthetic shape."""
+    d = _t_cpu(spark, sf_dir, "documents")
+    sig = d.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
+        ).alias("n_symbols"),
+    )
+    mean_wl = F.col("n_chars").cast("double") / F.col("n_tokens")
+    sym = F.col("n_symbols").cast("double") / F.col("n_chars")
+    ok_len = F.col("n_tokens").between(50, 100000)
+    ok_wl = (F.col("n_tokens") > 0) & mean_wl.between(3, 10)
+    ok_sym = (F.col("n_chars") > 0) & (sym < 0.1)
+    return sig.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(ok_len, 1)).alias("pass_length"),
+        F.count(F.when(ok_wl, 1)).alias("pass_mean_word_len"),
+        F.count(F.when(ok_sym, 1)).alias("pass_symbol_ratio"),
+        F.count(F.when(ok_len & ok_wl & ok_sym, 1)).alias("pass_all"),
+    )

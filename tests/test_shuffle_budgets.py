@@ -76,6 +76,10 @@ BUDGETS = {
     "label_centroids": 1,
     # per-user pivot + single-row rollup
     "event_funnel": 2,
+    # first-seen agg + join-back + distinct-user expand
+    "cohort_retention": 3,
+    # fan_out + single-row rollup
+    "gopher_quality_rules": 2,
     "sliding_window_counts": 1,
     "filter_pushdown": 0,
     "flagship_datebin": 1,
