@@ -295,25 +295,39 @@ def jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate pairs:
-    |A ∩ B| / |A ∪ B| via an exploded equi-join on the shingle —
-    never materializes all-pairs."""
+    |A ∩ B| / |A ∪ B| — never materializes all-pairs.
+
+    Shape: the corpus shingle stream is semi-filtered to docs that
+    appear in ANY candidate pair (a broadcast semi join — candidates
+    ≪ corpus, so the stream itself never shuffles), each surviving
+    doc's shingle set is assembled once (ONE keyed shuffle of
+    candidate docs only), and the intersection/union sizes are JVM
+    array expressions on the joined pair — no shingle-keyed shuffle
+    of the full stream, which the previous exploded-equi-join
+    formulation paid twice."""
     sh = shingle_rows(df, text_col, id_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(pairs, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    sets = (
+        sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__sh"))
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+            (
+                F.size(F.array_intersect("__sh_a", "__sh_b"))
+                / F.size(F.array_union("__sh_a", "__sh_b"))
+            ).alias("jaccard"),
         )
     )
 
@@ -330,9 +344,13 @@ def near_dup_pairs(
     """End-to-end MinHash-LSH near-duplicate detection:
     signatures -> band buckets -> candidates -> exact-Jaccard verify.
     Uses the wide signature path (one corpus shuffle for the whole
-    signature+banding stage)."""
+    signature+banding stage).  The candidate list (tiny relative to
+    the corpus) is materialized once via localCheckpoint before the
+    verify stage — otherwise its 4-exchange lineage would re-execute
+    for every one of the three places the verify references it (same
+    lineage-cut discipline as connected_components and ivf_build)."""
     wide = minhash_wide(df, text_col, id_col, num_perm, shingle_n)
-    cand = lsh_candidate_pairs_wide(wide, id_col, num_perm, bands)
+    cand = lsh_candidate_pairs_wide(wide, id_col, num_perm, bands).localCheckpoint()
     return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )

@@ -101,7 +101,9 @@ BUDGETS = {
     "math_funcs": 0,
     "merge_join": 2,
     "minhash_signatures": 2,
-    "near_dup_pairs": 10,
+    # candidates localCheckpointed; verify = semi-filter + set-array
+    # jaccard (was 10 with the exploded equi-join formulation)
+    "near_dup_pairs": 6,
     "ngram_distinct": 0,
     "null_handling": 0,
     "percentile_exact": 1,
