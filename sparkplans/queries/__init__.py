@@ -2206,8 +2206,13 @@ def q_unigram_logprob_scores(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("t"))
+    # The vocabulary is the persisted-table stand-in: localCheckpoint
+    # materializes it once, so the corpus is tokenized exactly twice
+    # (vocab build + scoring pass) instead of three times, and the
+    # token total is a free rollup of the vocab instead of a third
+    # corpus scan.
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint()
+    total = freq.agg(F.sum("cnt").alias("t"))
     return (
         toks.join(freq, "tok")
         .crossJoin(F.broadcast(total))

@@ -62,9 +62,9 @@ BUDGETS = {
     # fan_out x2 (test/train gram subtrees) + train distinct + per-doc
     # verdict agg + gram join
     "decontamination_ngrams": 5,
-    # fan_out x3 (toks/freq/total subtrees) + vocab agg + corpus count
-    # + per-doc score agg; the score join itself broadcasts
-    "unigram_logprob_scores": 6,
+    # vocab localCheckpointed (the persisted-table stand-in): corpus
+    # tokenized twice, not three times; total is a vocab rollup
+    "unigram_logprob_scores": 3,
     "sequence_packing": 1,
     "posexplode_vectors": 0,
     "bitwise_agg": 1,
