@@ -4,7 +4,7 @@ pure-Python invariants, no Spark session needed, so they run in
 milliseconds and explore far more key combinations than the
 docs/4-derived example tests."""
 
-from hypothesis import given, strategies as st
+from hypothesis import given, settings, strategies as st
 
 from sparkplans.ordering import (
     SortKey,
@@ -96,3 +96,62 @@ def test_normalize_accepts_bare_strings(names):
     normalized = normalize_sort_keys(names)
     assert [k.col for k in normalized] == names
     assert all(k.asc for k in normalized)
+
+
+# ---------------------------------------------------------------------
+# Sequence-packing invariants on adversarial inputs (hypothesis)
+# ---------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.sampled_from(["a", "b"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_sequence_packing_invariants(spark, sizes):
+    """Concat-and-chunk packing on arbitrary token counts (including
+    docs longer than the context): tokens are always conserved per
+    shard; when every document fits in a context window, seq indices
+    are additionally contiguous from 0 and no sequence holds 2x the
+    context (an oversized document legitimately skips indices — its
+    span covers them)."""
+    from pyspark.sql import Window, functions as F
+
+    ctx = 2048
+    rows = [(i, lang, n) for i, (n, lang) in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = df.withColumn("cum", F.sum("n_tokens").over(w))
+    packed = (
+        c.select(
+            "lang", F.expr(f"(cum - n_tokens) DIV {ctx}").alias("seq_idx"), "n_tokens"
+        )
+        .groupBy("lang", "seq_idx")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens"))
+        .collect()
+    )
+    want = {}
+    for _, lang, n in rows:
+        want[lang] = want.get(lang, 0) + n
+    got, idx, by_bin = {}, {}, {}
+    for r in packed:
+        got[r.lang] = got.get(r.lang, 0) + r.tokens
+        idx.setdefault(r.lang, set()).add(r.seq_idx)
+        by_bin[(r.lang, r.seq_idx)] = r
+    assert got == want
+    max_doc = {}
+    for _, lang, n in rows:
+        max_doc[lang] = max(max_doc.get(lang, 0), n)
+    for lang, s_ in idx.items():
+        if max_doc[lang] < ctx:
+            assert s_ == set(range(len(s_))), f"gaps for {lang}"
+    for (lang, _), r in by_bin.items():
+        if max_doc[lang] < ctx:
+            assert r.tokens < 2 * ctx
