@@ -390,3 +390,33 @@ def simhash(
             F.col(f"b_{j}") > 0, F.lit(1 << j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def deduplicate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Materialize the deduplicated corpus: near-dup pairs (MinHash-LSH
+    + exact-Jaccard verify) -> connected components -> drop every doc
+    that is not its cluster's canonical survivor (min id).  Docs in no
+    cluster pass through untouched.
+
+    The kill list is (cluster size - 1) per cluster — tiny next to the
+    corpus — so the final anti join broadcasts; everything upstream
+    inherits the bounded-bucket guarantees of the LSH path (no
+    all-pairs anywhere).  This is the operator a training-data
+    pipeline actually calls; the stages stay exposed for auditing."""
+    pairs = near_dup_pairs(
+        df, text_col, id_col, num_perm, bands, shingle_n, threshold
+    )
+    comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    losers = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

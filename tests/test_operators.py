@@ -645,3 +645,30 @@ def test_sequence_packing_conserves_tokens(spark):
     assert got == want
     for lang, s in idx.items():
         assert s == set(range(len(s))), f"gaps in seq indices for {lang}"
+
+
+def test_deduplicate_materializes_survivors(spark):
+    """End-to-end corpus dedup: planted clones vanish, their canonical
+    (min-id) original survives, everything else passes through."""
+    from sparkplans.operators import dedup
+    from sparkplans.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = {r.doc_id for r in docs.select("doc_id").collect()}
+    src = docs.orderBy("doc_id").first()
+    clone_ids = [max(base) + i + 1 for i in range(3)]
+    clones = spark.createDataFrame(
+        [(cid, src.text) for cid in clone_ids], "doc_id long, text string"
+    )
+    planted = docs.unionByName(clones)
+
+    out = dedup.deduplicate(planted, threshold=0.995)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    removed = (base | set(clone_ids)) - kept
+    assert set(clone_ids) <= removed, "planted clones survived dedup"
+    assert src.doc_id in kept, "canonical survivor was dropped"
+    # at jaccard >= 0.995 only identical shingle sets cluster; the
+    # synthetic corpus has no exact dups, so ONLY the clones go
+    assert removed == set(clone_ids), f"unexpected removals: {removed - set(clone_ids)}"
