@@ -2606,3 +2606,8 @@ def q_gopher_quality_rules(spark, sf_dir):
         F.count(F.when(ok_sym, 1)).alias("pass_symbol_ratio"),
         F.count(F.when(ok_len & ok_wl & ok_sym, 1)).alias("pass_all"),
     )
+
+
+# Batch-2 registrations (warehouse / retrieval / chunking) live in a
+# sibling module; importing it populates REGISTRY.
+from sparkplans.queries import warehouse  # noqa: E402,F401
