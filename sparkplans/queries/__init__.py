@@ -2611,3 +2611,7 @@ def q_gopher_quality_rules(spark, sf_dir):
 # Batch-2 registrations (warehouse / retrieval / chunking) live in a
 # sibling module; importing it populates REGISTRY.
 from sparkplans.queries import warehouse  # noqa: E402,F401
+
+# Batch-3 (rolling actives / attribution / percentiles / EWMA /
+# mixture weights) likewise.
+from sparkplans.queries import analytics  # noqa: E402,F401

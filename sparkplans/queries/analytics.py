@@ -1,0 +1,219 @@
+"""Analytics query batch 3: rolling-window actives, attribution band
+joins, exact percentiles, contribution shares, bag-of-words duplicate
+blocking, EWMA smoothing, and dataset-mixture reweighting.
+
+Same contract as the main registry (`sparkplans/queries/__init__.py`):
+every entry is DuckDB-oracled; float accumulation is either
+DECIMAL-exact or a left-to-right IEEE fold replicated verbatim on the
+oracle side.  The reference exercises none of these shapes — they
+extend the engine toward the training-data / product-analytics north
+star (SURVEY.md §7 phase F) while staying declarative so Catalyst
+owns the physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkplans.queries import _shared_sql, _t, _t_cpu, register
+
+
+@register(
+    "rolling_active_users_7d",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    tgt AS (
+      SELECT user_id, d + CAST(i AS INTEGER) AS day
+      FROM ud, generate_series(0, 6) g(i))
+    SELECT day, count(DISTINCT user_id) AS active_7d
+    FROM tgt GROUP BY day
+    """,
+)
+def q_rolling_active_users_7d(spark, sf_dir):
+    """Trailing-7-day distinct active users per day.  The classic
+    rolling-distinct problem: COUNT(DISTINCT) over a RANGE window is
+    unsupported (Spark) or quadratic (naive self-join), so each
+    (user, day) observation is exploded to the <=7 target days it can
+    influence and the per-day distinct count becomes a plain two-phase
+    aggregate.  Work scales as 7x the deduped (user, day) pairs —
+    linear in the corpus, never corpus x days — and the explode is
+    codegen `sequence()`, no Python, no driver loop."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    tgt = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+    )
+    return tgt.groupBy("day").agg(F.countDistinct("user_id").alias("active_7d"))
+
+
+_shared_sql(
+    "attribution_clicks_24h",
+    """
+    SELECT p.event_id, count(c.event_id) AS n_clicks_24h
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+# Attribution band join: clicks in the 24h window before each
+# purchase, same user.  The user_id equi-key keeps this a hash join
+# (the band predicate evaluates post-probe), so candidate pairs are
+# per-user-quadratic-within-24h, never corpus-quadratic.  At 100 TB
+# the purchase side filter is pushed to the scan and the join
+# shuffles both sides once on user_id.
+
+
+@register(
+    "exact_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def q_exact_value_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per event type (Spark
+    `percentile` == DuckDB `quantile_cont`).  Exact percentiles
+    buffer each group's values on one reducer — correct but
+    memory-bound by the hottest group; the scale path is
+    `approx_value_quantiles` (GK sketch, mergeable, bounded memory).
+    Keeping both registered documents the trade explicitly."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+_shared_sql(
+    "revenue_share_by_nation",
+    """
+    WITH n AS (
+      SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(28,4))) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+             AS revenue_share
+    FROM n
+    """,
+)
+# Percent-of-total contribution: revenue accumulates in DECIMAL (sum
+# order irrelevant => bit-identical across engines), the share divides
+# doubles once per output row.  The OVER () total is computed on 25
+# post-aggregate rows — a one-row exchange, not a corpus-wide
+# single-partition sort.  customer and nation broadcast below the
+# orders-side aggregation.
+
+
+@register(
+    "bow_duplicate_groups",
+    """
+    WITH sig AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_sort(regexp_split_to_array(trim(text), '\\s+')), ' '))
+               AS bow_sig
+      FROM documents)
+    SELECT bow_sig, count(*) AS n_docs, min(doc_id) AS keeper_doc
+    FROM sig GROUP BY bow_sig HAVING count(*) > 1
+    """,
+)
+def q_bow_duplicate_groups(spark, sf_dir):
+    """Bag-of-words duplicate blocking: md5 over the *sorted* token
+    list keys docs that are word-order permutations of each other —
+    a cheap canonicalization layer between exact dedup (misses
+    reorders) and MinHash (pays shingling).  One fingerprint pass +
+    one hash-keyed aggregate; the signature is 32 bytes however long
+    the document, so the shuffle carries fingerprints, not text."""
+    sig = _t_cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.split(F.trim(F.col("text")), r"\s+")))
+        ).alias("bow_sig"),
+    )
+    return (
+        sig.groupBy("bow_sig")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "ewma_user_value",
+    """
+    WITH lv AS (
+      SELECT user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id,
+           round(list_reduce(vals, (acc, x) -> acc * 0.8 + x * 0.2), 6)
+             AS ewma10
+    FROM lv WHERE rn = 1
+    """,
+)
+def q_ewma_user_value(spark, sf_dir):
+    """Per-user EWMA (alpha=0.2) over the last 10 events — the
+    smoothed-metric primitive behind anomaly scores and engagement
+    decay.  The recursion s_i = 0.8*s_{i-1} + 0.2*x_i can't be a
+    plain window sum (weights depend on the current row), so the
+    last-10 frame is collected and folded left-to-right with
+    `F.aggregate` — a JVM lambda over a <=10-element array, identical
+    fold order to DuckDB's `list_reduce`, so doubles match
+    bit-for-bit.  One user-keyed shuffle; frame-bounded memory."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    lv = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.collect_list("value").over(w).alias("vals"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+    )
+    ewma = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+    )
+    return lv.select("user_id", F.round(ewma, 6).alias("ewma10"))
+
+
+_shared_sql(
+    "lang_mixture_weights",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT sum(n) AS tot, count(*) AS k FROM c)
+    SELECT lang, n AS n_docs,
+           round(CAST(tot AS DOUBLE)
+                 / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS mix_weight
+    FROM c, t
+    """,
+)
+# Dataset-mixture reweighting: per-language resampling weight that
+# would equalize the language mix (weight = target_share /
+# actual_share = tot / (k * n)).  The per-language census is one
+# keyed aggregate; the totals table is ONE row, so the join
+# broadcasts.  All-double arithmetic, identical on both engines.

@@ -248,44 +248,52 @@ _BM25_TERMS = ("join", "scan", "merge")
 def q_bm25_scores(spark, sf_dir):
     """BM25 (k1=1.2, b=0.75) relevance scores for a fixed query term
     set — the classic lexical-retrieval primitive over the corpus.
-    Corpus stats (N, avgdl) are a one-row aggregate broadcast to every
-    scoring task; per-term document frequencies are a tiny broadcast
-    dim; per-term partial scores accumulate in DECIMAL so the
-    distributed sum is order-independent.  Everything is JVM
-    expressions over one token explode — two doc-keyed shuffles
-    total, no Python in the hot path."""
+    Single-pass formulation: ONE doc-keyed aggregation computes both
+    document length and per-term tf (conditional counts); ONE
+    single-row rollup over it yields N, avgdl and every term's df,
+    broadcast back via cross join.  Per-term scores are summed as
+    DECIMAL (exact, order-independent), and a term with tf=0
+    contributes exactly 0, so the wide form hash-matches the oracle's
+    tall (doc,term)-row form.  Two keyed shuffles total at any corpus
+    size; no Python in the hot path."""
     toks = _t_cpu(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dl.agg(
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("tok") == t, 1)).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
     )
-    tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    dft = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    j = (
-        tf.join(F.broadcast(dft), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-    )
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    w = (idf * (F.col("tf") * 2.2)) / (
-        F.col("tf")
-        + 1.2 * (F.lit(1) - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    j = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_w(t: str):
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        w = (idf * (tf * 2.2)) / (
+            tf + 1.2 * (F.lit(1) - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+        return w.cast("decimal(28,12)")
+
+    total = term_w(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        total = total + term_w(t)
+    matched = sum(
+        (F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0) for t in _BM25_TERMS),
+        F.lit(0),
     )
     return (
-        j.select("doc_id", w.alias("w"))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(F.col("w").cast("decimal(28,12)")).cast("double"), 6
-            ).alias("bm25")
-        )
+        j.filter(matched > 0)
+        .select("doc_id", F.round(total.cast("double"), 6).alias("bm25"))
     )
 
 

@@ -672,3 +672,36 @@ def test_deduplicate_materializes_survivors(spark):
     # at jaccard >= 0.995 only identical shingle sets cluster; the
     # synthetic corpus has no exact dups, so ONLY the clones go
     assert removed == set(clone_ids), f"unexpected removals: {removed - set(clone_ids)}"
+
+
+def test_bow_duplicate_groups_planted(spark, tmp_path):
+    """A word-order permutation of an existing doc must collide on the
+    sorted-token fingerprint.  The stock corpus has no duplicates at
+    all (the registered query is legitimately 0-row there), so this
+    planted permutation proves the blocker actually fires."""
+    import os
+
+    import sparkplans.queries as Q
+    from sparkplans.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    victim = docs.orderBy("doc_id").first()
+    shuffled = " ".join(reversed(victim.text.split()))
+    assert shuffled != victim.text  # a real reorder, not a palindrome
+    clone_id = victim.doc_id + 10_000_000
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(clone_id, shuffled, victim.lang, victim.source, len(shuffled))],
+            docs.schema,
+        )
+    )
+    sf_dir = str(tmp_path / "sf_bow")
+    os.makedirs(sf_dir)
+    planted.write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+
+    groups = Q.REGISTRY["bow_duplicate_groups"].fn(spark, sf_dir).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2
+    assert groups[0].keeper_doc == victim.doc_id

@@ -157,6 +157,41 @@ BUDGETS = {
     "window_range_frame": 1,
     "window_rank": 1,
     "window_running_total": 1,
+    # --- batch 2 (queries/warehouse.py) ---
+    # user-keyed window + tiny (prev,next) rollup
+    "event_transitions": 2,
+    "scd2_user_value": 1,
+    # per-(user,type) counts + user-keyed ranking window
+    "mode_event_type": 2,
+    "listagg_customers": 1,
+    # fan_out + (doc,tok) counts + per-doc rollup
+    "token_entropy": 3,
+    # hourly pre-agg + user-keyed fill window (grid join reuses both)
+    "gap_fill_locf": 2,
+    # fan_out + per-doc wide agg, subtree repeated under the one-row
+    # stats rollup (2x2) + the rollup itself; AQE ReusedExchange
+    # collapses the repeat at runtime => 3 physical stages
+    "bm25_scores": 5,
+    # fan_out + map-side-distinct expand + token-keyed postings agg
+    "inverted_index": 3,
+    # fan_out + one (source,bucket) hash join + pair dedup
+    "edit_distance_near_dups": 3,
+    # chunking is codegen-only; fan_out is the only exchange
+    "doc_chunks": 1,
+    # --- batch 3 (queries/analytics.py) ---
+    # (user,day) distinct + the distinct-agg pair on the exploded grid
+    "rolling_active_users_7d": 3,
+    # user-keyed self-join; band predicate rides the hash join
+    "attribution_clicks_24h": 1,
+    "exact_value_percentiles": 1,
+    # orders-side agg + one-row OVER() total; dims broadcast
+    "revenue_share_by_nation": 2,
+    # fan_out + fingerprint-keyed agg (32-byte keys, not text)
+    "bow_duplicate_groups": 2,
+    # one user-keyed window partitioning shared by frame + rank
+    "ewma_user_value": 1,
+    # lang census + one-row totals rollup + broadcast-back
+    "lang_mixture_weights": 3,
 }
 
 
