@@ -303,3 +303,124 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "appen
     )
     q.awaitTermination(120)
     return q
+
+
+# ---------------------------------------------------------------------
+# Continuous aggregate: incremental rollup maintenance
+# ---------------------------------------------------------------------
+
+
+def rollup_apply_batch(
+    path: str,
+    interval: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+):
+    """Build the foreachBatch merge function for `continuous_rollup`.
+
+    Each micro-batch is pre-aggregated to *mergeable* partials
+    (cnt / DECIMAL sum / min / max) at `interval` granularity, then
+    merged into the persistent rollup table copy-on-write: rows for
+    untouched bins are carried over untouched, rows for touched bins
+    are re-combined with the batch partials.  Per-batch cost is
+    O(batch + touched-bin rows) — raw history is never re-scanned,
+    which is the whole point of a continuous aggregate at 100 TB.
+
+    Idempotence: the applied batch id is written as a `_LAST_BATCH`
+    marker *inside the staging directory before the atomic rename*,
+    so data and marker commit together; a retried batch (foreachBatch
+    is at-least-once on failure) sees its own id and no-ops instead
+    of double-counting.
+    """
+    import shutil
+    import tempfile
+
+    from sparkplans.operators.rollup import timeseries_rollup
+
+    keys = keys or []
+    bin_keys = ["bin", *keys]
+
+    def _last_applied(p: str) -> int:
+        marker = os.path.join(p, "_LAST_BATCH")
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                return int(f.read().strip())
+        return -1
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = timeseries_rollup(
+            batch_df, [interval], ts_col=ts_col, value_col=value_col, keys=keys
+        )[interval].withColumn(
+            # pin the accumulator type: repeated merge passes would
+            # otherwise widen DECIMAL precision batch over batch and
+            # drift the stored schema
+            "sum_value",
+            F.col("sum_value").cast("decimal(38,6)"),
+        )
+        exists = os.path.isdir(path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(path)
+        )
+        if exists and _last_applied(path) >= batch_id:
+            return  # retry of an already-committed batch
+        if not exists:
+            merged = partial
+        else:
+            target = spark.read.parquet(path).withColumn(
+                "sum_value", F.col("sum_value").cast("decimal(38,6)")
+            )
+            touched = partial.select(*bin_keys).distinct()
+            kept = target.join(F.broadcast(touched), bin_keys, "left_anti")
+            overlap = target.join(F.broadcast(touched), bin_keys, "left_semi")
+            recombined = (
+                overlap.unionByName(partial)
+                .groupBy(*bin_keys)
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+            merged = kept.unionByName(recombined.select(*kept.columns))
+        parent = os.path.dirname(path.rstrip("/")) or "."
+        os.makedirs(parent, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix="rollup_", dir=parent)
+        merged.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, "_LAST_BATCH"), "w") as f:
+            f.write(str(batch_id))
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
+
+    return apply_batch
+
+
+def continuous_rollup(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    interval: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+):
+    """Streaming continuous aggregate (the hypertable-rollup analog
+    for unbounded input, extending operators/rollup.timeseries_rollup
+    which the batch `hypertable_rollup_1h` query verifies): maintain a
+    persistent per-bin rollup table incrementally from a file stream.
+    Read it back with operators.rollup.finalize for avg/double views.
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(
+            rollup_apply_batch(
+                path, interval, ts_col=ts_col, value_col=value_col, keys=keys
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

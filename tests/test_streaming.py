@@ -233,3 +233,69 @@ def test_streaming_sessions_subset_of_batch(spark, events_dir):
         for r in Q.REGISTRY["sessionize_batch"].fn(spark, SF_DIR).collect()
     }
     assert got <= batch, f"{len(got - batch)} streaming sessions not in batch twin"
+
+
+def test_continuous_rollup_incremental_matches_batch(spark, tmp_path):
+    """Multi-batch incremental rollup maintenance == one-shot batch
+    rollup over the same data; a retried batch id is a no-op."""
+    from decimal import Decimal
+
+    from sparkplans.operators.rollup import timeseries_rollup
+
+    # split events into 4 files so availableNow processes 4 batches
+    src = str(tmp_path / "src")
+    ev_raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev_raw.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    stream = streaming.stream_events(spark, src, max_files_per_trigger=1)
+    streaming.continuous_rollup(
+        stream, out, ck, interval="1 hour", keys=["event_type"]
+    )
+
+    got = {
+        (r.bin, r.event_type): (r.cnt, r.sum_value, r.min_value, r.max_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        (r.bin, r.event_type): (
+            r.cnt,
+            Decimal(r.sum_value).quantize(Decimal("0.000001")),
+            r.min_value,
+            r.max_value,
+        )
+        for r in timeseries_rollup(ev, ["1 hour"], keys=["event_type"])[
+            "1 hour"
+        ].collect()
+    }
+    assert len(got) > 4  # multiple bins actually merged across batches
+    assert got == want
+
+    # retrying the last batch id must not double-count
+    apply = streaming.rollup_apply_batch(out, "1 hour", keys=["event_type"])
+    last_id = int(open(os.path.join(out, "_LAST_BATCH")).read())
+    replay = spark.read.parquet(src).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    apply(replay, last_id)
+    again = {
+        (r.bin, r.event_type): (r.cnt, r.sum_value, r.min_value, r.max_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
+
+    # restarting over the same checkpoint with no new input: unchanged
+    streaming.continuous_rollup(
+        streaming.stream_events(spark, src, max_files_per_trigger=1),
+        out,
+        ck,
+        interval="1 hour",
+        keys=["event_type"],
+    )
+    final = {
+        (r.bin, r.event_type): (r.cnt, r.sum_value, r.min_value, r.max_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert final == got
