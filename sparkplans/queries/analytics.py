@@ -217,3 +217,22 @@ _shared_sql(
 # actual_share = tot / (k * n)).  The per-language census is one
 # keyed aggregate; the totals table is ONE row, so the join
 # broadcasts.  All-double arithmetic, identical on both engines.
+
+
+@register("hll_daily_users", None)  # sketch state has no SQL oracle
+def q_hll_daily_users(spark, sf_dir):
+    """Persistable distinct-user sketches per (day, event_type) with
+    read-time estimates (operators/sketches).  Rows-only driver check
+    by design: the DataSketches binary state has no DuckDB
+    equivalent; the <5% accuracy and lossless-union guarantees are
+    pinned in tests/test_operators.py instead."""
+    from sparkplans.operators.sketches import hll_rollup
+
+    sk = hll_rollup(
+        _t(spark, sf_dir, "events"),
+        id_col="user_id",
+        keys=["event_type"],
+        interval="1 day",
+    )
+    # surface the estimate; drop the opaque state column for display
+    return sk.select("bin", "event_type", "distinct_est")

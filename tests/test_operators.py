@@ -705,3 +705,35 @@ def test_bow_duplicate_groups_planted(spark, tmp_path):
     assert len(groups) == 1
     assert groups[0].n_docs == 2
     assert groups[0].keeper_doc == victim.doc_id
+
+
+def test_hll_sketch_rollup_merge_and_persistence(spark, tmp_path):
+    """Daily HLL sketches: estimates within 5% of exact; unioning the
+    persisted daily states equals sketching the raw corpus directly
+    (lossless merge at matching lgK) — the no-rescan pattern."""
+    from sparkplans.operators.sketches import hll_rollup, hll_union_rollup
+    from sparkplans.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    daily = hll_rollup(ev, id_col="user_id", keys=["event_type"], interval="1 day")
+
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+
+    # persist the mergeable state, read it back, coarsen day -> type
+    path = str(tmp_path / "daily_sketches")
+    daily.write.parquet(path)
+    merged = hll_union_rollup(spark.read.parquet(path), ["event_type"])
+    est = {r.event_type: r.distinct_est for r in merged.collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n < 0.05, (t, est[t], n)
+
+    # lossless union: merged-from-daily == sketched-directly-from-raw
+    direct = hll_rollup(ev, id_col="user_id", keys=["event_type"])
+    direct_est = {r.event_type: r.distinct_est for r in direct.collect()}
+    assert est == direct_est

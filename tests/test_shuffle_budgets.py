@@ -192,6 +192,8 @@ BUDGETS = {
     "ewma_user_value": 1,
     # lang census + one-row totals rollup + broadcast-back
     "lang_mixture_weights": 3,
+    # one keyed shuffle of fixed-size sketch states
+    "hll_daily_users": 1,
 }
 
 
