@@ -236,3 +236,70 @@ def q_hll_daily_users(spark, sf_dir):
     )
     # surface the estimate; drop the opaque state column for display
     return sk.select("bin", "event_type", "distinct_est")
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+        count(*) - count({c}) AS n_nulls,
+        count(DISTINCT {c}) AS n_distinct,
+        {f'CAST(min({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS min_value,
+        {f'CAST(max({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS max_value
+        FROM orders"""
+    for c, num in _PROFILE_COLS
+)
+
+
+@register("orders_profile", _PROFILE_ORACLE)
+def q_orders_profile(spark, sf_dir):
+    """Exact single-pass column profile of `orders` via
+    operators/profile (nulls, distinct cardinality, numeric ranges) —
+    the reference's statistics-collection surface exposed as a query.
+    Exact mode for oracle parity; `profile(approx=True)` is the scale
+    path (HLL++ states, one constant-size aggregation pass)."""
+    from sparkplans.operators.profile import profile
+
+    p = profile(
+        _t(spark, sf_dir, "orders"),
+        columns=[c for c, _ in _PROFILE_COLS],
+        approx=False,
+    )
+    return p.select(
+        F.col("column").alias("column_name"),
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )
+
+
+@register("pagerank_copurchase", None)  # fixed-point iteration: numeric, not hash-comparable
+def q_pagerank_copurchase(spark, sf_dir):
+    """PageRank over the part co-purchase graph (parts sharing an
+    order, both directions) — the iterative-algorithm showcase
+    (operators/graph).  Rows-only driver check by design: a power
+    iteration converges numerically, so correctness is pinned against
+    a closed-form reference on a known graph in tests, not a SQL
+    oracle.  Edge building is one self-join on l_orderkey; each
+    iteration is one dst-keyed aggregate over lineage cut by
+    localCheckpoint."""
+    from sparkplans.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return pagerank(edges, damping=0.85, iterations=5)

@@ -737,3 +737,76 @@ def test_hll_sketch_rollup_merge_and_persistence(spark, tmp_path):
     direct = hll_rollup(ev, id_col="user_id", keys=["event_type"])
     direct_est = {r.event_type: r.distinct_est for r in direct.collect()}
     assert est == direct_est
+
+
+def test_profile_single_pass_and_planted_values(spark):
+    """Profiler reports exact nulls/ranges and tolerant distincts on a
+    frame with planted nulls; approx mode stays one aggregation pass
+    (no per-column jobs)."""
+    from sparkplans import plans
+    from sparkplans.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10) if i % 5 else None, f"s{i % 3}") for i in range(100)],
+        "id long, v double, s string",
+    )
+    rows = {r.column: r for r in profile(df, approx=False).collect()}
+    assert rows["id"].n_rows == 100 and rows["id"].n_nulls == 0
+    assert rows["id"].n_distinct == 100
+    assert rows["v"].n_nulls == 20
+    assert rows["v"].n_distinct == 8  # 1..9 minus multiples of 5 -> {1,2,3,4,6,7,8,9}
+    assert (rows["v"].min_value, rows["v"].max_value) == (1.0, 9.0)
+    assert rows["s"].n_distinct == 3 and rows["s"].min_value is None
+
+    approx = profile(df, approx=True)
+    arows = {r.column: r for r in approx.collect()}
+    for c in ("id", "v", "s"):
+        exact = rows[c].n_distinct
+        assert abs(arows[c].n_distinct - exact) / max(exact, 1) < 0.05
+    # sketch aggregates keep the profile to single-partition exchanges
+    # of constant-size aggregation states (the planner may stage the
+    # merge as two SinglePartition hops; either way no data shuffles)
+    assert plans.num_exchanges(approx) <= 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        profile(df, columns=["nope"])
+
+
+def test_pagerank_matches_closed_form_reference(spark):
+    """DataFrame PageRank == pure-Python power iteration (identical
+    semantics incl. dangling redistribution) on a known graph."""
+    from sparkplans.operators.graph import pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 4)]  # 4 is dangling
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+
+    d, n = 0.85, 4
+    nodes = [1, 2, 3, 4]
+    out = {}
+    for s, t in edge_list:
+        out.setdefault(s, []).append(t)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        inflow = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                inflow[t] += ranks[s] / len(ts)
+        base = (1 - d) / n + d * dangling / n
+        ranks = {v: base + d * inflow[v] for v in nodes}
+
+    assert set(got) == set(ranks)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    # rank is a probability distribution (dangling mass conserved)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty_edges(spark):
+    from sparkplans.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edges, iterations=3).count() == 0

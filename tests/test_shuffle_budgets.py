@@ -194,6 +194,13 @@ BUDGETS = {
     "lang_mixture_weights": 3,
     # one keyed shuffle of fixed-size sketch states
     "hll_daily_users": 1,
+    # exact multi-column distinct => Expand + two single-partition
+    # state merges; approx operator mode is the scale path
+    "orders_profile": 2,
+    # per-iteration lineage is cut by localCheckpoint; the returned
+    # frame reads the final checkpoint (iteration shuffles are keyed
+    # aggregates counted per pass, not accumulated in the plan)
+    "pagerank_copurchase": 0,
 }
 
 
