@@ -281,6 +281,78 @@ def q_orders_profile(spark, sf_dir):
     )
 
 
+_QUALITY_GATE_ORACLE = """
+SELECT 'not_null(o_custkey)' AS check_name, count(*) AS n_rows,
+       count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations,
+       count(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)', count(*),
+       count(o_orderkey) - count(DISTINCT o_orderkey),
+       count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)', count(*),
+       count(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O','F','P') THEN 1 END),
+       count(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice)', count(*),
+       count(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 10000000)
+             THEN 1 END),
+       count(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 10000000)
+             THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'matches(o_orderpriority)', count(*),
+       count(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 END),
+       count(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'foreign_key(o_custkey->customer.c_custkey)', count(*),
+       count(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+             THEN 1 END),
+       count(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+             THEN 1 END) = 0
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("orders_quality_gate", _QUALITY_GATE_ORACLE)
+def q_orders_quality_gate(spark, sf_dir):
+    """Declarative data-quality gate on `orders` via
+    operators/expectations: not-null, uniqueness, accepted values,
+    range, regex shape, and referential integrity against `customer`.
+    All column-local checks fold into ONE aggregation pass (conditional
+    counts, constant-size state); the FK check is one broadcast left
+    join against the deduped dimension keys — at 100 TB a fact-sized
+    reference flips to `broadcast=False` (shuffle hash join)."""
+    from sparkplans.operators import expectations as X
+
+    return X.validate(
+        _t(spark, sf_dir, "orders"),
+        [
+            X.not_null("o_custkey"),
+            X.unique("o_orderkey"),
+            X.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            X.in_range("o_totalprice", 0, 10_000_000),
+            X.matches("o_orderpriority", "^[1-5]-"),
+            X.foreign_key("o_custkey", "customer", "c_custkey"),
+        ],
+        refs={"customer": _t(spark, sf_dir, "customer")},
+    )
+
+
 @register("pagerank_copurchase", None)  # fixed-point iteration: numeric, not hash-comparable
 def q_pagerank_copurchase(spark, sf_dir):
     """PageRank over the part co-purchase graph (parts sharing an

@@ -810,3 +810,72 @@ def test_pagerank_empty_edges(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank(edges, iterations=3).count() == 0
+
+
+def test_expectations_planted_violations(spark):
+    """Each check kind reports the exact planted violation count; FK
+    nulls pass (SQL semantics); clean table passes everything."""
+    from sparkplans.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT", 100),
+            (2, "O", -5.0, "9-BAD", 100),       # range + regex violations
+            (2, "Z", 20.0, "2-HIGH", 999),      # dup id, bad status, bad FK
+            (None, "F", None, None, None),      # null id; null FK passes
+        ],
+        "id long, status string, price double, prio string, custkey long",
+    )
+    ref = spark.createDataFrame([(100,), (200,)], "c_custkey long")
+    got = {
+        r.check_name: r
+        for r in X.validate(
+            df,
+            [
+                X.not_null("id"),
+                X.unique("id"),
+                X.accepted_values("status", ["O", "F", "P"]),
+                X.in_range("price", 0, 100),
+                X.matches("prio", "^[1-5]-"),
+                X.foreign_key("custkey", "ref", "c_custkey"),
+            ],
+            refs={"ref": ref},
+        ).collect()
+    }
+    assert len(got) == 6 and all(r.n_rows == 4 for r in got.values())
+    v = {k: r.n_violations for k, r in got.items()}
+    assert v["not_null(id)"] == 1
+    assert v["unique(id)"] == 1          # 4 rows, 3 distinct non-null... dup pair
+    assert v["accepted_values(status)"] == 1
+    assert v["in_range(price)"] == 1     # nulls don't violate range
+    assert v["matches(prio)"] == 1       # nulls don't violate regex
+    assert v["foreign_key(custkey->ref.c_custkey)"] == 1  # null FK passes
+    assert not any(r.passed for r in got.values())
+
+    clean = X.validate(
+        ref.withColumnRenamed("c_custkey", "id"),
+        [X.not_null("id"), X.unique("id")],
+    )
+    assert all(r.passed and r.n_violations == 0 for r in clean.collect())
+
+
+def test_expectations_errors_and_broadcast_plan(spark):
+    from sparkplans import plans
+    from sparkplans.operators import expectations as X
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        X.validate(df, [])
+    with pytest.raises(ValueError):
+        X.validate(df, [X.not_null("nope")])
+    with pytest.raises(ValueError):
+        X.validate(df, [X.foreign_key("a", "missing", "x")])
+    with pytest.raises(ValueError):
+        X.in_range("a")
+
+    out = X.validate(
+        df, [X.foreign_key("a", "r", "x")],
+        refs={"r": spark.createDataFrame([(1,)], "x long")},
+    )
+    assert "BroadcastHashJoin" in plans.plan_text(out)

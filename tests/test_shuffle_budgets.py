@@ -197,6 +197,11 @@ BUDGETS = {
     # exact multi-column distinct => Expand + two single-partition
     # state merges; approx operator mode is the scale path
     "orders_profile": 2,
+    # one Expand+countDistinct pass for the column-local checks (2
+    # single-partition state hops), one dedup of the FK reference
+    # keys, one final-agg hop after the broadcast join; all
+    # constant-size states or dimension keys — no fact data shuffles
+    "orders_quality_gate": 4,
     # per-iteration lineage is cut by localCheckpoint; the returned
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
