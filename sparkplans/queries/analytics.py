@@ -353,6 +353,62 @@ def q_orders_quality_gate(spark, sf_dir):
     )
 
 
+_DIFF_ORACLE = """
+WITH new_snap AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+), j AS (
+  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                    AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                    AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                    AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                    AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+              THEN 'update' END AS change_type
+  FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
+"""
+
+
+@register("orders_snapshot_diff", _DIFF_ORACLE)
+def q_orders_snapshot_diff(spark, sf_dir):
+    """CDC change-set derivation via operators/diff.table_diff: a
+    deterministic 'yesterday vs today' pair is built from `orders`
+    (every 97th key deleted, every 100th price-bumped, every 101st
+    re-inserted under a shifted key) and diffed on the primary key.
+    One full-outer shuffle join; on a cluster with both snapshots
+    bucketed by key it degrades to a zero-shuffle sort-merge join."""
+    from sparkplans.operators.diff import table_diff
+
+    old = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    new = (
+        old.filter(key % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 100 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter(key % 101 == 0).withColumn(
+                "o_orderkey", key + 10000000
+            )
+        )
+    )
+    return table_diff(old, new, keys=["o_orderkey"])
+
+
 @register("pagerank_copurchase", None)  # fixed-point iteration: numeric, not hash-comparable
 def q_pagerank_copurchase(spark, sf_dir):
     """PageRank over the part co-purchase graph (parts sharing an

@@ -879,3 +879,56 @@ def test_expectations_errors_and_broadcast_plan(spark):
         refs={"r": spark.createDataFrame([(1,)], "x long")},
     )
     assert "BroadcastHashJoin" in plans.plan_text(out)
+
+
+def test_table_diff_planted_changes_and_null_semantics(spark):
+    """insert/delete/update classification with null-safe compare:
+    null->value and value->null are updates, null->null is unchanged;
+    changed_cols names exactly the differing columns."""
+    from sparkplans.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, None, 3.0), (4, "d", 4.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged
+         (2, "b2", None),      # s updated, null v unchanged
+         (3, None, None),      # v: value -> null = update
+         (5, "e", 5.0)],       # insert; 4 deleted
+        "id long, s string, v double",
+    )
+    got = {
+        r.id: r
+        for r in table_diff(
+            old, new, ["id"], include_changed_cols=True
+        ).collect()
+    }
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2].change_type == "update" and got[2].changed_cols == ["s"]
+    assert got[3].change_type == "update" and got[3].changed_cols == ["v"]
+    assert got[4].change_type == "delete" and got[4].changed_cols == []
+    assert got[5].change_type == "insert" and got[5].changed_cols == []
+
+    # hash_compare mode classifies identically
+    h = {r.id: r.change_type for r in table_diff(old, new, ["id"], hash_compare=True).collect()}
+    assert h == {k: r.change_type for k, r in got.items()}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        table_diff(old, new, [])
+    with pytest.raises(ValueError):
+        table_diff(old, new, ["nope"])
+
+
+def test_table_diff_key_only_and_subset_compare(spark):
+    from sparkplans.operators.diff import table_diff
+
+    old = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    new = spark.createDataFrame([(1, 99), (3, 30)], "k long, v long")
+    # compare=[] => pure key membership diff: no updates possible
+    only_keys = {r.k: r.change_type for r in table_diff(old, new, ["k"], compare=[]).collect()}
+    assert only_keys == {2: "delete", 3: "insert"}
+    full = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+    assert full == {1: "update", 2: "delete", 3: "insert"}

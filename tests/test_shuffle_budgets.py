@@ -202,6 +202,9 @@ BUDGETS = {
     # keys, one final-agg hop after the broadcast join; all
     # constant-size states or dimension keys — no fact data shuffles
     "orders_quality_gate": 4,
+    # one full-outer sort-merge join: each side shuffles on the key
+    # once; bucketed snapshots would bring this to 0
+    "orders_snapshot_diff": 2,
     # per-iteration lineage is cut by localCheckpoint; the returned
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
