@@ -281,6 +281,25 @@ def q_orders_profile(spark, sf_dir):
     )
 
 
+# Correlated LATERAL derived table — the shape the reference's
+# `decorrelate_lateral_join` logical rule (docs/3_cli_query_plans.md:108)
+# exists for: a per-outer-row subquery with ORDER BY ... LIMIT,
+# decorrelated by both engines into a ranked join (Spark plans a
+# window + broadcast join — no per-row re-execution).  The window
+# twin of this shape is `top_suppliers_per_nation`; this is the
+# SQL-surface twin.
+_shared_sql(
+    "lateral_top_customers",
+    """
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 3) c
+    """,
+)
+
+
 _QUALITY_GATE_ORACLE = """
 SELECT 'not_null(o_custkey)' AS check_name, count(*) AS n_rows,
        count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations,

@@ -205,6 +205,9 @@ BUDGETS = {
     # one full-outer sort-merge join: each side shuffles on the key
     # once; bucketed snapshots would bring this to 0
     "orders_snapshot_diff": 2,
+    # LATERAL decorrelated into a ranking window (one keyed shuffle)
+    # + broadcast join with nation
+    "lateral_top_customers": 1,
     # per-iteration lineage is cut by localCheckpoint; the returned
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
