@@ -300,6 +300,79 @@ _shared_sql(
 )
 
 
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+]
+
+
+def _corr_sum_sql():
+    # 19,4 forces DuckDB's int128 multiply path (the int64 fast path
+    # overflows on price*price); Spark side stays (15,4) — both exact
+    d = lambda c: f"CAST({c} AS DECIMAL(19,4))"  # noqa: E731
+    parts = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        parts.append(f"CAST(sum({d(c)}) AS DOUBLE) AS s_{c}")
+        parts.append(f"CAST(sum({d(c)} * {d(c)}) AS DOUBLE) AS ss_{c}")
+    for a, b in _CORR_PAIRS:
+        parts.append(f"CAST(sum({d(a)} * {d(b)}) AS DOUBLE) AS sp_{a}_{b}")
+    return ",\n    ".join(parts)
+
+
+_CORR_ORACLE = f"""
+WITH s AS (
+  SELECT {_corr_sum_sql()}
+  FROM lineitem)
+""" + "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_x, '{b}' AS col_y, n,
+        round((n * sp_{a}_{b} - s_{a} * s_{b})
+              / (sqrt(n * ss_{a} - s_{a} * s_{a})
+                 * sqrt(n * ss_{b} - s_{b} * s_{b})), 9) AS corr_r
+        FROM s"""
+    for a, b in _CORR_PAIRS
+)
+
+
+@register("lineitem_corr_matrix", _CORR_ORACLE)
+def q_lineitem_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    columns in ONE aggregation pass: all co-moments accumulate as
+    exact DECIMAL sums (order-independent => bit-identical to the
+    oracle), the closed form evaluates in double on the single result
+    row.  The multi-pair generalization of df.stat.corr — 6 pairs for
+    the cost of one scan, constant-size aggregation state; at 100 TB
+    this is the only sane way to compute a feature-correlation
+    screen."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(15,4)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d(c) * d(c)).cast("double").alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(d(a) * d(b)).cast("double").alias(f"sp_{a}_{b}"))
+    row = li.agg(*aggs)
+
+    def corr(a, b):
+        n = F.col("n")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")) * F.sqrt(
+            n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        )
+        return F.round(num / den, 9)
+
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col("n").alias("n"),
+            corr(a, b).alias("corr_r"),
+        )
+        for a, b in _CORR_PAIRS
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
+
+
 _QUALITY_GATE_ORACLE = """
 SELECT 'not_null(o_custkey)' AS check_name, count(*) AS n_rows,
        count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations,

@@ -208,6 +208,8 @@ BUDGETS = {
     # LATERAL decorrelated into a ranking window (one keyed shuffle)
     # + broadcast join with nation
     "lateral_top_customers": 1,
+    # all 14 co-moments in one partial+final pass of DECIMAL states
+    "lineitem_corr_matrix": 1,
     # per-iteration lineage is cut by localCheckpoint; the returned
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
