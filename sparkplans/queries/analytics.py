@@ -281,6 +281,30 @@ def q_orders_profile(spark, sf_dir):
     )
 
 
+# Recursive CTE (Spark 4 WITH RECURSIVE == DuckDB): a calendar month
+# spine generated by recursion drives a LEFT join so zero-order months
+# survive — the canonical "report every period" shape.  The recursion
+# materializes ~80 calendar rows regardless of fact size (one tiny
+# frame per step, bounded by the literal date range); the fact side
+# aggregates once on the truncated month.  Literal bounds match the
+# generator's fixed o_orderdate range (TESTDATA.md, seed=42).
+_shared_sql(
+    "recursive_month_spine",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < CAST('2001-08-01' AS DATE)
+    )
+    SELECT m AS order_month, count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+    GROUP BY m
+    """,
+)
+
+
 # Correlated LATERAL derived table — the shape the reference's
 # `decorrelate_lateral_join` logical rule (docs/3_cli_query_plans.md:108)
 # exists for: a per-outer-row subquery with ORDER BY ... LIMIT,

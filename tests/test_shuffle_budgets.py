@@ -210,6 +210,8 @@ BUDGETS = {
     "lateral_top_customers": 1,
     # all 14 co-moments in one partial+final pass of DECIMAL states
     "lineitem_corr_matrix": 1,
+    # ~80-row recursive spine broadcasts; one keyed agg on the fact
+    "recursive_month_spine": 1,
     # per-iteration lineage is cut by localCheckpoint; the returned
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
