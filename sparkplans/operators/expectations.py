@@ -97,6 +97,60 @@ def foreign_key(column: str, ref_name: str, ref_column: str) -> Check:
     )
 
 
+def annotate_violations(
+    df: DataFrame,
+    checks: list[Check],
+    refs: dict[str, DataFrame] | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Row-level twin of :func:`validate`: returns ``df`` with a
+    ``failed_checks`` array naming every check each row violates
+    (empty array = clean row).  This is the routing primitive behind
+    quarantine flows — `streaming.quality_gate` splits on
+    ``size(failed_checks) > 0``.
+
+    'unique' checks are not row-local (a duplicate is a property of
+    the pair) and are rejected here — run them through
+    :func:`validate`.  FK checks compile to a left join against the
+    deduped reference keys, same plan as validate's.
+    """
+    if not checks:
+        raise ValueError("no checks given")
+    for c in checks:
+        if c.kind == "unique":
+            raise ValueError(f"{c.name}: unique is not row-local")
+        if c.kind == "foreign_key" and (refs is None or c.ref_name not in refs):
+            raise ValueError(f"{c.name}: missing refs[{c.ref_name!r}]")
+    out = df
+    flags = []
+    for i, c in enumerate(checks):
+        if c.kind == "agg":
+            flags.append(F.when(c._violation, F.lit(c.name)))
+        else:  # foreign_key
+            marker = f"__fk_ok_{i}"
+            keys = refs[c.ref_name].select(
+                F.col(c.ref_column).alias(f"__ref_{i}")
+            ).distinct().withColumn(marker, F.lit(True))
+            if broadcast:
+                keys = F.broadcast(keys)
+            out = out.join(
+                keys, F.col(c.column) == F.col(f"__ref_{i}"), "left"
+            ).drop(f"__ref_{i}")
+            flags.append(
+                F.when(
+                    F.col(c.column).isNotNull() & F.col(marker).isNull(),
+                    F.lit(c.name),
+                )
+            )
+    result = out.withColumn(
+        "failed_checks",
+        F.sort_array(F.filter(F.array(*flags), lambda x: x.isNotNull())),
+    )
+    return result.drop(
+        *[f"__fk_ok_{i}" for i, c in enumerate(checks) if c.kind == "foreign_key"]
+    )
+
+
 def validate(
     df: DataFrame,
     checks: list[Check],

@@ -424,3 +424,52 @@ def continuous_rollup(
     )
     q.awaitTermination(120)
     return q
+
+
+def quality_gate(
+    stream_df: DataFrame,
+    checks,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    refs: dict[str, DataFrame] | None = None,
+):
+    """Streaming data-quality gate: every micro-batch is annotated
+    row-by-row with `operators.expectations.annotate_violations`,
+    clean rows land in ``good_path``, violating rows (plus their
+    ``failed_checks`` list) in ``quarantine_path`` — the
+    quarantine-don't-drop pattern a training-data intake pipeline
+    uses so bad records stay auditable.
+
+    foreachBatch is at-least-once on retries; both writes are plain
+    appends, so a retried batch can duplicate rows in the two sinks —
+    downstream consumers dedup on a key or read via the upsert sink
+    when exactly-once matters.  Each batch runs the checks as one
+    annotation pass (conditional flags + optional broadcast FK joins),
+    so the gate adds no shuffle to the stream.
+    """
+    from sparkplans.operators.expectations import annotate_violations
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = annotate_violations(batch_df, checks, refs=refs)
+        flagged.persist()
+        try:
+            bad = flagged.filter(F.size("failed_checks") > 0)
+            good = flagged.filter(F.size("failed_checks") == 0).drop(
+                "failed_checks"
+            )
+            good.write.mode("append").parquet(good_path)
+            bad.withColumn(
+                "failed_checks", F.concat_ws(",", "failed_checks")
+            ).write.mode("append").parquet(quarantine_path)
+        finally:
+            flagged.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

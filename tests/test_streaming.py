@@ -299,3 +299,76 @@ def test_continuous_rollup_incremental_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert final == got
+
+
+def test_quality_gate_quarantines_planted_violations(spark, events_dir, tmp_path):
+    """Streaming gate routes rows violating checks to quarantine with
+    their failed-check names; clean rows pass through untouched; the
+    split is lossless (good + bad == input)."""
+    from sparkplans.operators import expectations as X
+
+    stream = streaming.stream_events(spark, events_dir)
+    good, quar = str(tmp_path / "good"), str(tmp_path / "quar")
+    checks = [
+        X.accepted_values(
+            "event_type", ["click", "view", "purchase", "signup"]
+        ),
+        X.not_null("user_id"),
+    ]
+    streaming.quality_gate(
+        stream, checks, good, quar, str(tmp_path / "ck")
+    )
+
+    batch = load_table(spark, SF_DIR, "events")
+    n_total = batch.count()
+    n_bad_expect = batch.filter(
+        F.col("event_type").isNull()
+        | ~F.col("event_type").isin("click", "view", "purchase", "signup")
+        | F.col("user_id").isNull()
+    ).count()
+    assert n_bad_expect > 0, "fixture must contain at least one violation"
+
+    got_good = spark.read.parquet(good)
+    got_bad = spark.read.parquet(quar)
+    assert got_good.count() == n_total - n_bad_expect
+    assert got_bad.count() == n_bad_expect
+    assert "failed_checks" in got_bad.columns
+    assert "failed_checks" not in got_good.columns
+    names = {
+        n for r in got_bad.select("failed_checks").collect()
+        for n in r.failed_checks.split(",")
+    }
+    assert names <= {"accepted_values(event_type)", "not_null(user_id)"}
+
+
+def test_annotate_violations_row_level(spark):
+    from sparkplans.operators import expectations as X
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "O", 100), (2, "Z", 999), (None, "O", None)],
+        "id long, status string, fk long",
+    )
+    ref = spark.createDataFrame([(100,), (200,)], "k long")
+    out = {
+        tuple(r)[:3]: r.failed_checks
+        for r in X.annotate_violations(
+            df,
+            [
+                X.not_null("id"),
+                X.accepted_values("status", ["O", "F"]),
+                X.foreign_key("fk", "ref", "k"),
+            ],
+            refs={"ref": ref},
+        ).collect()
+    }
+    assert out[(1, "O", 100)] == []
+    assert out[(2, "Z", 999)] == [
+        "accepted_values(status)",
+        "foreign_key(fk->ref.k)",
+    ]
+    # null id fails not_null; null fk passes FK
+    assert out[(None, "O", None)] == ["not_null(id)"]
+
+    with pytest.raises(ValueError):
+        X.annotate_violations(df, [X.unique("id")])
