@@ -281,6 +281,38 @@ def q_orders_profile(spark, sf_dir):
     )
 
 
+# Volume anomaly detection: per-event-type daily counts scored
+# against that type's own mean/std (sample), flagging |z| > 2 days.
+# All moments are INTEGER sums (counts and squared counts) — exact on
+# both engines — and the z closed form evaluates in double with
+# textually identical expressions, so results hash-match without any
+# DECIMAL staging.  The stats side `s` is one row per event type
+# (broadcast); work scales with the (type, day) grid, not the corpus.
+_shared_sql(
+    "daily_volume_anomalies",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), s AS (
+      SELECT event_type, count(*) AS n_days,
+             sum(cnt) AS s1, sum(cnt * cnt) AS s2
+      FROM d GROUP BY event_type
+    )
+    SELECT * FROM (
+      SELECT d.event_type, d.day, d.cnt,
+             round((d.cnt - CAST(s1 AS DOUBLE) / n_days)
+                   / sqrt((n_days * CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(n_days AS DOUBLE) * (n_days - 1))), 9)
+               AS z_score
+      FROM d JOIN s ON d.event_type = s.event_type
+      WHERE n_days > 1
+    ) WHERE abs(z_score) > 2
+    """,
+)
+
+
 # Recursive CTE (Spark 4 WITH RECURSIVE == DuckDB): a calendar month
 # spine generated by recursion drives a LEFT join so zero-order months
 # survive — the canonical "report every period" shape.  The recursion

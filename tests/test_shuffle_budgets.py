@@ -212,6 +212,9 @@ BUDGETS = {
     "lineitem_corr_matrix": 1,
     # ~80-row recursive spine broadcasts; one keyed agg on the fact
     "recursive_month_spine": 1,
+    # (type,day) grid agg + per-type stats rollup + the grid-side
+    # re-shuffle under the stats join; all post-aggregate row counts
+    "daily_volume_anomalies": 3,
     # per-iteration lineage is cut by localCheckpoint; the returned
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
