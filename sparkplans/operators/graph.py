@@ -78,3 +78,37 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
+    """Count undirected triangles via the ordered-edge triple join.
+
+    Edges are canonicalized to (lo, hi) with lo < hi and deduped, so
+    every triangle {a,b,c} is counted exactly once by the join
+    e1=(a,b), e2=(b,c), e3=(a,c).  The canonical edge list is
+    localCheckpoint'ed once and reused by all three join legs —
+    without the cut, Spark would recompute the (possibly expensive)
+    edge derivation three times.
+
+    Scale: two hash joins over the edge list, shuffling on the join
+    keys; cost is sum over nodes of deg^2 (the standard bound), so
+    degree-cap or weight-threshold the edges *before* calling (the
+    registered query keeps only co-occurrence >= 2 pairs).  Returns a
+    1-row DataFrame (n_edges, n_triangles).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -281,6 +281,48 @@ def q_orders_profile(spark, sf_dir):
     )
 
 
+_TRIANGLE_ORACLE = """
+WITH e AS (
+  SELECT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*)
+        FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+                  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+         AS n_triangles
+"""
+
+
+@register("copurchase_triangles", _TRIANGLE_ORACLE)
+def q_copurchase_triangles(spark, sf_dir):
+    """Triangle census of the part co-purchase graph (pairs sharing
+    >= 2 orders) via operators/graph.triangle_count — the clustering
+    primitive behind community detection and dedup-cluster sanity
+    checks.  The >= 2 threshold is the degree cap that keeps the
+    deg^2 triple-join bound tame; the canonical edge list is
+    checkpointed once and reused by all three legs (the SQL oracle
+    recomputes the CTE — Spark doesn't, by construction)."""
+    from sparkplans.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
 # Volume anomaly detection: per-event-type daily counts scored
 # against that type's own mean/std (sample), flagging |z| > 2 days.
 # All moments are INTEGER sums (counts and squared counts) — exact on

@@ -932,3 +932,17 @@ def test_table_diff_key_only_and_subset_compare(spark):
     assert only_keys == {2: "delete", 3: "insert"}
     full = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
     assert full == {1: "update", 2: "delete", 3: "insert"}
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; adding a pendant edge changes nothing;
+    direction and duplicate edges don't affect the census."""
+    from sparkplans.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    messy = k4 + [(b, a) for a, b in k4] + [(4, 5), (1, 1)]  # reversed dups, pendant, loop
+    got = triangle_count(spark.createDataFrame(messy, "src long, dst long")).collect()[0]
+    assert (got.n_edges, got.n_triangles) == (7, 4)
+
+    empty = triangle_count(spark.createDataFrame([], "src long, dst long")).collect()[0]
+    assert (empty.n_edges, empty.n_triangles) == (0, 0)

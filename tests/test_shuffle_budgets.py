@@ -215,6 +215,10 @@ BUDGETS = {
     # (type,day) grid agg + per-type stats rollup + the grid-side
     # re-shuffle under the stats join; all post-aggregate row counts
     "daily_volume_anomalies": 3,
+    # triple join over the checkpointed (thresholded) edge list + two
+    # count rollups; the lineitem self-join shuffles happen once,
+    # before the checkpoint cut
+    "copurchase_triangles": 6,
     # per-iteration lineage is cut by localCheckpoint; the returned
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
