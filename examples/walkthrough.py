@@ -169,6 +169,34 @@ def main() -> None:
     )
     print(f"dedup output balance: skew={hist['skew']} over {hist['partitions']} partitions")
 
+    # ---- 13: table health: profile, gate, diff, graph -----------------
+    section(13, "table health: profile, quality gate, snapshot diff, graph")
+    from sparkplans.operators import expectations as X
+    from sparkplans.operators.profile import profile
+
+    prof = profile(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    for r in prof.collect():
+        print(
+            f"profile {r.column}: {r.n_rows} rows, {r.n_nulls} nulls, "
+            f"~{r.n_distinct} distinct"
+        )
+    gate = Q.REGISTRY["orders_quality_gate"].fn(spark, sf_dir)
+    print(
+        "quality gate:",
+        {r.check_name: bool(r.passed) for r in gate.collect()},
+    )
+    diff = Q.REGISTRY["orders_snapshot_diff"].fn(spark, sf_dir)
+    by_type = {
+        r.change_type: r.cnt
+        for r in diff.groupBy("change_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    print("snapshot diff change counts:", by_type)
+    tri = Q.REGISTRY["copurchase_triangles"].fn(spark, sf_dir).first()
+    print(f"co-purchase graph: {tri.n_edges} edges, {tri.n_triangles} triangles")
+
     spark.stop()
 
 
