@@ -45,6 +45,11 @@ HEADLINE = [
     "sliding_window_counts",
     "tfidf_top_terms",
     "decontamination_ngrams",
+    "orders_profile",
+    "orders_quality_gate",
+    "orders_snapshot_diff",
+    "lineitem_corr_matrix",
+    "daily_volume_anomalies",
 ]
 
 

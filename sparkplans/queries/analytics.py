@@ -281,6 +281,45 @@ def q_orders_profile(spark, sf_dir):
     )
 
 
+_WSAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         power(
+           ((((((doc_id + 1) * 48271) % 2147483647)
+               * 48271) % 2147483647
+              * 48271) % 2147483647 + 1) / 2147483648.0,
+           1.0 / greatest(CAST(n_chars AS DOUBLE), 1e-12)) AS sample_key
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 5
+"""
+
+
+@register("weighted_doc_sample", _WSAMPLE_ORACLE)
+def q_weighted_doc_sample(spark, sf_dir):
+    """Per-language weighted sample (5 docs each, weight = n_chars)
+    via operators/sampling.weighted_sample — Efraimidis–Spirakis keys
+    from a Lehmer LCG over doc_id, so the 'random' sample is a pure
+    function of (id, seed) and DuckDB replays it exactly.  The priority
+    key itself is excluded from the comparison surface (pow may differ
+    in the last ulp across libm builds; membership doesn't).  One
+    projection + one per-stratum rank window."""
+    from sparkplans.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t_cpu(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=5,
+        strata=["lang"],
+    ).select("doc_id", "lang", "n_chars")
+
+
 _TRIANGLE_ORACLE = """
 WITH e AS (
   SELECT a.l_partkey AS lo, b.l_partkey AS hi

@@ -946,3 +946,32 @@ def test_triangle_count_known_graphs(spark):
 
     empty = triangle_count(spark.createDataFrame([], "src long, dst long")).collect()[0]
     assert (empty.n_edges, empty.n_triangles) == (0, 0)
+
+
+def test_weighted_sample_properties(spark):
+    """Deterministic across calls and seeds partition the choice;
+    higher weight wins more often (statistical sanity on a planted
+    two-weight population); global k works via top-k."""
+    from sparkplans.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 100.0 if i % 10 == 0 else 1.0, "g") for i in range(1000)],
+        "id long, w double, g string",
+    )
+    s1 = sorted(r.id for r in weighted_sample(df, "id", "w", 50).collect())
+    s2 = sorted(r.id for r in weighted_sample(df, "id", "w", 50).collect())
+    assert s1 == s2 and len(s1) == 50
+    # heavy ids are 10% of rows but carry 100x weight -> dominate
+    heavy = sum(1 for i in s1 if i % 10 == 0)
+    assert heavy > 35, heavy
+
+    s3 = sorted(r.id for r in weighted_sample(df, "id", "w", 50, seed=99).collect())
+    assert s3 != s1  # different seed, different sample
+
+    strat = weighted_sample(df, "id", "w", 7, strata=["g"]).collect()
+    assert len(strat) == 7 and all(r.sample_key > 0 for r in strat)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", 0)

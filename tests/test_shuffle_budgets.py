@@ -219,6 +219,8 @@ BUDGETS = {
     # count rollups; the lineitem self-join shuffles happen once,
     # before the checkpoint cut
     "copurchase_triangles": 6,
+    # one lang-keyed rank window (+ tiny final exchange)
+    "weighted_doc_sample": 2,
     # per-iteration lineage is cut by localCheckpoint; the returned
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
