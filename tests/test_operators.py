@@ -975,3 +975,83 @@ def test_weighted_sample_properties(spark):
 
     with pytest.raises(ValueError):
         weighted_sample(df, "id", "w", 0)
+
+
+def test_table_diff_roundtrip_reconstructs_new(spark):
+    """Applying the change set to `old` reproduces `new` exactly —
+    the CDC soundness invariant: new == old - deletes - updates_old
+    + updates_new + inserts."""
+    from sparkplans.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(i, f"s{i % 7}", float(i % 13)) for i in range(500)],
+        "k long, s string, v double",
+    )
+    # new: drop k%11==0, mutate k%13==0, insert 500..519
+    new = (
+        old.filter(F.col("k") % 11 != 0)
+        .withColumn(
+            "v",
+            F.when(F.col("k") % 13 == 0, F.col("v") + 100.0).otherwise(F.col("v")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(i, "new", -1.0) for i in range(500, 520)],
+                "k long, s string, v double",
+            )
+        )
+    )
+    d = table_diff(old, new, ["k"]).cache()
+    changed_keys = d.select("k", "change_type")
+    reconstructed = (
+        old.join(
+            changed_keys.filter(F.col("change_type").isin("delete", "update")),
+            "k",
+            "left_anti",
+        )
+        .unionByName(
+            new.join(
+                changed_keys.filter(F.col("change_type").isin("update", "insert")),
+                "k",
+                "left_semi",
+            )
+        )
+    )
+    assert reconstructed.exceptAll(new).count() == 0
+    assert new.exceptAll(reconstructed).count() == 0
+    d.unpersist()
+
+
+def test_validate_counts_match_annotate_rows(spark):
+    """The aggregate report and the row-level annotation agree on
+    every check's violation count (FK included)."""
+    from sparkplans.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [
+            (i,
+             None if i % 17 == 0 else f"u{i}",
+             float(i % 50) - 5.0,
+             i % 97)
+            for i in range(400)
+        ],
+        "id long, name string, score double, fk long",
+    )
+    ref = spark.createDataFrame([(i,) for i in range(0, 97, 2)], "k long")
+    checks = [
+        X.not_null("name"),
+        X.in_range("score", 0.0, None),
+        X.foreign_key("fk", "ref", "k"),
+    ]
+    agg = {
+        r.check_name: r.n_violations
+        for r in X.validate(df, checks, refs={"ref": ref}).collect()
+    }
+    ann = X.annotate_violations(df, checks, refs={"ref": ref})
+    from collections import Counter
+
+    row_counts = Counter(
+        n for r in ann.select("failed_checks").collect() for n in r.failed_checks
+    )
+    assert agg == dict(row_counts), (agg, dict(row_counts))
+    assert ann.count() == 400  # annotation never drops rows
