@@ -420,3 +420,97 @@ def deduplicate(
         F.col("node").alias(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (the
+    SSJoin/PPJoin family): every pair with shingle-Jaccard >=
+    ``threshold`` — unlike MinHash/LSH banding this has ZERO false
+    negatives, and unlike `jaccard_pairs` it needs no probabilistic
+    candidate stage.
+
+    Filter: order each doc's shingles globally by rarity (document
+    frequency asc, shingle asc); any pair with J >= t must share a
+    shingle inside each other's first `|d| - ceil(t*|d|) + 1`
+    elements, so joining only on prefix shingles is lossless.
+
+    Scale: the candidate join is keyed on *rare* shingles (rarity
+    ordering puts low-df shingles in prefixes), so bucket sizes stay
+    small on natural corpora; verification intersects the full sorted
+    shingle arrays for candidates only.  The ranked arrays are
+    checkpointed once and reused by the prefix and verify stages.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = shingle_rows(df, text_col=text_col, id_col=id_col, n=n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df_"), F.col("shingle")))
+            ).alias("st")
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform("st", lambda x: x["shingle"]).alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks"))
+        .withColumn(
+            "pref_len",
+            (
+                F.col("n_tok")
+                - F.ceil(F.lit(float(threshold)) * F.col("n_tok")).cast("int")
+                + 1
+            ),
+        )
+        .localCheckpoint()
+    )
+    pref = ranked.select(
+        "id", F.explode(F.slice("toks", F.lit(1), F.col("pref_len"))).alias("p")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            ranked.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("ta"),
+                F.col("n_tok").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            ranked.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("tb"),
+                F.col("n_tok").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "j",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("j") >= threshold)
+    )
+    return ver.select(
+        "id_a", "id_b", F.round("j", 6).alias("jaccard")
+    )

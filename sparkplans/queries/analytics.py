@@ -281,6 +281,51 @@ def q_orders_profile(spark, sf_dir):
     )
 
 
+_SSJOIN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+), tf AS (
+  SELECT shingle, count(*) AS df_ FROM sh GROUP BY shingle
+), arr AS (
+  SELECT doc_id, list(sh.shingle ORDER BY df_, sh.shingle) AS tk
+  FROM sh JOIN tf USING (shingle) GROUP BY doc_id
+), pref AS (
+  SELECT doc_id,
+         unnest(tk[1:(len(tk) - CAST(ceil(0.5 * len(tk)) AS INTEGER) + 1)])
+           AS p
+  FROM arr
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT id_a, id_b, len(list_intersect(x.tk, y.tk)) AS inter,
+         len(x.tk) AS na, len(y.tk) AS nb
+  FROM cand JOIN arr x ON x.doc_id = id_a JOIN arr y ON y.doc_id = id_b
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM ver WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+"""
+
+
+@register("ssjoin_near_dups", _SSJOIN_ORACLE)
+def q_ssjoin_near_dups(spark, sf_dir):
+    """Exact near-duplicate pairs (shingle-Jaccard >= 0.5) via
+    dedup.prefix_filter_pairs — the lossless SSJoin counterpart to
+    the MinHash/LSH probabilistic path (`near_dup_pairs`): prefix
+    filtering on rarity-ordered shingles guarantees no false
+    negatives, so this is the ground-truth recall audit for the
+    sketch-based dedup operators."""
+    from sparkplans.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _t_cpu(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 _WSAMPLE_ORACLE = """
 WITH keyed AS (
   SELECT doc_id, lang, n_chars,

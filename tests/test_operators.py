@@ -1055,3 +1055,50 @@ def test_validate_counts_match_annotate_rows(spark):
     )
     assert agg == dict(row_counts), (agg, dict(row_counts))
     assert ann.count() == 400  # annotation never drops rows
+
+
+def test_prefix_filter_join_matches_brute_force(spark):
+    """SSJoin completeness: prefix-filtered pairs == brute-force
+    all-pairs shingle-Jaccard at the same threshold (no false
+    negatives, no false positives) on a corpus with planted dups."""
+    from sparkplans.operators.dedup import prefix_filter_pairs, shingles
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "colorless green ideas sleep furiously every single night",
+        "pack my box with five dozen liquor jugs right now",
+        "a completely different sentence about spark physical plans",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # planted near-dups: one-word edits of doc 0 and doc 2
+    rows += [
+        (10, base[0].replace("lazy", "sleepy")),
+        (12, base[2].replace("five", "six")),
+        (20, base[0]),  # exact dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.3
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs(df, threshold=t).collect()
+    }
+
+    import itertools
+
+    sh = {
+        r.doc_id: set(r.s)
+        for r in df.select("doc_id", shingles(F.col("text")).alias("s")).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        j = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if j >= t:
+            want[(a, b)] = round(j, 6)
+    assert want, "fixture must contain pairs above threshold"
+    assert got == want, (got, want)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        prefix_filter_pairs(df, threshold=0.0)

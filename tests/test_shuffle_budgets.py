@@ -221,6 +221,10 @@ BUDGETS = {
     "copurchase_triangles": 6,
     # one lang-keyed rank window (+ tiny final exchange)
     "weighted_doc_sample": 2,
+    # ranked-shingle arrays are checkpointed (shingle-df join + per-doc
+    # agg happen before the cut); the visible plan is the prefix
+    # self-join (broadcast at this scale) + candidate dedup
+    "ssjoin_near_dups": 1,
     # per-iteration lineage is cut by localCheckpoint; the returned
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
