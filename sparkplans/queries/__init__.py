@@ -2615,3 +2615,7 @@ from sparkplans.queries import warehouse  # noqa: E402,F401
 # Batch-3 (rolling actives / attribution / percentiles / EWMA /
 # mixture weights) likewise.
 from sparkplans.queries import analytics  # noqa: E402,F401
+
+# Batch-6 (interval concurrency / time-weighted avg / MAD outliers /
+# Pareto frontier / RRF hybrid retrieval) likewise.
+from sparkplans.queries import temporal  # noqa: E402,F401

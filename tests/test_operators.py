@@ -202,6 +202,33 @@ def test_embedding_near_dup_pairs_planted(spark):
     assert (0, 5000) in {(r.id_a, r.id_b) for r in pairs.collect()}
 
 
+def test_sq_topk_recall_and_determinism(spark):
+    """8-bit scalar quantization of 64-dim vectors barely moves the
+    ranking: recall@10 vs exact brute force stays high, the quantized
+    codes are in [0, 255], and two builds agree exactly."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = similarity.sq_quantize(emb)
+    rng = q.select(
+        F.min(F.array_min("qvec")).alias("lo"),
+        F.max(F.array_max("qvec")).alias("hi"),
+    ).first()
+    assert rng.lo >= 0 and rng.hi <= 255
+    probes = q.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("qvec_recon").alias("probe_qvec_recon"),
+    )
+    out = similarity.sq_topk(q, probes, k=10).collect()
+    exact = similarity.brute_force_topk(emb, probes, k=10).collect()
+    exact_ids = {(r.probe_id, r.vec_id) for r in exact}
+    got_ids = {(r.probe_id, r.vec_id) for r in out}
+    recall = len(exact_ids & got_ids) / len(exact_ids)
+    assert recall >= 0.8, f"SQ8 recall@10 collapsed: {recall}"
+    q2 = similarity.sq_quantize(emb)
+    out2 = similarity.sq_topk(q2, probes, k=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 # -- as-of / range joins ----------------------------------------------------
 
 

@@ -229,6 +229,24 @@ BUDGETS = {
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
     "pagerank_copurchase": 0,
+    # user-day span agg + the per-day sweep window + max-per-day
+    # rollup; all post-aggregate (2 rows per user-day)
+    "max_concurrency_daily": 3,
+    # one series-keyed shuffle shared by the lead() window and the
+    # final per-series rollup
+    "time_weighted_avg": 1,
+    # daily grid agg recomputed on the median/MAD/dev branches (the
+    # grid is types×days rows — tiny); both stat joins broadcast
+    "mad_outlier_days": 7,
+    # price-tier windows and the tier rollup all key on o_custkey —
+    # one hash shuffle reused (AQE), plus the tier-join hop
+    "pareto_frontier_orders": 2,
+    # token-overlap agg + two TakeOrdered top-100s; the 100-row rank
+    # windows and the fusion join are single-partition by size
+    "rrf_hybrid_retrieval": 3,
+    # codebook is driver-materialized literals (stats pass runs once,
+    # outside the plan); search is scan → TakeOrdered → 20-row rank
+    "sq_ann_topk": 2,
 }
 
 
