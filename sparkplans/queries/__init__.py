@@ -2619,3 +2619,7 @@ from sparkplans.queries import analytics  # noqa: E402,F401
 # Batch-6 (interval concurrency / time-weighted avg / MAD outliers /
 # Pareto frontier / RRF hybrid retrieval) likewise.
 from sparkplans.queries import temporal  # noqa: E402,F401
+
+# Batch-7 (OHLC bars / streaks / weighted median / Benford /
+# association rules) likewise.
+from sparkplans.queries import quant  # noqa: E402,F401

@@ -1,0 +1,248 @@
+"""Batch-7 queries: quantitative/ops analytics — OHLC bars,
+gaps-and-islands streaks, weighted median, Benford's-law audit, and
+market-basket association rules.
+
+Same contract as the main registry (every entry DuckDB-oracled) and
+the same numeric discipline: DECIMAL-exact accumulation for sums,
+integer arithmetic wherever the semantics allow, single-op IEEE
+scalars rounded at the edge, deterministic tie-breaks everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkplans.queries import _shared_sql, _t, register
+
+
+# ---------------------------------------------------------------------
+# OHLC candlestick bars (hypertable first/last aggregates)
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "ohlc_daily_bars",
+    """
+    WITH r AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_obs
+    FROM r GROUP BY event_type, day
+    """,
+)
+# TimescaleDB's first()/last() time-bucketed OHLC as one pass: rank
+# within the bar from both ends ((ts, event_id) is a total order, so
+# open/close are unique rows), then a conditional max plucks them
+# while high/low/count fold in the same aggregation.  min/max over
+# doubles are exact; no float arithmetic at all.  Scale: both windows
+# and the aggregate share the (event_type, day) partitioning — one
+# shuffle, then per-bar state only.
+
+
+# ---------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------
+
+
+@register(
+    "activity_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             CAST(day - DATE '1970-01-01' AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS streak_days,
+           min(day) AS streak_start,
+           max(day) AS streak_end
+    FROM g GROUP BY user_id, grp
+    HAVING count(*) >= 3
+    """,
+)
+def q_activity_streaks(spark, sf_dir):
+    """Longest-run detection (gaps-and-islands): a user's consecutive
+    active days share `epoch_day - row_number()` — the classic
+    constant-group trick, all integer arithmetic.  The oracle differs
+    only in the day-difference spelling (DuckDB ``day - DATE`` vs
+    Spark ``datediff``), both exact BIGINTs.  One user-keyed shuffle
+    shared by the window and the aggregate; per-user state is the
+    distinct-day list, never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast(
+            "bigint"
+        )
+        - F.row_number().over(w),
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.count("*").cast("bigint").alias("streak_days"),
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .drop("grp")
+    )
+
+
+# ---------------------------------------------------------------------
+# Weighted median (quantity-weighted price)
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(18,2)) AS wt
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, v,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+      FROM w)
+    SELECT l_returnflag, min(v) AS weighted_median
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+)
+# Weighted median = smallest value whose cumulative weight reaches
+# half the total.  Weights accumulate as DECIMAL (exact, any order);
+# the half-total test is ``2*cum >= tot`` — integer-scaled DECIMAL
+# compare, no division, no float anywhere (the median itself is a
+# picked input value, not an interpolation).  The default RANGE window
+# frame includes ties on v identically on both engines.  One
+# flag-keyed shuffle; min() collapses map-side.
+
+
+# ---------------------------------------------------------------------
+# Benford's-law first-digit audit (fraud/data-quality signal)
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                            AS STRING), 1, 1) AS first_digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT first_digit, count(*) AS n FROM d GROUP BY first_digit)
+    SELECT first_digit, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS frac,
+           round(log10(1.0 + 1.0 / CAST(first_digit AS DOUBLE)), 6)
+             AS benford_expected
+    FROM c
+    """,
+)
+# First-significant-digit distribution vs Benford's log10(1 + 1/d)
+# expectation — the standard bulk-data fraud/entry-error screen.
+# The digit comes from integer string math (floor → BIGINT → first
+# char): no engine-dependent double formatting, and DuckDB's
+# round-to-nearest double→int cast is sidestepped by the explicit
+# floor.  The 9-row result makes the empty OVER () window free; the
+# only shuffle is the 9-group digit count, combined map-side.
+
+
+# ---------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------
+
+@register(
+    "copurchase_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                       AND a.l_partkey < c.l_partkey
+      GROUP BY a.l_partkey, c.l_partkey
+      HAVING count(*) >= 2)
+    SELECT part_a, part_b, n_ab,
+           ia.cnt AS n_a, ib.cnt AS n_b,
+           round(CAST(n_ab AS DOUBLE) / ia.cnt, 6) AS confidence_ab,
+           round((CAST(n_ab AS DOUBLE) * n_orders)
+                 / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+    FROM pair
+    JOIN item ia ON part_a = ia.l_partkey
+    JOIN item ib ON part_b = ib.l_partkey
+    CROSS JOIN n
+    """,
+)
+def q_copurchase_rules(spark, sf_dir):
+    """Apriori's pairwise step (support / confidence / lift): dedup to
+    (order, part) baskets, self-join within the order to count
+    co-occurrences, join support counts back for the metrics.  The
+    basket table feeds three plan branches (both self-join sides +
+    item supports), so it is localCheckpoint-ed once — the dedup
+    shuffle runs once, not three times (the triangle-census pattern).
+    All counts are integers; the two ratios are single IEEE
+    expressions with the same promotion/op order on both engines,
+    rounded 6dp.  n_orders is one scalar — model state, a literal.
+    At 100 TB the basket self-join is the canonical skew risk: a
+    mega-order fans out quadratically — AQE skew-split handles
+    moderate cases, and a per-order item cap (drop baskets > K items,
+    standard in Apriori at scale) bounds the worst case."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_orders = b.select("l_orderkey").distinct().count()
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    c = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(c, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "confidence_ab"
+            ),
+            F.round(
+                (F.col("n_ab").cast("double") * F.lit(n_orders))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

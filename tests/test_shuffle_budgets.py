@@ -247,6 +247,20 @@ BUDGETS = {
     # codebook is driver-materialized literals (stats pass runs once,
     # outside the plan); search is scan → TakeOrdered → 20-row rank
     "sq_ann_topk": 2,
+    # both bar-local windows and the OHLC aggregate share one
+    # (event_type, day) shuffle (+ tiny final hop)
+    "ohlc_daily_bars": 2,
+    # one user-keyed shuffle shared by the island window and the
+    # streak rollup (+ distinct pre-agg hop)
+    "activity_streaks": 2,
+    # flag-keyed cumulative/total windows and the min() rollup reuse
+    # a single shuffle
+    "weighted_median_price": 1,
+    # 9-group digit count (map-side combined) + the 9-row OVER ()
+    "benford_first_digit": 2,
+    # baskets dedup runs once before the localCheckpoint cut; visible
+    # plan: self-join on the checkpoint + pair agg + support join
+    "copurchase_rules": 3,
 }
 
 
