@@ -50,6 +50,11 @@ HEADLINE = [
     "orders_snapshot_diff",
     "lineitem_corr_matrix",
     "daily_volume_anomalies",
+    "ohlc_daily_bars",
+    "weighted_median_price",
+    "copurchase_rules",
+    "rrf_hybrid_retrieval",
+    "sq_ann_topk",
 ]
 
 
