@@ -163,6 +163,34 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Maximum drawdown (running-peak decline, per series)
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "max_drawdown",
+    """
+    WITH s AS (
+      SELECT event_type, value,
+             max(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS peak
+      FROM events)
+    SELECT event_type,
+           round(max(peak - value), 6) AS max_abs_drawdown,
+           round(max((peak - value) / peak), 6) AS max_rel_drawdown
+    FROM s GROUP BY event_type
+    """,
+)
+# The risk metric for any cumulative series: largest drop from a
+# running peak.  The running max is an exact pick (no float
+# arithmetic), each drawdown is one/two IEEE ops on engine-identical
+# inputs, and the final max is again a pick — rounding only at the
+# edge.  (values are strictly positive in this corpus, so the
+# relative form is total.)  One series-keyed shuffle shared by the
+# window and the rollup; per-series window state is a single double,
+# so the plan holds at any series length.
+
+
+# ---------------------------------------------------------------------
 # Market-basket association rules (support / confidence / lift)
 # ---------------------------------------------------------------------
 

@@ -5,7 +5,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from sparkplans.operators import asof, dedup, multimodal, similarity
+from sparkplans.operators import asof, dedup, multimodal, similarity, skew
 from sparkplans.sources import load_table
 from tests.conftest import SF_DIR
 
@@ -227,6 +227,84 @@ def test_sq_topk_recall_and_determinism(spark):
     q2 = similarity.sq_quantize(emb)
     out2 = similarity.sq_topk(q2, probes, k=10).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# -- skew-salted join -------------------------------------------------------
+
+
+def test_salted_join_lossless_and_spreads_hot_key(spark):
+    """A corpus where one key holds ~90% of rows: the salted join
+    returns exactly the plain join's rows, and the hot key's rows
+    leave the shuffle spread across >1 reducer partition instead of
+    funnelling into one."""
+    ev = load_table(spark, SF_DIR, "events")
+    # plant a mega-key: remap most rows onto one event_type
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "value",
+    )
+    dim = facts.groupBy("event_type").agg(
+        F.count("*").alias("type_total")
+    )
+    salted = skew.salted_join(
+        facts, dim, on=["event_type"], num_salts=8, salt_src=["event_id"]
+    )
+    plain = facts.join(dim, "event_type")
+    key = lambda r: (r.event_id, r.event_type, r.type_total)  # noqa: E731
+    assert sorted(map(key, salted.collect())) == sorted(
+        map(key, plain.collect())
+    )
+    # left join with an unmatched planted fact row stays lossless
+    extra = spark.createDataFrame(
+        [(10**12, 0, "no_such_type", 1.0)], facts.schema
+    )
+    lf = facts.unionByName(extra)
+    lsalted = skew.salted_join(
+        lf, dim, on=["event_type"], num_salts=8,
+        salt_src=["event_id"], how="left",
+    )
+    lplain = lf.join(dim, "event_type", "left")
+    assert lsalted.count() == lplain.count()
+    assert (
+        lsalted.filter(F.col("event_type") == "no_such_type")
+        .first()
+        .type_total
+        is None
+    )
+    # spread proof: AQE off (its partition coalescing folds this tiny
+    # corpus into one partition either way), shuffle-hash join — then
+    # count which reducer partitions host the hot key's rows
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        spread = (
+            skew.salted_join(
+                facts,
+                dim.hint("shuffle_hash"),
+                on=["event_type"],
+                num_salts=8,
+                salt_src=["event_id"],
+            )
+            .filter(F.col("event_type") == "hot")
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        unsalted = (
+            facts.join(dim.hint("shuffle_hash"), "event_type")
+            .filter(F.col("event_type") == "hot")
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert unsalted == 1, "baseline: one key = one reducer"
+    assert spread > 1, "hot key still funnels into one partition"
 
 
 # -- as-of / range joins ----------------------------------------------------

@@ -261,6 +261,9 @@ BUDGETS = {
     # baskets dedup runs once before the localCheckpoint cut; visible
     # plan: self-join on the checkpoint + pair agg + support join
     "copurchase_rules": 3,
+    # running-peak window and the per-series rollup share one
+    # series-keyed shuffle
+    "max_drawdown": 1,
 }
 
 
