@@ -41,14 +41,45 @@ EVENTS_SCHEMA = StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events table (each parquet file is
-    a micro-batch unit).  Same ns->us conversion as the batch reader."""
+    a micro-batch unit), timestamps normalized to match the batch
+    reader.
+
+    Unit robustness: depending on the Spark build, a TIMESTAMP(NANOS)
+    parquet column read through a declared LongType schema arrives as
+    raw nanos (legacy ``nanosAsLong`` behavior) or already truncated
+    to micros (readers that convert before widening).  An epoch long
+    ``>= 1e17`` can only be nanos (1e17 µs is year 5138; 1e17 ns is
+    1973), so the per-row branch picks the right divisor for any data
+    between 1973 and 5138 — immune to conf availability and session
+    ordering (a silent ~1000× timestamp corruption otherwise)."""
+    from sparkplans.sources import _ensure_nanos_conf
+
+    _ensure_nanos_conf(spark)
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(f"{sf_dir}")
-    # Watermarks require TIMESTAMP (not NTZ); with the session tz fixed
-    # to UTC the wall-clock values match the batch reader's NTZ ones.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(df)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events frame's ``ts`` to TIMESTAMP (watermarks
+    reject NTZ; with the session tz fixed to UTC the wall-clock values
+    match the batch reader's NTZ ones).  Handles every way the nanos
+    parquet column can arrive: raw nanos long, micros long (readers
+    that truncate before widening to a declared LongType), or native
+    TIMESTAMP_NTZ (inferred-schema reads on Spark builds without the
+    nanosAsLong legacy conf)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        # An epoch long >= 1e17 can only be nanos (1e17 us is year
+        # 5138; 1e17 ns is 1973), so the per-row branch picks the
+        # right divisor for any data between 1973 and 5138.
+        us = F.when(
+            F.abs(F.col("ts")) >= F.lit(10**17), F.expr("ts DIV 1000")
+        ).otherwise(F.col("ts"))
+        return df.withColumn("ts", F.timestamp_micros(us))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
@@ -176,12 +207,22 @@ def stream_stream_join(
     right: DataFrame,
     watermark: str = "10 minutes",
     join_window_seconds: int = 300,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on user_id within a bounded event-time
-    band.  Both sides are watermarked and the time-range predicate lets
-    Spark expire join state — without it, state grows forever.  Rows:
-    each click joined to views of the same user within the preceding
-    ``join_window_seconds``."""
+    """Stream-stream join on user_id within a bounded event-time band.
+    Both sides are watermarked and the time-range predicate lets Spark
+    expire join state — without it, state grows forever.  Rows: each
+    click joined to views of the same user within the preceding
+    ``join_window_seconds``.
+
+    ``how='left_outer'``: unmatched left rows emit with nulls — but
+    only once the watermark passes their band (the engine can't know
+    "no match will come" earlier), so outer results trail the inner
+    ones by the watermark delay.  The watermark + band predicate pair
+    is mandatory for outer stream-stream joins; Spark rejects the
+    query otherwise.  Note the global watermark is the MIN over both
+    sides' watermarks — outer rows flush only once BOTH sides'
+    event time moves past them."""
     l = left.withWatermark("ts", watermark).select(
         F.col("user_id").alias("l_user"),
         F.col("ts").alias("l_ts"),
@@ -198,6 +239,7 @@ def stream_stream_join(
             f"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL {join_window_seconds} "
             "SECONDS AND l_ts"
         ),
+        how,
     )
 
 

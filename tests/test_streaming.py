@@ -127,6 +127,83 @@ def test_stream_stream_join_band(spark, events_dir):
     assert got.count() == want
 
 
+def test_stream_stream_left_outer_null_padding(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched clicks emit with null
+    right columns once the watermark passes their band.  Two 'advancer'
+    files (far-future views, processed as later micro-batches) push the
+    watermark beyond every real row, so the flushed output equals the
+    batch left join exactly."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "louter"
+    d.mkdir()
+    _os.symlink(f"{SF_DIR}/events.parquet", d / "a.parquet")
+    real_max_ns = pq.read_table(f"{SF_DIR}/events.parquet")["ts"].cast(
+        pa.int64()
+    ).to_pandas().max()
+
+    def advancer(path, eid, ns):
+        # one click AND one view: the global watermark is the MIN over
+        # both sides' watermarks, so advancing only one side would
+        # leave the other stuck at its last real row (the final
+        # unmatched click would then never flush)
+        t = pa.table(
+            {
+                "event_id": pa.array([eid, eid + 1], pa.int64()),
+                "ts": pa.array([ns, ns], pa.int64()),
+                "user_id": pa.array([999_999_999] * 2, pa.int64()),
+                "event_type": pa.array(["view", "click"], pa.string()),
+                "value": pa.array([1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+        pq.write_table(t, path)
+
+    hour_ns = 3_600 * 10**9
+    advancer(d / "b.parquet", 10**12 + 1, int(real_max_ns) + hour_ns)
+    advancer(d / "c.parquet", 10**12 + 3, int(real_max_ns) + 2 * hour_ns)
+    now = _time.time()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        _os.utime(d / name, (now + 10 * i, now + 10 * i), follow_symlinks=False)
+
+    stream = streaming.stream_events(spark, str(d), max_files_per_trigger=1)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    joined = streaming.stream_stream_join(
+        clicks, views, join_window_seconds=300, how="left_outer"
+    )
+    streaming.run_available_now(joined, "sslj")
+    got = spark.table("sslj").filter(F.col("l_user") != 999_999_999)
+
+    b = load_table(spark, SF_DIR, "events")
+    bc = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    bv = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    want = bc.join(
+        bv,
+        F.expr("l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL 300 SECONDS AND l_ts"),
+        "left_outer",
+    )
+    assert got.count() == want.count()
+    # null-padded rows agree exactly with the batch unmatched set
+    got_nulls = {
+        r.l_event for r in got.filter(F.col("r_event").isNull()).collect()
+    }
+    want_nulls = {
+        r.l_event for r in want.filter(F.col("r_event").isNull()).collect()
+    }
+    assert got_nulls == want_nulls and got_nulls
+
+
 def test_stream_static_join(spark, events_dir):
     stream = streaming.stream_events(spark, events_dir)
     dim = load_table(spark, SF_DIR, "customer").select(
@@ -276,9 +353,7 @@ def test_continuous_rollup_incremental_matches_batch(spark, tmp_path):
     # retrying the last batch id must not double-count
     apply = streaming.rollup_apply_batch(out, "1 hour", keys=["event_type"])
     last_id = int(open(os.path.join(out, "_LAST_BATCH")).read())
-    replay = spark.read.parquet(src).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    replay = streaming.normalize_event_ts(spark.read.parquet(src))
     apply(replay, last_id)
     again = {
         (r.bin, r.event_type): (r.cnt, r.sum_value, r.min_value, r.max_value)
