@@ -357,6 +357,221 @@ def sq_topk(
     )
 
 
+def pq_build(
+    corpus: DataFrame,
+    num_sub: int = 16,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list]:
+    """Product quantization: split each vector into ``num_sub``
+    subvectors and learn a ``k``-centroid codebook per subspace
+    (deterministic Lloyd iterations, md5-ordered init — the
+    ``ivf_build`` recipe applied per subspace).  Returns ``(coded,
+    codebooks)`` where ``coded`` carries ``pq_codes``
+    (array<int>, length num_sub — num_sub bytes per vector at rest)
+    and ``codebooks[j][c]`` is subspace j's centroid c.
+
+    All ``num_sub`` subspaces train in the same corpus passes: one
+    posexplode over the sliced subvector array per assignment, one
+    aggregation per update — not num_sub separate k-means runs.  The
+    codebooks are model state (num_sub·k·dsub doubles, kilobytes):
+    driver-materialized per iteration and re-entered as literals, so
+    the returned ``coded`` plan is scan → broadcast-free projection +
+    one (id)-keyed argmin aggregation.  At 100 TB you fit the
+    codebooks on a sample and only the final encode pass touches the
+    full corpus.
+    """
+    spark = corpus.sparkSession
+    head = corpus.select(vec_col).first()
+    if head is None:
+        # empty corpus: degenerate 1-dim codebooks, empty coded frame
+        # with the right schema — callers' plans still analyze
+        books = [[[0.0]] * k for _ in range(num_sub)]
+        coded = corpus.withColumn(
+            "pq_codes", F.expr(f"array_repeat(0, {num_sub})")
+        ).limit(0)
+        return coded, books
+    dim = len(head[0])
+    if dim % num_sub:
+        raise ValueError(f"dim {dim} not divisible by num_sub {num_sub}")
+    dsub = dim // num_sub
+    v = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[F.slice(v, j * dsub + 1, dsub) for j in range(num_sub)])
+    exploded = corpus.select(
+        F.col(id_col), F.posexplode(subs).alias("j", "subvec")
+    )
+
+    init = (
+        corpus.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select(v.alias("full"))
+        .collect()
+    )
+    # codebooks[j][c][d]; seed subspace j with the j-slices of the k
+    # sampled vectors (deterministic, distinct with high probability)
+    books = [
+        [list(r["full"][j * dsub:(j + 1) * dsub]) for r in init]
+        for j in range(num_sub)
+    ]
+
+    def books_df() -> DataFrame:
+        rows = [
+            (j, c, books[j][c])
+            for j in range(num_sub)
+            for c in range(k)
+        ]
+        return spark.createDataFrame(
+            rows, "j int, cid int, centroid array<double>"
+        )
+
+    def l2(a, b) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(bdf: DataFrame) -> DataFrame:
+        scored = exploded.join(F.broadcast(bdf), "j").select(
+            id_col,
+            "j",
+            "subvec",
+            F.struct(
+                l2("subvec", "centroid").alias("__d"),
+                F.col("cid").alias("__cid"),
+            ).alias("__cand"),
+        )
+        best = scored.groupBy(id_col, "j", "subvec").agg(
+            F.min("__cand").alias("__b")
+        )
+        return best.select(
+            id_col, "j", "subvec", F.col("__b.__cid").alias("cid")
+        )
+
+    for _ in range(iters):
+        upd = (
+            assign(books_df())
+            .select("j", "cid", F.posexplode("subvec").alias("pos", "val"))
+            .groupBy("j", "cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("j", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        for r in upd:  # empty clusters keep their previous centroid
+            books[r["j"]][r["cid"]] = list(r["centroid"])
+
+    codes = (
+        assign(books_df())
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cid"))),
+                lambda s: s["cid"],
+            ).alias("pq_codes")
+        )
+    )
+    coded = corpus.join(codes, id_col)
+    return coded, books
+
+
+def pq_topk(
+    coded: DataFrame,
+    books: list,
+    probes: DataFrame,
+    k: int = 10,
+    oversample: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: per probe, precompute the
+    L2 distance from each probe subvector to every centroid (the
+    ``num_sub × k`` lookup table, built with one tiny probe-side
+    aggregation — NOT unrolled literal expressions, which blow the
+    JVM's 64 KB codegen limit), then each corpus row's approximate
+    distance is ``num_sub`` flat-array lookups summed via its codes.
+    The ``k·oversample`` ADC candidates per probe rerank with exact
+    cosine (the standard PQ recipe: quantized distance prunes,
+    full precision orders).  Probes + LUTs broadcast; the corpus scan
+    reads only the codes column — no corpus-side vector math, the
+    whole point of PQ.  For cosine semantics, feed L2-normalized
+    vectors to both build and search."""
+    spark = coded.sparkSession
+    num_sub, kk = len(books), len(books[0])
+    dsub = len(books[0][0])
+    bdf = spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(num_sub) for c in range(kk)],
+        "j int, cid int, centroid array<double>",
+    )
+    pv = F.col(probe_vec_col).cast("array<double>")
+    subs = F.array(*[F.slice(pv, j * dsub + 1, dsub) for j in range(num_sub)])
+    pe = probes.select(
+        probe_id_col, F.posexplode(subs).alias("j", "psub")
+    )
+    dist = pe.join(F.broadcast(bdf), "j").select(
+        probe_id_col,
+        "j",
+        "cid",
+        F.aggregate(
+            F.zip_with("psub", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    # flat LUT: entry (j, cid) at position j*kk + cid (1-based later)
+    lut = dist.groupBy(probe_id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "cid", "d"))),
+            lambda s: s["d"],
+        ).alias("__lut")
+    )
+    p = probes.join(lut, probe_id_col)
+
+    adc = None
+    for j in range(num_sub):
+        term = F.element_at(
+            F.col("__lut"), F.col("pq_codes")[j] + F.lit(j * kk + 1)
+        )
+        adc = term if adc is None else adc + term
+
+    scored = coded.join(F.broadcast(p)).select(
+        probe_id_col,
+        id_col,
+        F.round(adc, 6).alias("adc_dist"),
+        F.col(vec_col).alias("__v"),
+        F.col(probe_vec_col).alias("__pv"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col)
+    )
+    cand = (
+        scored.withColumn("__adc_rank", F.row_number().over(w))
+        .filter(F.col("__adc_rank") <= k * oversample)
+        .withColumn(
+            "cos_exact",
+            F.round(cosine_similarity("__v", "__pv"), 6),
+        )
+    )
+    w2 = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_exact").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "rank", "adc_dist", "cos_exact")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -416,3 +416,41 @@ def q_sq_ann_topk(spark, sf_dir):
         "approx_cos",
         F.round(cosine_similarity("embedding", "pe"), 6).alias("cos_exact"),
     )
+
+
+@register("pq_ann_topk", None)  # approximate by design; recall pinned in tests/
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantized ANN (`operators/similarity.pq_build` /
+    `pq_topk`): per-subspace k-means codebooks compress each vector to
+    num_sub small codes; search is asymmetric-distance (ADC) — a
+    probe-side LUT of subspace distances, summed by code lookup on the
+    corpus side — oversampled candidates reranked by exact cosine.
+    Inputs are L2-normalized so ADC's L2 ordering matches cosine.
+    Codebooks are model state (driver-fit, literal re-entry); at
+    100 TB you fit them on a sample and the corpus pass reads only
+    the num_sub-byte codes column."""
+    from sparkplans.operators.similarity import pq_build, pq_topk
+
+    emb = _t_cpu(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    nemb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x / nrm
+        ).alias("embedding"),
+    )
+    coded, books = pq_build(nemb, num_sub=16, k=16, iters=1)
+    # materialize the encoded corpus (the persisted-index analog):
+    # the search plan then reads codes only, as it would in production
+    coded = coded.localCheckpoint(eager=True)
+    probes = nemb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    return pq_topk(coded, books, probes, k=10, oversample=4)

@@ -229,6 +229,49 @@ def test_sq_topk_recall_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_pq_topk_recall_selfhit_determinism(spark):
+    """PQ (16 subspaces × 16 centroids on 64-dim normalized vectors):
+    every probe drawn from the corpus finds itself at rank 1, ADC +
+    exact-rerank recall@10 vs brute force stays high, and two
+    independent builds agree exactly (deterministic init + Lloyd)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    nemb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x / nrm
+        ).alias("embedding"),
+    )
+    probes = nemb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    coded, books = similarity.pq_build(nemb, num_sub=16, k=16, iters=2)
+    coded = coded.localCheckpoint()
+    out = similarity.pq_topk(coded, books, probes, k=10).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid, rows in by_probe.items():
+        top = min(rows, key=lambda r: r.rank)
+        assert top.vec_id == pid and abs(top.cos_exact - 1.0) < 1e-6
+    exact = similarity.brute_force_topk(nemb, probes, k=10).collect()
+    e = {(r.probe_id, r.vec_id) for r in exact}
+    g = {(r.probe_id, r.vec_id) for r in out}
+    recall = len(e & g) / len(e)
+    assert recall >= 0.6, f"PQ recall@10 collapsed: {recall}"
+    coded2, books2 = similarity.pq_build(nemb, num_sub=16, k=16, iters=2)
+    assert books == books2
+    out2 = similarity.pq_topk(coded2.localCheckpoint(), books2, probes, k=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 # -- skew-salted join -------------------------------------------------------
 
 

@@ -264,6 +264,9 @@ BUDGETS = {
     # running-peak window and the per-series rollup share one
     # series-keyed shuffle
     "max_drawdown": 1,
+    # encode pass runs before the localCheckpoint cut; visible plan is
+    # probe-LUT build + broadcast + per-probe rank windows
+    "pq_ann_topk": 5,
 }
 
 
