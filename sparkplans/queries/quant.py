@@ -191,6 +191,101 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Equi-width value histogram (profiling)
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "value_histogram",
+    """
+    WITH ext AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY event_type),
+    b AS (
+      SELECT e.event_type,
+             CAST(least(floor((e.value - x.lo) * 20 / (x.hi - x.lo)),
+                        19) AS BIGINT) AS bin
+      FROM events e JOIN ext x ON e.event_type = x.event_type
+      WHERE x.hi > x.lo)
+    SELECT event_type, bin, count(*) AS n
+    FROM b GROUP BY event_type, bin
+    """,
+)
+# 20-bin equi-width histogram per series — the profiling op behind
+# every "distribution changed?" dashboard.  Bin edges derive from the
+# series' own min/max (one pre-agg, 5 rows, broadcast back); the bin
+# index is one IEEE expression + floor, identical on both engines,
+# with the right-edge row folded into the last bin via least().
+# Flat series are excluded (hi = lo has no width).  Two key shuffles
+# total, both post-agg tiny except the bin count itself, which
+# combines map-side.
+
+
+# ---------------------------------------------------------------------
+# Chi-square independence screen (event_type x ISO weekday)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "event_dow_chisq",
+    """
+    WITH o AS (
+      SELECT event_type, isodow(ts) AS dow, count(*) AS obs
+      FROM events GROUP BY event_type, isodow(ts)),
+    m AS (
+      SELECT event_type, sum(obs) AS row_tot FROM o GROUP BY event_type),
+    d AS (SELECT dow, sum(obs) AS col_tot FROM o GROUP BY dow),
+    t AS (SELECT sum(obs) AS grand FROM o)
+    SELECT o.event_type, o.dow, o.obs,
+           round(CAST(m.row_tot AS DOUBLE) * d.col_tot / t.grand, 6)
+             AS expected,
+           round(pow(o.obs - CAST(m.row_tot AS DOUBLE) * d.col_tot
+                             / t.grand, 2)
+                 / (CAST(m.row_tot AS DOUBLE) * d.col_tot / t.grand),
+                 6) AS chi2_term
+    FROM o
+    JOIN m ON o.event_type = m.event_type
+    JOIN d ON o.dow = d.dow
+    CROSS JOIN t
+    """,
+)
+def q_event_dow_chisq(spark, sf_dir):
+    """Pearson chi-square contributions for the event-type × weekday
+    contingency table — the standard drift/independence screen over a
+    categorical pair.  All marginals are integer sums off one tiny
+    contingency aggregation (types×7 rows); expected counts and chi²
+    terms are the same IEEE expression sequence on both engines,
+    rounded 6dp.  Only the contingency groupBy touches the corpus.
+    The oracle differs solely in the weekday spelling (DuckDB
+    ``isodow`` = Spark ``weekday()+1``, both 1=Monday..7=Sunday)."""
+    ev = _t(spark, sf_dir, "events")
+    o = (
+        ev.groupBy("event_type", (F.weekday("ts") + 1).alias("dow"))
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=True)
+    )  # types×7 rows; the corpus aggregates ONCE across the 4 branches
+    m = o.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    d = o.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    t = o.groupBy().agg(F.sum("obs").alias("grand"))
+    exp = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
+    )
+    return (
+        o.join(m, "event_type")
+        .join(d, "dow")
+        .crossJoin(t)
+        .select(
+            "event_type",
+            "dow",
+            "obs",
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("obs") - exp, F.lit(2)) / exp, 6
+            ).alias("chi2_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # Market-basket association rules (support / confidence / lift)
 # ---------------------------------------------------------------------
 

@@ -267,6 +267,11 @@ BUDGETS = {
     # encode pass runs before the localCheckpoint cut; visible plan is
     # probe-LUT build + broadcast + per-probe rank windows
     "pq_ann_topk": 5,
+    # per-type extent pre-agg (broadcast back) + the bin count
+    "value_histogram": 1,
+    # contingency agg checkpointed (corpus aggregates once); marginal
+    # rollups + joins run on types×7 rows
+    "event_dow_chisq": 3,
 }
 
 
