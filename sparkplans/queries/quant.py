@@ -191,6 +191,117 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Gap filling with linear interpolation (TimescaleDB `interpolate`)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_linear",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS avg_v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)),
+    r AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM b
+          GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS hr
+      FROM r),
+    j AS (
+      SELECT g.user_id, g.hr, b.avg_v
+      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.hr = b.hr),
+    x AS (
+      SELECT user_id, hr, avg_v,
+             last_value(avg_v IGNORE NULLS) OVER wpast AS pv,
+             last_value(CASE WHEN avg_v IS NOT NULL THEN hr END
+                        IGNORE NULLS) OVER wpast AS phr,
+             first_value(avg_v IGNORE NULLS) OVER wfut AS nv,
+             first_value(CASE WHEN avg_v IS NOT NULL THEN hr END
+                         IGNORE NULLS) OVER wfut AS nhr
+      FROM j
+      WINDOW wpast AS (PARTITION BY user_id ORDER BY hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wfut AS (PARTITION BY user_id ORDER BY hr
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hr,
+           floor(coalesce(avg_v,
+                          pv + (nv - pv)
+                               * (CAST(floor(epoch(hr)) AS BIGINT)
+                                  - CAST(floor(epoch(phr)) AS BIGINT))
+                               / (CAST(floor(epoch(nhr)) AS BIGINT)
+                                  - CAST(floor(epoch(phr)) AS BIGINT)))
+                 * 1000000) / 1000000 AS v_linear
+    FROM x
+    """,
+)
+def q_gap_fill_linear(spark, sf_dir):
+    """Gap filling with linear interpolation between the neighboring
+    observations (TimescaleDB ``time_bucket_gapfill + interpolate``;
+    the LOCF variant is `queries/gap_fill_locf`).  Same scale shape as
+    LOCF: hourly pre-aggregation FIRST, ``sequence()`` grid (users ×
+    hours, never raw events), then ONE user-keyed shuffle shared by
+    the backward and forward IGNORE NULLS windows.  The interpolation
+    weight derives from integer epoch seconds; the blend is the same
+    IEEE sequence on both engines.  The 6dp edge uses floor(x·1e6)/1e6
+    TRUNCATION, not round(): interpolated midpoints land on exact
+    .0000005 ties (99 rows at sf0.1) where Spark rounds half-up but
+    DuckDB rounds half-even — floor of an identical double is
+    tie-free.  Grid endpoints are observed by construction, so
+    interior gaps always have both neighbors."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_v")
+    )
+    r = b.groupBy("user_id").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    grid = r.select(
+        "user_id",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+    )
+    j = grid.join(b, ["user_id", "hr"], "left")
+    wpast = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfut = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("avg_v").isNotNull(), F.col("hr"))
+    x = j.select(
+        "user_id",
+        "hr",
+        "avg_v",
+        F.last("avg_v", ignorenulls=True).over(wpast).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(wpast).alias("phr"),
+        F.first("avg_v", ignorenulls=True).over(wfut).alias("nv"),
+        F.first(obs_hr, ignorenulls=True).over(wfut).alias("nhr"),
+    )
+    sec = lambda c: F.unix_timestamp(F.col(c)).cast("bigint")  # noqa: E731
+    blend = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        sec("hr") - sec("phr")
+    ) / (sec("nhr") - sec("phr"))
+    return x.select(
+        "user_id",
+        "hr",
+        (
+            F.floor(F.coalesce(F.col("avg_v"), blend) * 1000000) / 1000000
+        ).alias("v_linear"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Equi-width value histogram (profiling)
 # ---------------------------------------------------------------------
 

@@ -272,6 +272,9 @@ BUDGETS = {
     # contingency agg checkpointed (corpus aggregates once); marginal
     # rollups + joins run on types×7 rows
     "event_dow_chisq": 3,
+    # hourly pre-agg + one user-keyed shuffle shared by both IGNORE
+    # NULLS windows (same shape as gap_fill_locf)
+    "gap_fill_linear": 2,
 }
 
 
