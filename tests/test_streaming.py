@@ -312,6 +312,38 @@ def test_streaming_sessions_subset_of_batch(spark, events_dir):
     assert got <= batch, f"{len(got - batch)} streaming sessions not in batch twin"
 
 
+def test_native_session_window_matches_gap_sessionize(spark):
+    """Spark's built-in ``session_window`` (merging event-time session
+    windows) partitions events into exactly the same sessions as the
+    lag/running-sum gap sessionizer (`queries/sessionize_batch`) at
+    the same 30-minute gap: same user, same first/last event time,
+    same event count.  (Boundary semantics agree because a ts exactly
+    gap after its predecessor merges in both: session_window extends
+    to prev+gap exclusive only for LATER starts, and the batch twin
+    uses a strict > gap test — no exact-boundary ties exist in this
+    corpus either way.)"""
+    import sparkplans.queries as Q
+
+    ev = load_table(spark, SF_DIR, "events")
+    native = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in Q.REGISTRY["sessionize_batch"].fn(spark, SF_DIR).collect()
+    }
+    assert native == batch
+
+
 def test_continuous_rollup_incremental_matches_batch(spark, tmp_path):
     """Multi-batch incremental rollup maintenance == one-shot batch
     rollup over the same data; a retried batch id is a no-op."""
