@@ -146,9 +146,12 @@ def q_mad_outlier_days(spark, sf_dir):
     series: both median joins broadcast.  MAD=0 (a flat series) yields
     NULL rather than an engine-dependent divide-by-zero."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count("*").alias("n"))
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )  # types×days rows; the corpus aggregates ONCE across the
+    # median / deviation / MAD branches
     med = daily.groupBy("event_type").agg(
         F.expr("percentile(n, 0.5)").alias("med")
     )

@@ -235,9 +235,9 @@ BUDGETS = {
     # one series-keyed shuffle shared by the lead() window and the
     # final per-series rollup
     "time_weighted_avg": 1,
-    # daily grid agg recomputed on the median/MAD/dev branches (the
-    # grid is types×days rows — tiny); both stat joins broadcast
-    "mad_outlier_days": 7,
+    # daily grid checkpointed (corpus aggregates once); median/MAD
+    # branches run on types×days rows, both stat joins broadcast
+    "mad_outlier_days": 3,
     # price-tier windows and the tier rollup all key on o_custkey —
     # one hash shuffle reused (AQE), plus the tier-join hop
     "pareto_frontier_orders": 2,
