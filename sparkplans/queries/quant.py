@@ -191,6 +191,34 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# BPE tokenizer training (merge table)
+# ---------------------------------------------------------------------
+
+
+@register("bpe_merge_table", None)  # iterative trainer; pinned vs the
+# hand-computed Sennrich corpus in tests/test_operators.py
+def q_bpe_merge_table(spark, sf_dir):
+    """First 6 BPE merges learned from the documents corpus
+    (`operators/bpe.bpe_train`): the tokenizer-construction step of a
+    training-data pipeline, run as one corpus word-count shuffle plus
+    vocabulary-sized iterations.  Deterministic (lexicographic tie
+    break), so the merge table is a pure function of the corpus —
+    rows-only here; exact merge order is pinned against the
+    hand-computed textbook corpus in tests."""
+    from sparkplans.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=6)
+    rows = [
+        (i + 1, a, b, a + b, w) for i, (a, b, w) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, merged string, weight bigint",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gap filling with linear interpolation (TimescaleDB `interpolate`)
 # ---------------------------------------------------------------------
 

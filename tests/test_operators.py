@@ -5,7 +5,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from sparkplans.operators import asof, dedup, multimodal, similarity, skew
+from sparkplans.operators import asof, bpe, dedup, multimodal, similarity, skew
 from sparkplans.sources import load_table
 from tests.conftest import SF_DIR
 
@@ -270,6 +270,59 @@ def test_pq_topk_recall_selfhit_determinism(spark):
     assert books == books2
     out2 = similarity.pq_topk(coded2.localCheckpoint(), books2, probes, k=10).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# -- BPE merge training -----------------------------------------------------
+
+
+def test_bpe_train_matches_handcomputed_merges(spark):
+    """The Sennrich et al. textbook corpus: merge order and weights
+    are hand-computable, including the (e,s)/(s,t) tie broken
+    lexicographically and the left-to-right no-remerge fold."""
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    docs = spark.createDataFrame(rows, "text string")
+    merges, vocab = bpe.bpe_train(docs, num_merges=4)
+    assert merges == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+    ]
+    sym = {r.word: list(r.symbols) for r in vocab.collect()}
+    assert sym["newest"] == ["n", "e", "w", "est"]
+    assert sym["low"] == ["low"]
+    assert sym["lower"] == ["low", "e", "r"]
+    # determinism
+    merges2, _ = bpe.bpe_train(docs, num_merges=4)
+    assert merges2 == merges
+
+
+def test_bpe_merge_fold_no_remerge(spark):
+    """[a,a,a] with merge (a,a) must yield [aa,a] — the merged output
+    does not immediately re-merge with the next symbol."""
+    df = spark.createDataFrame([("aaa",)], "text string")
+    merges, vocab = bpe.bpe_train(df, num_merges=1)
+    assert merges == [("a", "a", 2)]
+    assert list(vocab.first().symbols) == ["aa", "a"]
+
+
+def test_bpe_encode_lookup_and_oov_fallback(spark):
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    docs = spark.createDataFrame(rows, "text string")
+    merges, vocab = bpe.bpe_train(docs, num_merges=4)
+    enc = bpe.bpe_encode(
+        spark.createDataFrame(
+            [(0, "newest unseenword")], "doc_id long, text string"
+        ),
+        vocab,
+    )
+    got = {r.word: list(r.tokens) for r in enc.collect()}
+    assert got["newest"] == ["n", "e", "w", "est"]
+    assert got["unseenword"] == list("unseenword")  # OOV -> chars
 
 
 # -- skew-salted join -------------------------------------------------------

@@ -275,6 +275,9 @@ BUDGETS = {
     # hourly pre-agg + one user-keyed shuffle shared by both IGNORE
     # NULLS windows (same shape as gap_fill_locf)
     "gap_fill_linear": 2,
+    # training iterations run at call time (word-count shuffle + tiny
+    # vocab aggs); the returned merge table is driver model state
+    "bpe_merge_table": 0,
 }
 
 
