@@ -191,6 +191,50 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Window frame surface: nth_value / first / last with explicit frames
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "window_frame_values",
+    """
+    SELECT user_id, event_id,
+           nth_value(value, 2) OVER w AS second_seen,
+           first_value(value) OVER w AS first_seen,
+           last_value(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND 2 FOLLOWING) AS two_ahead
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+# The navigation-function surface with explicit ROWS frames and a
+# named WINDOW clause — nth_value before its frame holds 2 rows is
+# NULL on both engines, and every pick is exact (no arithmetic).
+# (ts, event_id) totally orders each partition, so the frames are
+# engine-independent.  One user-keyed shuffle shared by both frames.
+
+
+# ---------------------------------------------------------------------
+# GROUP BY ALL (modern SQL-surface parity)
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "group_by_all_daily",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+    FROM events GROUP BY ALL
+    """,
+)
+# GROUP BY ALL resolves the non-aggregate select list as the grouping
+# key on both engines — one shared text, one two-phase aggregation,
+# DECIMAL-exact sums.
+
+
+# ---------------------------------------------------------------------
 # BPE tokenizer training (merge table)
 # ---------------------------------------------------------------------
 

@@ -278,6 +278,10 @@ BUDGETS = {
     # training iterations run at call time (word-count shuffle + tiny
     # vocab aggs); the returned merge table is driver model state
     "bpe_merge_table": 0,
+    # both explicit frames share one user-keyed shuffle
+    "window_frame_values": 1,
+    # one two-phase aggregation
+    "group_by_all_daily": 1,
 }
 
 
