@@ -188,6 +188,75 @@ def sessionize(
     )
 
 
+RUNNING_STATS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("sum_cents", LongType()),
+        StructField("min_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_RS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sum_cents", LongType()),
+        StructField("mn", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def running_stats(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator #2: exact running per-key statistics
+    across micro-batches via applyInPandasWithState.  State per key is
+    (count, sum in integer cents, min, max) — the sum accumulates as
+    int64 cents, so it is EXACT and independent of both row order
+    within a batch and batch boundaries (a float sum would drift with
+    either).  Each batch emits the updated cumulative row per key
+    (update semantics); the row with the highest count per key is the
+    final answer, and it must equal the batch aggregate bit-for-bit —
+    pinned in tests.  At scale, state is one 32-byte tuple per key,
+    hash-partitioned across executors."""
+
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout set
+            state.remove()
+            return
+        if state.exists:
+            n, sc, mn, mx = state.get
+        else:
+            n, sc, mn, mx = 0, 0, None, None
+        for pdf in pdfs:
+            vals = pdf["value"]
+            n += int(len(vals))
+            # two-decimal values: v*100 is integer-valued up to float
+            # noise, so the round-to-int is tie-free and exact
+            sc += int((vals * 100).round().astype("int64").sum())
+            bmn, bmx = float(vals.min()), float(vals.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, sc, mn, mx))
+        yield pd.DataFrame(
+            [(etype, n, sc, mn, mx)],
+            columns=["event_type", "n", "sum_cents", "min_value", "max_value"],
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=_RS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str] | None = None,

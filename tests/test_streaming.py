@@ -312,6 +312,59 @@ def test_streaming_sessions_subset_of_batch(spark, events_dir):
     assert got <= batch, f"{len(got - batch)} streaming sessions not in batch twin"
 
 
+def test_running_stats_exact_across_batches(spark, tmp_path):
+    """applyInPandasWithState running stats over 3 micro-batches
+    (disjoint thirds of the corpus as separate files,
+    maxFilesPerTrigger=1): the final cumulative row per key equals
+    the batch aggregate EXACTLY — the integer-cents sum makes the
+    result independent of row order and batch boundaries."""
+    import os as _os
+
+    d = tmp_path / "rs"
+    d.mkdir()
+    ev = load_table(spark, SF_DIR, "events")
+    # three disjoint thirds as separate files = three micro-batches
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    files = sorted(str(p) for p in d.glob("part*/*.parquet"))
+    s = tmp_path / "rs_stream"
+    s.mkdir()
+    for i, f in enumerate(files):
+        _os.symlink(f, s / f"{i}.parquet")
+    stream = streaming.stream_events(spark, str(s), max_files_per_trigger=1)
+    out = streaming.running_stats(stream)
+    streaming.run_available_now(out, "rs_t", output_mode="update")
+    got_all = spark.table("rs_t").collect()
+    final = {}
+    for r in got_all:  # highest count per key = last cumulative row
+        if r.event_type not in final or r.n > final[r.event_type].n:
+            final[r.event_type] = r
+    want = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "sum_cents"
+            ),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for k in want:
+        g, w = final[k], want[k]
+        assert (g.n, g.sum_cents, g.min_value, g.max_value) == (
+            w.n,
+            w.sum_cents,
+            w.min_value,
+            w.max_value,
+        ), k
+
+
 def test_native_session_window_matches_gap_sessionize(spark):
     """Spark's built-in ``session_window`` (merging event-time session
     windows) partitions events into exactly the same sessions as the
