@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sparkplans.queries import _shared_sql, _t, register
+from sparkplans.queries import _shared_sql, _t, _t_cpu, register
 
 
 # ---------------------------------------------------------------------
@@ -188,6 +188,84 @@ _shared_sql(
 # relative form is total.)  One series-keyed shuffle shared by the
 # window and the rollup; per-series window state is a single double,
 # so the plan holds at any series length.
+
+
+# ---------------------------------------------------------------------
+# Corpus-source vocabulary overlap (mixture diagnostics)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "source_vocab_jaccard",
+    """
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+    ov AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, n_common,
+           na.n AS n_a, nb.n AS n_b,
+           round(CAST(n_common AS DOUBLE)
+                 / (na.n + nb.n - n_common), 6) AS jaccard
+    FROM ov
+    JOIN sz na ON source_a = na.source
+    JOIN sz nb ON source_b = nb.source
+    """,
+)
+def q_source_vocab_jaccard(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between document sources — the
+    mixture-overlap diagnostic behind data-mixing decisions (two
+    sources with near-identical vocabularies are redundant; near-zero
+    overlap flags a domain gap).  The distinct (source, token) table
+    feeds three branches (both self-join sides + sizes), so it is
+    localCheckpoint-ed — the tokenize+dedup shuffle runs once.  The
+    self-join keys on token; per-token fan-out is bounded by the
+    number of sources (≤5 here), so candidate pairs are |vocab|·s²,
+    never corpus².  Counts are integers; Jaccard is one IEEE divide,
+    rounded 6dp."""
+    d = _t_cpu(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz = st.groupBy("source").agg(F.count("*").alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"), "tok")
+    ov = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        ov.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------

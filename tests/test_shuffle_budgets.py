@@ -280,6 +280,9 @@ BUDGETS = {
     "bpe_merge_table": 0,
     # both explicit frames share one user-keyed shuffle
     "window_frame_values": 1,
+    # (source, tok) dedup checkpointed once; visible plan: token
+    # self-join + pair agg + size joins (sources² rows)
+    "source_vocab_jaccard": 3,
     # one two-phase aggregation
     "group_by_all_daily": 1,
 }
