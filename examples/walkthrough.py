@@ -197,6 +197,56 @@ def main() -> None:
     tri = Q.REGISTRY["copurchase_triangles"].fn(spark, sf_dir).first()
     print(f"co-purchase graph: {tri.n_edges} edges, {tri.n_triangles} triangles")
 
+    # ---- 14: the ANN index family ------------------------------------
+    section(14, "ANN family: brute / LSH / IVF / SQ8 / PQ recall@10")
+    from sparkplans.operators import similarity as S
+    from sparkplans.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    nemb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x / nrm
+        ).alias("embedding"),
+    ).localCheckpoint()
+    probes = nemb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    exact = {
+        (r.probe_id, r.vec_id)
+        for r in S.brute_force_topk(nemb, probes, k=10).collect()
+    }
+
+    def recall(rows) -> float:
+        got = {(r.probe_id, r.vec_id) for r in rows}
+        return round(len(exact & got) / len(exact), 2)
+
+    print("brute force: recall 1.0 (exact baseline), zero corpus shuffle")
+    lsh = S.lsh_bucket_topk(nemb, probes, k=10, num_planes=6).collect()
+    print(f"LSH buckets (6 planes): recall {recall(lsh)} — bucket-local scoring")
+    assigned, cents = S.ivf_build(nemb, num_centroids=8, iters=1)
+    ivf = S.ivf_topk(assigned, cents, probes, k=10, nprobe=2).collect()
+    print(f"IVF (8 cells, nprobe 2): recall {recall(ivf)} — cluster-pruned scan")
+    q = S.sq_quantize(nemb).localCheckpoint()
+    sq_probes = q.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("qvec_recon").alias("probe_qvec_recon"),
+    )
+    sq = S.sq_topk(q, sq_probes, k=10).collect()
+    print(f"SQ8 (1 byte/dim): recall {recall(sq)} — 4x scan-bandwidth saving")
+    coded, books = S.pq_build(nemb, num_sub=16, k=16, iters=1)
+    pq = S.pq_topk(coded.localCheckpoint(), books, probes, k=10).collect()
+    print(f"PQ-ADC (16x16 codebooks): recall {recall(pq)} — codes-only corpus scan")
+
     spark.stop()
 
 
