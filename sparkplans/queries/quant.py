@@ -191,6 +191,74 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Rolling correlation between two series
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "rolling_corr_7d",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) FILTER (WHERE event_type = 'click') AS c,
+             count(*) FILTER (WHERE event_type = 'purchase') AS p
+      FROM events GROUP BY CAST(ts AS DATE)),
+    w AS (
+      SELECT day, n, sc, sp, scc, spp, scp
+      FROM (
+        SELECT day,
+               count(*) OVER win AS n,
+               sum(c) OVER win AS sc, sum(p) OVER win AS sp,
+               sum(c * c) OVER win AS scc, sum(p * p) OVER win AS spp,
+               sum(c * p) OVER win AS scp
+        FROM d
+        WINDOW win AS (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) t)
+    SELECT day,
+           floor((CAST(n AS DOUBLE) * scp - CAST(sc AS DOUBLE) * sp)
+                 / (sqrt(CAST(n AS DOUBLE) * scc
+                         - CAST(sc AS DOUBLE) * sc)
+                    * sqrt(CAST(n AS DOUBLE) * spp
+                           - CAST(sp AS DOUBLE) * sp))
+                 * 1000000) / 1000000 AS corr7
+    FROM w WHERE n = 7
+    """,
+)
+# Trailing 7-day Pearson correlation between two event series — the
+# co-movement diagnostic behind "did clicks decouple from purchases".
+# All five frame sums are INTEGER window aggregates over the daily
+# grid (exact, order-free); only the final correlation is IEEE, and
+# its 6dp edge is floor-truncated (the engines' round() half rules
+# diverge on exact ties).  The grid window is global but runs on
+# post-agg rows — one row per day, thousands at a century of data.
+
+
+# ---------------------------------------------------------------------
+# Cumulative distinct users (running distinct via first-seen)
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "cumulative_distinct_users",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM f GROUP BY first_day)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+# Running COUNT(DISTINCT) over time without a quadratic self-join or
+# an ever-growing distinct state: each user contributes once at their
+# first-seen day, so the cumulative sum of first-appearances IS the
+# distinct total (the standard first-touch decomposition).  Per-user
+# min() collapses map-side; the running sum sees one row per day.
+# All integers — bit-exact on both engines.
+
+
+# ---------------------------------------------------------------------
 # Corpus-source vocabulary overlap (mixture diagnostics)
 # ---------------------------------------------------------------------
 

@@ -285,6 +285,10 @@ BUDGETS = {
     "source_vocab_jaccard": 3,
     # one two-phase aggregation
     "group_by_all_daily": 1,
+    # daily grid agg + the one-row-per-day global frame window
+    "rolling_corr_7d": 2,
+    # per-user first-seen agg + per-day rollup + day-ordered run
+    "cumulative_distinct_users": 3,
 }
 
 
