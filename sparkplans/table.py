@@ -1,0 +1,175 @@
+"""Versioned tables: a minimal Delta/Iceberg-style transaction log.
+
+The reference (like vanilla Spark paths) treats a table as "whatever
+files are in the directory" — no atomicity, no history.  This module
+adds the missing storage contract with nothing but parquet + a JSON
+log, the same core recipe the open table formats use:
+
+- **Layout**: ``<root>/_log/00000042.json`` (one entry per committed
+  version) + ``<root>/data/v42-*/*.parquet`` (immutable data files).
+- **Commit = atomic rename.** A writer stages its data files, writes
+  the log entry to a temp name, and ``os.rename``s it to the next
+  version number.  POSIX rename-no-overwrite (via ``os.link``)
+  makes exactly one of two racing writers win; the loser re-reads the
+  log and retries on the next version — optimistic concurrency.
+- **Snapshot isolation**: a read resolves the file list from the log
+  ONCE (latest committed or an explicit ``version=``), so concurrent
+  commits never tear a running query.  Old versions stay readable —
+  time travel — until ``vacuum`` removes files no live version
+  references.
+
+At 100 TB this is exactly how the lakehouse formats behave: the log
+is tiny driver-side metadata; data files are immutable and
+partition-parallel; appends never rewrite, overwrites just change
+which files a version points to.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- log primitives -------------------------------------------------
+
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and not f.startswith("_")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_entry(self, version: int) -> dict:
+        with open(self._entry_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, entry: dict, retries: int = 20) -> int:
+        """Atomically claim the next version number.  ``os.link`` (not
+        rename) refuses to overwrite an existing target, so exactly one
+        of N racing writers wins each version; losers retry above the
+        new tip."""
+        tmp = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex}.json")
+        for _ in range(retries):
+            v = (self.latest_version() or 0) + 1 if self.versions() else 0
+            entry["version"] = v
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            try:
+                os.link(tmp, self._entry_path(v))
+                os.unlink(tmp)
+                return v
+            except FileExistsError:
+                continue  # lost the race — re-read tip, try next number
+        os.unlink(tmp)
+        raise CommitConflict(f"could not commit after {retries} attempts")
+
+    # -- writes ---------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        sub = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex}")
+        df.write.parquet(sub)
+        return sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(sub)
+            if f.endswith(".parquet")
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """Commit the rows as a new version on top of the current tip."""
+        files = self._stage(df)
+        return self._commit({"op": "append", "files": files})
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Commit a version that replaces the table contents.  Old
+        versions remain readable (time travel) until vacuum()."""
+        files = self._stage(df)
+        return self._commit({"op": "overwrite", "files": files})
+
+    # -- reads ----------------------------------------------------------
+
+    def _files_at(self, version: int) -> list[str]:
+        files: list[str] = []
+        for v in self.versions():
+            if v > version:
+                break
+            e = self._read_entry(v)
+            if e["op"] == "overwrite":
+                files = list(e["files"])
+            else:
+                files.extend(e["files"])
+        return files
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: latest committed version, or time travel to
+        an explicit one.  The file list is resolved once — commits
+        landing after this call do not affect the returned frame."""
+        tip = self.latest_version()
+        if tip is None:
+            raise FileNotFoundError(f"no committed versions at {self.root}")
+        v = tip if version is None else version
+        if v not in self.versions():
+            raise FileNotFoundError(f"version {v} not in log")
+        files = self._files_at(v)
+        if not files:
+            raise FileNotFoundError(f"version {v} has no data files")
+        return self.spark.read.parquet(*files)
+
+    def history(self) -> list[dict]:
+        return [self._read_entry(v) for v in self.versions()]
+
+    # -- maintenance ----------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Drop data files referenced only by versions older than the
+        newest ``keep_versions`` (their log entries are removed too).
+        Returns the deleted file paths."""
+        vs = self.versions()
+        keep = vs[-keep_versions:] if keep_versions else []
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._files_at(v))
+        doomed: list[str] = []
+        for v in vs:
+            if v in keep:
+                continue
+            for f in self._read_entry(v).get("files", []):
+                if f not in live and os.path.exists(f):
+                    doomed.append(f)
+        # earliest kept version must become self-contained: rewrite its
+        # entry as an overwrite of its resolved file list
+        if keep:
+            base = keep[0]
+            resolved = self._files_at(base)
+            with open(self._entry_path(base), "w") as f:
+                json.dump(
+                    {"op": "overwrite", "files": resolved, "version": base}, f
+                )
+        for v in vs:
+            if v not in keep:
+                os.unlink(self._entry_path(v))
+        for f in doomed:
+            os.unlink(f)
+        return doomed

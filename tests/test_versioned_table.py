@@ -1,0 +1,87 @@
+"""Versioned-table transaction log: atomic commits, time travel,
+snapshot isolation, optimistic concurrency, vacuum."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplans.table import VersionedTable
+from sparkplans.sources import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def nation(spark):
+    return load_table(spark, SF_DIR, "nation")
+
+
+def test_append_overwrite_and_time_travel(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    n = nation.count()
+    v0 = t.append(nation)
+    v1 = t.append(nation.limit(5))
+    v2 = t.overwrite(nation.limit(3))
+    v3 = t.append(nation.limit(2))
+    assert [v0, v1, v2, v3] == [0, 1, 2, 3]
+    assert t.read(version=0).count() == n
+    assert t.read(version=1).count() == n + 5
+    assert t.read(version=2).count() == 3
+    assert t.read(version=3).count() == 5
+    assert t.read().count() == 5  # latest
+    assert [e["op"] for e in t.history()] == [
+        "append", "append", "overwrite", "append",
+    ]
+
+
+def test_snapshot_isolation(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation)
+    snap = t.read()  # file list resolved NOW
+    t.append(nation)
+    assert snap.count() == nation.count()  # unaffected by later commit
+    assert t.read().count() == 2 * nation.count()
+
+
+def test_optimistic_concurrency_retries_past_conflict(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation)
+    # a racing writer claims version 1 out from under us
+    with open(t._entry_path(1), "w") as f:
+        json.dump({"op": "append", "files": [], "version": 1}, f)
+    v = t.append(nation.limit(1))
+    assert v == 2  # lost the race for 1, landed on 2
+    assert t.read().count() == nation.count() + 1
+
+
+def test_reading_unknown_version_raises(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation)
+    with pytest.raises(FileNotFoundError):
+        t.read(version=7)
+
+
+def test_vacuum_drops_dead_files_keeps_tip(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation)          # v0 (files die with vacuum)
+    t.overwrite(nation.limit(4))  # v1
+    t.append(nation.limit(2))     # v2
+    before = t.read().count()
+    deleted = t.vacuum(keep_versions=2)  # keep v1, v2
+    assert deleted, "pre-overwrite files should be vacuumed"
+    assert all(not os.path.exists(p) for p in deleted)
+    assert t.read().count() == before  # tip unchanged
+    assert t.read(version=1).count() == 4  # kept version still reads
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)  # vacuumed away
+    # the kept base version is now self-contained (op rewritten)
+    assert t.history()[0]["op"] == "overwrite"
+
+
+def test_schema_stays_queryable_through_versions(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation)
+    t.overwrite(nation.filter(F.col("n_regionkey") == 0))
+    got = t.read().groupBy("n_regionkey").count().collect()
+    assert len(got) == 1 and got[0]["n_regionkey"] == 0
