@@ -140,6 +140,43 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return [self._read_entry(v) for v in self.versions()]
 
+    def merge(self, updates: DataFrame, key: str) -> int:
+        """MERGE (upsert) as a new version: rows in ``updates`` replace
+        same-key rows of the current snapshot, new keys append — the
+        copy-on-write MERGE INTO of the lakehouse formats.  The rewrite
+        materializes survivors + updates into fresh files and commits
+        them as an overwrite; old versions still time-travel.
+
+        Note: like first-generation Delta, this is last-writer-wins —
+        a concurrent append between our snapshot read and commit is
+        shadowed by the rewrite.  Serializable MERGE would re-validate
+        the read version at commit time and retry; the log carries
+        enough (version numbers) to add that."""
+        current = self.read()
+        survivors = current.join(
+            updates.select(key).distinct(), key, "left_anti"
+        )
+        merged = survivors.unionByName(updates)
+        files = self._stage(merged)
+        return self._commit({"op": "overwrite", "merge_key": key, "files": files})
+
+    def streaming_append_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
+        """foreachBatch sink body with exactly-once semantics: the
+        micro-batch id is recorded in the log entry, and a replayed
+        batch (same id already committed) is a no-op — restart-safe
+        without any side channel, because the dedup record and the data
+        commit are the same atomic rename.
+
+        Use: ``stream.writeStream.foreachBatch(t.streaming_append_batch)``.
+        """
+        for e in self.history():
+            if e.get("op") == "append" and e.get("batch_id") == batch_id:
+                return None  # replay after restart — already committed
+        files = self._stage(batch_df)
+        return self._commit(
+            {"op": "append", "batch_id": batch_id, "files": files}
+        )
+
     # -- maintenance ----------------------------------------------------
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
