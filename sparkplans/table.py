@@ -177,6 +177,22 @@ class VersionedTable:
             {"op": "append", "batch_id": batch_id, "files": files}
         )
 
+    def changes(
+        self, from_version: int, to_version: int, keys: list[str]
+    ) -> DataFrame:
+        """CDC between two committed versions: the insert/delete/update
+        change set that turns ``from_version`` into ``to_version``
+        (`operators/diff.table_diff` over the two time-travel reads).
+        This is how a downstream consumer incrementally follows the
+        table without re-reading full snapshots it already has."""
+        from sparkplans.operators.diff import table_diff
+
+        return table_diff(
+            self.read(version=from_version),
+            self.read(version=to_version),
+            keys=keys,
+        )
+
     # -- maintenance ----------------------------------------------------
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

@@ -140,3 +140,22 @@ def test_streaming_into_versioned_table_end_to_end(spark, tmp_path):
     want = load_table(spark, SF_DIR, "events").count()
     assert t.read().count() == want
     assert all(e.get("batch_id") is not None for e in t.history())
+
+
+def test_changes_between_versions_cdc(spark, nation, tmp_path):
+    """changes(v0, v1) derives exactly the merge we applied: updates
+    for patched keys, an insert for the new key, no deletes."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v0 = t.append(nation)
+    updates = nation.filter(F.col("n_nationkey") < 2).withColumn(
+        "n_name", F.lit("PATCHED")
+    ).unionByName(
+        spark.createDataFrame([(99, "NEWLAND", 0)], nation.schema)
+    )
+    v1 = t.merge(updates, key="n_nationkey")
+    ch = t.changes(v0, v1, keys=["n_nationkey"])
+    by_type = {r["change_type"]: r["n"] for r in
+               ch.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type.get("update") == 2
+    assert by_type.get("insert") == 1
+    assert "delete" not in by_type
