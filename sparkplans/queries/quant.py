@@ -191,6 +191,64 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Time-to-convert latency percentiles (funnel timing)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "time_to_convert_percentiles",
+    """
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    d AS (
+      SELECT c.user_id, c.ts,
+             min(CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(c.ts)) AS BIGINT)) AS delta_s
+      FROM c JOIN p ON c.user_id = p.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+      GROUP BY c.user_id, c.ts)
+    SELECT CAST(count(*) AS BIGINT) AS n_converting_clicks,
+           round(quantile_cont(delta_s, 0.5), 6) AS p50_s,
+           round(quantile_cont(delta_s, 0.9), 6) AS p90_s
+    FROM d
+    """,
+)
+def q_time_to_convert_percentiles(spark, sf_dir):
+    """Funnel timing: for each click that converts within 24h, the
+    latency to the FIRST purchase, summarized as interpolated p50/p90
+    (Spark ``percentile`` == DuckDB ``quantile_cont`` on integer
+    second deltas — equivalence pinned by `queries/percentile_exact`).
+    The band join keys on user_id (candidates per-user-per-window,
+    never corpus²), min() collapses map-side, and the percentile runs
+    over converting clicks only."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    d = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min(
+                F.unix_timestamp("p_ts").cast("bigint")
+                - F.unix_timestamp("ts").cast("bigint")
+            ).alias("delta_s")
+        )
+    )
+    return d.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_converting_clicks"),
+        F.round(F.expr("percentile(delta_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(delta_s, 0.9)"), 6).alias("p90_s"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Rolling correlation between two series
 # ---------------------------------------------------------------------
 

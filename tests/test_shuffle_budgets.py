@@ -287,6 +287,8 @@ BUDGETS = {
     "group_by_all_daily": 1,
     # daily grid agg + the one-row-per-day global frame window
     "rolling_corr_7d": 2,
+    # user-keyed band join + per-click min + the one-row percentile
+    "time_to_convert_percentiles": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run
     "cumulative_distinct_users": 3,
 }
