@@ -55,6 +55,7 @@ HEADLINE = [
     "copurchase_rules",
     "rrf_hybrid_retrieval",
     "sq_ann_topk",
+    "activity_streaks",
 ]
 
 
