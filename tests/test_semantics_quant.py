@@ -1,0 +1,164 @@
+"""Independent-recomputation semantics checks for the temporal/quant
+query batches.  The DuckDB oracle proves Spark and DuckDB agree; these
+prove the SHARED algorithm is the intended one, by recomputing each
+result in plain Python/numpy from the raw rows — the class of bug a
+twin-SQL oracle cannot catch (the same wrong query on both engines).
+"""
+
+import collections
+import datetime
+
+import numpy as np
+import pytest
+
+import sparkplans.queries as Q
+from sparkplans.sources import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_rows(spark):
+    return load_table(spark, SF_DIR, "events").collect()
+
+
+def test_pareto_frontier_dominance_sound_and_complete(spark):
+    """Returned rows are exactly the non-dominated orders per customer
+    (minimize price, maximize recency; brute-force checked)."""
+    orders = load_table(spark, SF_DIR, "orders").collect()
+    by_cust = collections.defaultdict(list)
+    for r in orders:
+        by_cust[r.o_custkey].append(r)
+    want = set()
+    for ck, rows in by_cust.items():
+        for a in rows:
+            dominated = any(
+                (b.o_totalprice < a.o_totalprice and b.o_orderdate >= a.o_orderdate)
+                for b in rows
+            )
+            if not dominated:
+                want.add((ck, a.o_orderkey))
+    got = {
+        (r.o_custkey, r.o_orderkey)
+        for r in Q.REGISTRY["pareto_frontier_orders"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_activity_streaks_match_python_runs(spark, events_rows):
+    days = collections.defaultdict(set)
+    for r in events_rows:
+        days[r.user_id].add(r.ts.date())
+    want = set()
+    for u, ds in days.items():
+        run = []
+        for d in sorted(ds):
+            if run and (d - run[-1]).days == 1:
+                run.append(d)
+            else:
+                if len(run) >= 3:
+                    want.add((u, len(run), run[0], run[-1]))
+                run = [d]
+        if len(run) >= 3:
+            want.add((u, len(run), run[0], run[-1]))
+    got = {
+        (r.user_id, r.streak_days, r.streak_start, r.streak_end)
+        for r in Q.REGISTRY["activity_streaks"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_weighted_median_matches_numpy(spark):
+    li = load_table(spark, SF_DIR, "lineitem").collect()
+    by_flag = collections.defaultdict(list)
+    for r in li:
+        by_flag[r.l_returnflag].append((r.l_extendedprice, r.l_quantity))
+    got = {
+        r.l_returnflag: r.weighted_median
+        for r in Q.REGISTRY["weighted_median_price"].fn(spark, SF_DIR).collect()
+    }
+    for flag, pairs in by_flag.items():
+        pairs.sort()
+        v = np.array([p[0] for p in pairs])
+        w = np.array([p[1] for p in pairs])
+        cum = np.cumsum(w)
+        want = v[np.searchsorted(cum, cum[-1] / 2.0)]
+        assert got[flag] == pytest.approx(want), flag
+
+
+def test_max_drawdown_matches_python(spark, events_rows):
+    series = collections.defaultdict(list)
+    for r in events_rows:
+        series[r.event_type].append((r.ts, r.event_id, r.value))
+    got = {
+        r.event_type: (r.max_abs_drawdown, r.max_rel_drawdown)
+        for r in Q.REGISTRY["max_drawdown"].fn(spark, SF_DIR).collect()
+    }
+    for t, rows in series.items():
+        rows.sort()
+        peak, mabs, mrel = -float("inf"), -float("inf"), -float("inf")
+        for _, _, v in rows:
+            peak = max(peak, v)
+            mabs = max(mabs, peak - v)
+            mrel = max(mrel, (peak - v) / peak)
+        assert got[t][0] == pytest.approx(mabs, abs=1e-6), t
+        assert got[t][1] == pytest.approx(mrel, abs=1e-6), t
+
+
+def test_ohlc_bars_match_python(spark, events_rows):
+    bars = collections.defaultdict(list)
+    for r in events_rows:
+        bars[(r.event_type, r.ts.date())].append((r.ts, r.event_id, r.value))
+    got = {
+        (r.event_type, r.day): (r.open, r.high, r.low, r.close, r.n_obs)
+        for r in Q.REGISTRY["ohlc_daily_bars"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(bars)
+    for k, rows in bars.items():
+        rows.sort()
+        vals = [v for _, _, v in rows]
+        assert got[k] == (rows[0][2], max(vals), min(vals), rows[-1][2], len(rows)), k
+
+
+def test_max_concurrency_matches_python_sweep(spark, events_rows):
+    spans = collections.defaultdict(dict)
+    for r in events_rows:
+        day = r.ts.date()
+        cur = spans[day].get(r.user_id)
+        spans[day][r.user_id] = (
+            (r.ts, r.ts) if cur is None else (min(cur[0], r.ts), max(cur[1], r.ts))
+        )
+    got = {
+        r.day: r.max_concurrent
+        for r in Q.REGISTRY["max_concurrency_daily"].fn(spark, SF_DIR).collect()
+    }
+    for day, users in spans.items():
+        deltas = []
+        for s, e in users.values():
+            deltas.append((s, 1))
+            deltas.append((e, -1))
+        # starts before ends at equal timestamps (closed intervals)
+        deltas.sort(key=lambda x: (x[0], -x[1]))
+        cur = mx = 0
+        for _, d in deltas:
+            cur += d
+            mx = max(mx, cur)
+        assert got[day] == mx, day
+
+
+def test_cumulative_distinct_users_matches_python(spark, events_rows):
+    first = {}
+    for r in events_rows:
+        d = r.ts.date()
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    got = sorted(
+        (r.day, r.new_users, r.cum_users)
+        for r in Q.REGISTRY["cumulative_distinct_users"].fn(spark, SF_DIR).collect()
+    )
+    per_day = collections.Counter(first.values())
+    want, cum = [], 0
+    for day in sorted(per_day):
+        cum += per_day[day]
+        want.append((day, per_day[day], cum))
+    assert got == want
+    assert got[-1][2] == len(first)  # total distinct users
