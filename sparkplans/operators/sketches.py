@@ -16,7 +16,11 @@ column composes with both — it is just a binary aggregation buffer.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from sparkplans.functions import date_bin
 
@@ -63,3 +67,75 @@ def hll_union_rollup(
         .withColumn("distinct_est", F.hll_sketch_estimate("sketch"))
     )
     return out
+
+
+MG_SCHEMA = StructType(
+    [
+        StructField("item", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def misra_gries_topk(
+    df: DataFrame, col: str, capacity: int = 64
+) -> DataFrame:
+    """Misra-Gries heavy hitters: bounded-memory approximate top items
+    with a deterministic error guarantee — every item with true count
+    > n/(capacity+1) survives, and each reported count undercounts by
+    at most n/(capacity+1).
+
+    The mergeable-summary shape (Agarwal et al.): each partition
+    maintains ``capacity`` counters over its Arrow batches
+    (mapInPandas — per-partition imperative state is exactly what the
+    sketch needs, and the slow path touches ``capacity`` counters per
+    row, not the corpus); partial summaries then merge by summing
+    per-item and re-trimming to ``capacity`` by subtracting the
+    (capacity+1)-th largest merged weight.  What crosses the wire is
+    partitions x capacity rows — constant per partition, like the HLL
+    states above.  The exact TakeOrdered twin
+    (`queries/heavy_hitters_tokens`) is the small-scale oracle; this
+    is the bounded-memory scale path for when even the (item, count)
+    table is too hot to shuffle exactly.
+    """
+
+    def partition_summaries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in it:
+            for item in pdf[col]:
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < capacity:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "cnt": list(counters.values())}
+            )
+
+    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        partition_summaries, MG_SCHEMA
+    )
+    merged = partials.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    rows = merged.collect()  # partitions x capacity rows — driver-safe
+    rows.sort(key=lambda r: (-r["cnt"], r["item"]))
+    if len(rows) > capacity:
+        cut = rows[capacity]["cnt"]
+        rows = [
+            (r["item"], r["cnt"] - cut)
+            for r in rows[:capacity]
+            if r["cnt"] - cut > 0
+        ]
+    else:
+        rows = [(r["item"], r["cnt"]) for r in rows]
+    spark = df.sparkSession
+    return spark.createDataFrame(rows or [], "item string, est_count bigint")

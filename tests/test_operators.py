@@ -1341,3 +1341,31 @@ def test_prefix_filter_join_matches_brute_force(spark):
 
     with pytest.raises(ValueError):
         prefix_filter_pairs(df, threshold=0.0)
+
+
+# -- Misra-Gries heavy hitters ----------------------------------------------
+
+
+def test_misra_gries_guarantees_vs_exact(spark, docs):
+    """MG with capacity c: every token with true count > n/(c+1)
+    appears, and every estimate is a lower bound within n/(c+1)."""
+    from sparkplans.operators import sketches
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    exact = {r.tok: r.n for r in
+             toks.groupBy("tok").agg(F.count("*").alias("n")).collect()}
+    n = sum(exact.values())
+    cap = 50
+    got = {r.item: r.est_count for r in
+           sketches.misra_gries_topk(toks, "tok", capacity=cap).collect()}
+    assert got and len(got) <= cap
+    bound = n / (cap + 1)
+    for item, est in got.items():
+        assert item in exact
+        assert est <= exact[item]            # never overcount
+        assert exact[item] - est <= bound + 1e-9, item
+    for item, true in exact.items():
+        if true > bound:
+            assert item in got, f"heavy item {item} (count {true}) missing"
