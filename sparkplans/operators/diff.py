@@ -121,3 +121,25 @@ def table_diff(
         ),
     )
     return out.filter(F.col("change_type").isNotNull())
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-level drift between two snapshots: added / removed /
+    type-changed columns — the metadata companion to the row-level
+    ``table_diff`` (a pipeline checks this FIRST; a type flip makes
+    row comparison meaningless).  Pure metadata: no job runs."""
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+    return spark.createDataFrame(
+        rows or [],
+        "column string, change_type string, old_type string, new_type string",
+    )

@@ -159,3 +159,21 @@ def test_changes_between_versions_cdc(spark, nation, tmp_path):
     assert by_type.get("update") == 2
     assert by_type.get("insert") == 1
     assert "delete" not in by_type
+
+
+def test_schema_drift_detection(spark, nation, tmp_path):
+    from sparkplans.operators.diff import schema_drift
+
+    kt = dict(nation.dtypes)["n_nationkey"]
+    rt = dict(nation.dtypes)["n_regionkey"]
+    evolved = nation.drop("n_regionkey").withColumn(
+        "n_comment", F.lit("x")
+    ).withColumn("n_nationkey", F.col("n_nationkey").cast("decimal(18,0)"))
+    got = {(r.column, r.change_type, r.old_type, r.new_type)
+           for r in schema_drift(nation, evolved).collect()}
+    assert got == {
+        ("n_regionkey", "removed", rt, None),
+        ("n_comment", "added", None, "string"),
+        ("n_nationkey", "type_changed", kt, "decimal(18,0)"),
+    }
+    assert schema_drift(nation, nation).count() == 0
