@@ -179,6 +179,34 @@ class Engine:
         single = bool(spec) and not spec.in_memory and len(spec.files) <= 1
         return OrderedFrame(self, df, order, globally_ordered=single and bool(order))
 
+    def create_versioned_table(self, name: str, root: str):
+        """Attach a `sparkplans.table.VersionedTable` (Delta-style log
+        over parquet) to the catalog namespace: ``table(name)`` reads
+        the latest snapshot; ``table_at(name, version)`` time-travels.
+        Returns the VersionedTable handle for writes."""
+        from sparkplans.table import VersionedTable
+
+        vt = VersionedTable(self.spark, root)
+        if not hasattr(self, "_versioned"):
+            self._versioned: dict[str, VersionedTable] = {}
+        self._versioned[name] = vt
+        if vt.latest_version() is not None:
+            vt.read().createOrReplaceTempView(name)
+        return vt
+
+    def table_at(self, name: str, version: int | None = None) -> OrderedFrame:
+        """Snapshot / time-travel read of a versioned table.  Also
+        refreshes the registered view to the latest snapshot when
+        called without a version (a plain ``table(name)`` keeps the
+        file list pinned at registration — snapshot isolation)."""
+        vt = getattr(self, "_versioned", {}).get(name)
+        if vt is None:
+            raise KeyError(f"{name} is not a versioned table")
+        df = vt.read(version=version)
+        if version is None:
+            df.createOrReplaceTempView(name)
+        return OrderedFrame(self, df, ())
+
     def read_range(self, name: str, col: str, lo=None, hi=None) -> OrderedFrame:
         """Range scan with catalog file-level min/max pruning (the
         reference's statistics-driven scan, lifted to the listing

@@ -177,3 +177,23 @@ def test_schema_drift_detection(spark, nation, tmp_path):
         ("n_nationkey", "type_changed", kt, "decimal(18,0)"),
     }
     assert schema_drift(nation, nation).count() == 0
+
+
+def test_engine_catalog_integration(spark, nation, tmp_path):
+    """Versioned tables join the engine namespace: SQL over the
+    registered view, time travel via table_at, and view refresh on
+    versionless reads."""
+    from sparkplans.engine import Engine
+
+    eng = Engine(spark=spark)
+    vt = eng.create_versioned_table("vnation", str(tmp_path / "vn"))
+    vt.append(nation)
+    eng.table_at("vnation")  # register/refresh view
+    assert eng.sql("SELECT count(*) AS n FROM vnation").first().n == nation.count()
+    v0 = vt.latest_version()
+    vt.overwrite(nation.limit(3))
+    # pinned view still shows the old snapshot until refreshed
+    assert eng.sql("SELECT count(*) AS n FROM vnation").first().n == nation.count()
+    assert eng.table_at("vnation", version=v0).df.count() == nation.count()
+    eng.table_at("vnation")  # refresh to latest
+    assert eng.sql("SELECT count(*) AS n FROM vnation").first().n == 3
