@@ -162,3 +162,96 @@ def test_cumulative_distinct_users_matches_python(spark, events_rows):
         want.append((day, per_day[day], cum))
     assert got == want
     assert got[-1][2] == len(first)  # total distinct users
+
+
+def test_value_histogram_matches_numpy(spark, events_rows):
+    by_type = collections.defaultdict(list)
+    for r in events_rows:
+        by_type[r.event_type].append(r.value)
+    got = collections.defaultdict(dict)
+    for r in Q.REGISTRY["value_histogram"].fn(spark, SF_DIR).collect():
+        got[r.event_type][r.bin] = r.n
+    for t, vals in by_type.items():
+        lo, hi = min(vals), max(vals)
+        if hi <= lo:
+            assert t not in got
+            continue
+        bins = collections.Counter(
+            min(int((v - lo) * 20 / (hi - lo)), 19) for v in vals
+        )
+        assert got[t] == dict(bins), t
+
+
+def test_benford_first_digit_matches_python(spark):
+    orders = load_table(spark, SF_DIR, "orders").collect()
+    digits = collections.Counter(
+        str(int(r.o_totalprice))[0] for r in orders if r.o_totalprice >= 1
+    )
+    got = {r.first_digit: r.n for r in
+           Q.REGISTRY["benford_first_digit"].fn(spark, SF_DIR).collect()}
+    assert got == dict(digits)
+
+
+def test_event_dow_chisq_terms_match_python(spark, events_rows):
+    obs = collections.Counter(
+        (r.event_type, r.ts.isoweekday()) for r in events_rows
+    )
+    row_tot = collections.Counter()
+    col_tot = collections.Counter()
+    for (t, d), n in obs.items():
+        row_tot[t] += n
+        col_tot[d] += n
+    grand = sum(obs.values())
+    got = {(r.event_type, r.dow): (r.obs, r.expected, r.chi2_term)
+           for r in Q.REGISTRY["event_dow_chisq"].fn(spark, SF_DIR).collect()}
+    assert set(got) == set(obs)
+    for k, n in obs.items():
+        t, d = k
+        exp = row_tot[t] * col_tot[d] / grand
+        chi = (n - exp) ** 2 / exp
+        gn, ge, gc = got[k]
+        assert gn == n and ge == pytest.approx(exp, abs=1e-6)
+        assert gc == pytest.approx(chi, abs=1e-6)
+
+
+def test_time_weighted_avg_matches_python(spark, events_rows):
+    series = collections.defaultdict(list)
+    for r in events_rows:
+        series[r.event_type].append((r.ts, r.event_id, r.value))
+    got = {r.event_type: (r.total_secs, r.twa)
+           for r in Q.REGISTRY["time_weighted_avg"].fn(spark, SF_DIR).collect()}
+    for t, rows in series.items():
+        rows.sort()
+        tot = num = 0
+        for (ts1, _, v), (ts2, _, _) in zip(rows, rows[1:]):
+            dur = int(ts2.timestamp()) - int(ts1.timestamp())
+            tot += dur
+            num += v * dur
+        assert got[t][0] == tot, t
+        assert got[t][1] == pytest.approx(num / tot, abs=1e-5), t
+
+
+def test_time_to_convert_matches_python(spark, events_rows):
+    clicks = [(r.user_id, r.ts) for r in events_rows if r.event_type == "click"]
+    purch = collections.defaultdict(list)
+    for r in events_rows:
+        if r.event_type == "purchase":
+            purch[r.user_id].append(r.ts)
+    deltas = []
+    for u, ts in clicks:
+        cands = [
+            int(p.timestamp()) - int(ts.timestamp())
+            for p in purch.get(u, [])
+            if p > ts and (p - ts) <= datetime.timedelta(hours=24)
+        ]
+        if cands:
+            deltas.append(min(cands))
+    row = Q.REGISTRY["time_to_convert_percentiles"].fn(spark, SF_DIR).first()
+    assert row.n_converting_clicks == len(deltas)
+    if deltas:
+        assert row.p50_s == pytest.approx(
+            np.percentile(deltas, 50, method="linear"), abs=1e-6
+        )
+        assert row.p90_s == pytest.approx(
+            np.percentile(deltas, 90, method="linear"), abs=1e-6
+        )
