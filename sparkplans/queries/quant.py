@@ -191,6 +191,87 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Daily percentile bands (ops-dashboard p50/p95/p99)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "daily_value_percentile_bands",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q_daily_value_percentile_bands(spark, sf_dir):
+    """p50/p95/p99 bands per series per day — the latency-dashboard
+    aggregation.  Exact interpolated percentiles (Spark ``percentile``
+    == DuckDB ``quantile_cont``, equivalence pinned by
+    `queries/percentile_exact`); per-group buffering is bounded by one
+    day of one series, and at 100 TB the GK-sketch path
+    (`queries/approx_value_quantiles`) is the registered alternative
+    when even that is too hot."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Tokenizer fertility per language (tokenizer-health diagnostic)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    """
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+               AS bpe,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ws
+      FROM documents WHERE trim(text) <> '')
+    SELECT lang,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility
+    FROM t GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) per
+    language — the tokenizer-health diagnostic that flags languages a
+    vocabulary serves poorly (fertility spikes → over-segmentation →
+    wasted context window).  Integer token counts from the registered
+    JVM-side counters (`functions.text`); the ratio is one IEEE divide
+    of exact integer sums.  One lang-keyed two-phase aggregation."""
+    from sparkplans.functions.text import bpe_token_count, token_count
+
+    d = _t_cpu(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    t = d.select(
+        "lang",
+        bpe_token_count("text").alias("bpe"),
+        token_count("text").alias("ws"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.round(
+            F.sum("bpe").cast("double") / F.sum("ws"), 6
+        ).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Time-to-convert latency percentiles (funnel timing)
 # ---------------------------------------------------------------------
 

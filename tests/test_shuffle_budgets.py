@@ -289,6 +289,10 @@ BUDGETS = {
     "rolling_corr_7d": 2,
     # user-keyed band join + per-click min + the one-row percentile
     "time_to_convert_percentiles": 2,
+    # one (series, day)-keyed exact-percentile aggregation
+    "daily_value_percentile_bands": 1,
+    # fan_out hop + one lang-keyed two-phase aggregation
+    "tokenizer_fertility_by_lang": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run
     "cumulative_distinct_users": 3,
 }
