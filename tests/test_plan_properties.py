@@ -72,6 +72,32 @@ def test_explain_analyze_metrics(spark):
     assert "numOutputRows" in out or "number of output rows" in out
 
 
+def test_observation_metrics_piggyback_on_execution(spark):
+    """Spark's Observation API: named aggregates ride along with a
+    real action (no second scan) — the runtime row-level metrics
+    surface next to EXPLAIN ANALYZE's operator metrics.  Values match
+    a direct aggregation exactly."""
+    from pyspark.sql import Observation, functions as F
+
+    from sparkplans.sources import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    obs = Observation("orders_stats")
+    watched = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+    watched.write.format("noop").mode("overwrite").save()
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    ).first()
+    assert obs.get["n"] == direct.n
+    assert obs.get["total"] == direct.total
+
+
 def test_q5_broadcasts_everything_at_test_scale(spark):
     """Structural perf gate (BASELINE.md): the 6-table join chain
     broadcasts every small side — only the agg + final sort exchange
