@@ -191,6 +191,29 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Approximate heavy hitters (Misra-Gries scale path)
+# ---------------------------------------------------------------------
+
+
+@register("approx_topk_tokens", None)  # sketch estimates are
+# order-dependent lower bounds; guarantees pinned in tests/
+def q_approx_topk_tokens(spark, sf_dir):
+    """Bounded-memory heavy-hitter tokens via the Misra-Gries sketch
+    (`operators/sketches.misra_gries_topk`) — the scale path beside
+    the exact `queries/heavy_hitters_tokens`: partitions×capacity
+    counter rows cross the wire instead of the full (token, count)
+    table, with the classic n/(capacity+1) undercount bound (every
+    token above that threshold is guaranteed present)."""
+    from sparkplans.operators.sketches import misra_gries_topk
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return misra_gries_topk(toks, "tok", capacity=30)
+
+
+# ---------------------------------------------------------------------
 # Daily percentile bands (ops-dashboard p50/p95/p99)
 # ---------------------------------------------------------------------
 

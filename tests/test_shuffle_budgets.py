@@ -291,6 +291,9 @@ BUDGETS = {
     "time_to_convert_percentiles": 2,
     # one (series, day)-keyed exact-percentile aggregation
     "daily_value_percentile_bands": 1,
+    # sketch summaries merge at call time; the returned frame is the
+    # driver-trimmed top list (model-state output, like bpe's table)
+    "approx_topk_tokens": 0,
     # fan_out hop + one lang-keyed two-phase aggregation
     "tokenizer_fertility_by_lang": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run
