@@ -193,6 +193,18 @@ class VersionedTable:
             keys=keys,
         )
 
+    def compact(self, target_files: int = 1) -> int:
+        """Small-files maintenance as a plain commit: rewrite the
+        current snapshot into ``target_files`` files and commit the
+        result as an overwrite version (op tagged ``compact``).  Reads
+        concurrent with the compaction keep their pinned pre-compact
+        file list; vacuum reclaims the fragments later — compaction
+        never blocks or breaks readers, the lakehouse-format
+        property."""
+        current = self.read().coalesce(target_files)
+        files = self._stage(current)
+        return self._commit({"op": "overwrite", "compact": True, "files": files})
+
     # -- maintenance ----------------------------------------------------
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

@@ -197,3 +197,22 @@ def test_engine_catalog_integration(spark, nation, tmp_path):
     assert eng.table_at("vnation", version=v0).df.count() == nation.count()
     eng.table_at("vnation")  # refresh to latest
     assert eng.sql("SELECT count(*) AS n FROM vnation").first().n == 3
+
+
+def test_compact_shrinks_files_preserves_rows(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(4):  # four appends = at least four files
+        t.append(nation.limit(6))
+    rows_before = t.read().count()
+    files_before = len(t._files_at(t.latest_version()))
+    assert files_before >= 4
+    pinned = t.read()  # concurrent reader pins pre-compact files
+    v = t.compact(target_files=1)
+    assert len(t._files_at(v)) == 1
+    assert t.read().count() == rows_before
+    assert pinned.count() == rows_before  # reader unaffected
+    assert t.history()[-1].get("compact") is True
+    # fragments reclaimed only by vacuum
+    deleted = t.vacuum(keep_versions=1)
+    assert len(deleted) >= files_before
+    assert t.read().count() == rows_before
