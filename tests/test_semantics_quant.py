@@ -255,3 +255,104 @@ def test_time_to_convert_matches_python(spark, events_rows):
         assert row.p90_s == pytest.approx(
             np.percentile(deltas, 90, method="linear"), abs=1e-6
         )
+
+
+def test_rolling_corr_matches_numpy(spark, events_rows):
+    daily = collections.defaultdict(lambda: [0, 0])
+    for r in events_rows:
+        d = r.ts.date()
+        if r.event_type == "click":
+            daily[d][0] += 1
+        elif r.event_type == "purchase":
+            daily[d][1] += 1
+    days = sorted(daily)
+    got = {r.day: r.corr7 for r in
+           Q.REGISTRY["rolling_corr_7d"].fn(spark, SF_DIR).collect()}
+    import math
+    for i in range(6, len(days)):
+        win = days[i - 6:i + 1]
+        c = np.array([daily[d][0] for d in win], dtype=float)
+        p = np.array([daily[d][1] for d in win], dtype=float)
+        if c.std() == 0 or p.std() == 0:
+            continue
+        want = float(np.corrcoef(c, p)[0, 1])
+        assert got[days[i]] == pytest.approx(want, abs=2e-6), days[i]
+
+
+def test_copurchase_rules_match_python(spark):
+    li = load_table(spark, SF_DIR, "lineitem").collect()
+    baskets = collections.defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    item = collections.Counter()
+    pair = collections.Counter()
+    for parts in baskets.values():
+        for a in parts:
+            item[a] += 1
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair[(a, b)] += 1
+    n_orders = len(baskets)
+    want = {}
+    for (a, b), n_ab in pair.items():
+        if n_ab >= 2:
+            want[(a, b)] = (
+                n_ab, item[a], item[b],
+                round(n_ab / item[a], 6),
+                round(n_ab * n_orders / (item[a] * item[b]), 6),
+            )
+    got = {(r.part_a, r.part_b): (r.n_ab, r.n_a, r.n_b, r.confidence_ab, r.lift)
+           for r in Q.REGISTRY["copurchase_rules"].fn(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_source_vocab_jaccard_matches_python(spark):
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    vocab = collections.defaultdict(set)
+    for r in docs:
+        vocab[r.source].update(t for t in r.text.strip().split() if t)
+    got = {(r.source_a, r.source_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+           for r in Q.REGISTRY["source_vocab_jaccard"].fn(spark, SF_DIR).collect()}
+    srcs = sorted(vocab)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                want[(a, b)] = (
+                    inter, len(vocab[a]), len(vocab[b]),
+                    round(inter / len(vocab[a] | vocab[b]), 6),
+                )
+    assert got == want
+
+
+def test_rrf_hybrid_retrieval_matches_python(spark):
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    toks = {r.doc_id: set(t for t in r.text.strip().split() if t) for r in docs}
+    probe_t = toks[0]
+    overlap = {d: len(ts & probe_t) for d, ts in toks.items()
+               if d != 0 and ts & probe_t}
+    lex_sorted = sorted(overlap.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    lex_rank = {d: i + 1 for i, (d, _) in enumerate(lex_sorted)}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb}
+    pv = vecs[0]
+    cos = {
+        v: round(float(np.dot(x, pv) / (np.linalg.norm(x) * np.linalg.norm(pv))), 6)
+        for v, x in vecs.items() if v != 0
+    }
+    sem_sorted = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    sem_rank = {v: i + 1 for i, (v, _) in enumerate(sem_sorted)}
+    fused = {}
+    for d in set(lex_rank) | set(sem_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (60 + lex_rank[d])
+        if d in sem_rank:
+            s += 1.0 / (60 + sem_rank[d])
+        fused[d] = round(s, 9)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.doc_id, r.rrf_score) for r in
+           Q.REGISTRY["rrf_hybrid_retrieval"].fn(spark, SF_DIR).collect()]
+    assert [(d, pytest.approx(s, abs=2e-9)) for d, s in want] == got
