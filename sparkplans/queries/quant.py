@@ -191,6 +191,37 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Seasonal-naive forecast backtest (WAPE)
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "seasonal_naive_wape",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    f AS (
+      SELECT event_type, day, n,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+      FROM d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(n - fc)) AS BIGINT) AS abs_err_total,
+           CAST(sum(n) AS BIGINT) AS actual_total,
+           round(CAST(sum(abs(n - fc)) AS DOUBLE) / sum(n), 6) AS wape
+    FROM f WHERE fc IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+# Forecast-quality backtest for the simplest seasonal model (predict
+# = same weekday last week), scored with WAPE — which, unlike MAPE,
+# stays integer-exact until one final divide: both the absolute-error
+# total and the actuals total are integer sums, so the result is
+# bit-identical on any engine and any row order.  One (type, day)
+# grid agg + one type-keyed lag window — daily-grid-sized all the way.
+
+
+# ---------------------------------------------------------------------
 # Approximate heavy hitters (Misra-Gries scale path)
 # ---------------------------------------------------------------------
 

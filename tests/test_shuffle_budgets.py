@@ -294,6 +294,8 @@ BUDGETS = {
     # sketch summaries merge at call time; the returned frame is the
     # driver-trimmed top list (model-state output, like bpe's table)
     "approx_topk_tokens": 0,
+    # daily grid agg + the type-keyed lag window / WAPE rollup
+    "seasonal_naive_wape": 2,
     # fan_out hop + one lang-keyed two-phase aggregation
     "tokenizer_fertility_by_lang": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run

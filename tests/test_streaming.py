@@ -365,6 +365,76 @@ def test_running_stats_exact_across_batches(spark, tmp_path):
         ), k
 
 
+def test_stream_stream_full_outer_both_sides_pad(spark, tmp_path):
+    """Full-outer stream-stream join: unmatched CLICKS null-pad on the
+    right and unmatched VIEWS null-pad on the left, equal to the batch
+    full join once both sides' watermarks pass all real rows."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "fouter"
+    d.mkdir()
+    _os.symlink(f"{SF_DIR}/events.parquet", d / "a.parquet")
+    real_max_ns = pq.read_table(f"{SF_DIR}/events.parquet")["ts"].cast(
+        pa.int64()
+    ).to_pandas().max()
+
+    def advancer(path, eid, ns):
+        t = pa.table(
+            {
+                "event_id": pa.array([eid, eid + 1], pa.int64()),
+                "ts": pa.array([ns, ns], pa.int64()),
+                "user_id": pa.array([999_999_999] * 2, pa.int64()),
+                "event_type": pa.array(["view", "click"], pa.string()),
+                "value": pa.array([1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+        pq.write_table(t, path)
+
+    hour_ns = 3_600 * 10**9
+    advancer(d / "b.parquet", 10**12 + 1, int(real_max_ns) + hour_ns)
+    advancer(d / "c.parquet", 10**12 + 3, int(real_max_ns) + 2 * hour_ns)
+    now = _time.time()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        _os.utime(d / name, (now + 10 * i, now + 10 * i), follow_symlinks=False)
+
+    stream = streaming.stream_events(spark, str(d), max_files_per_trigger=1)
+    joined = streaming.stream_stream_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "view"),
+        join_window_seconds=300,
+        how="full_outer",
+    )
+    streaming.run_available_now(joined, "ssfj")
+    got = spark.table("ssfj").filter(
+        (F.col("l_user").isNull() | (F.col("l_user") != 999_999_999))
+        & (F.col("r_user").isNull() | (F.col("r_user") != 999_999_999))
+    )
+    b = load_table(spark, SF_DIR, "events")
+    bc = b.filter("event_type='click'").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    bv = b.filter("event_type='view'").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    want = bc.join(
+        bv,
+        F.expr("l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL 300 SECONDS AND l_ts"),
+        "full_outer",
+    )
+    g = {(r.l_event, r.r_event) for r in got.collect()}
+    w = {(r.l_event, r.r_event) for r in want.collect()}
+    assert g == w
+    assert any(le is None for le, _ in g)  # unmatched views padded
+    assert any(re is None for _, re in g)  # unmatched clicks padded
+
+
 def test_native_session_window_matches_gap_sessionize(spark):
     """Spark's built-in ``session_window`` (merging event-time session
     windows) partitions events into exactly the same sessions as the
