@@ -191,6 +191,26 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Balanced class weights (training-loop reweighting)
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "balanced_class_weights",
+    """
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT sum(n) AS tot, count(*) AS k FROM c)
+    SELECT label, CAST(n AS BIGINT) AS n,
+           round(CAST(tot AS DOUBLE) / (k * n), 6) AS class_weight
+    FROM c CROSS JOIN t
+    """,
+)
+# sklearn's `class_weight='balanced'` (total / (n_classes * n_label))
+# as one aggregation + a one-row totals broadcast — the loss-reweight
+# table a training loop consumes for imbalanced labels.  All counts
+# integer; one IEEE expression per class at the edge.
+
+
+# ---------------------------------------------------------------------
 # Seasonal-naive forecast backtest (WAPE)
 # ---------------------------------------------------------------------
 

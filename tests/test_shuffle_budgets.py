@@ -296,6 +296,8 @@ BUDGETS = {
     "approx_topk_tokens": 0,
     # daily grid agg + the type-keyed lag window / WAPE rollup
     "seasonal_naive_wape": 2,
+    # label census + the one-row totals branch (class-count rows)
+    "balanced_class_weights": 3,
     # fan_out hop + one lang-keyed two-phase aggregation
     "tokenizer_fertility_by_lang": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run
