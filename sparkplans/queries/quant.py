@@ -191,6 +191,88 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (distribution drift)
+# ---------------------------------------------------------------------
+
+@register(
+    "ks_doc_length_drift",
+    """
+    WITH d AS (
+      SELECT source, n_chars AS v, count(*) AS n
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY source, n_chars),
+    g AS (
+      SELECT v,
+             sum(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS na,
+             sum(CASE WHEN source = 'src1' THEN n ELSE 0 END) AS nb
+      FROM d GROUP BY v),
+    cum AS (
+      SELECT v,
+             sum(na) OVER (ORDER BY v) AS ca,
+             sum(nb) OVER (ORDER BY v) AS cb,
+             (SELECT sum(na) FROM g) AS ta,
+             (SELECT sum(nb) FROM g) AS tb
+      FROM g)
+    SELECT CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           round(max(abs(CAST(ca AS DOUBLE) / ta
+                         - CAST(cb AS DOUBLE) / tb)), 6) AS ks_stat
+    FROM cum
+    """,
+)
+def q_ks_doc_length_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between two sources'
+    document-length distributions — the continuous-drift companion to
+    the chi-square screen: empirical CDFs evaluated at every observed
+    value via integer cumulative counts, KS = max CDF gap.  Per-point
+    CDF values are single divides of exact integers; max is a pick.
+    The per-value grid is localCheckpoint-ed so the corpus aggregates
+    ONCE (the oracle's scalar subqueries re-inline it — fine for
+    DuckDB's materialized CTEs, a 3× scan for Spark without the
+    cut); the ordered window runs on |distinct lengths| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.filter(F.col("source").isin("src0", "src1")).groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count("*").alias("n"))
+    g = (
+        d.groupBy("v")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == "src0", F.col("n")).otherwise(0)
+            ).alias("na"),
+            F.sum(
+                F.when(F.col("source") == "src1", F.col("n")).otherwise(0)
+            ).alias("nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.groupBy().agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "v",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    return cum.groupBy().agg(
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("ta")
+                    - F.col("cb").cast("double") / F.col("tb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Balanced class weights (training-loop reweighting)
 # ---------------------------------------------------------------------
 

@@ -356,3 +356,19 @@ def test_rrf_hybrid_retrieval_matches_python(spark):
     got = [(r.doc_id, r.rrf_score) for r in
            Q.REGISTRY["rrf_hybrid_retrieval"].fn(spark, SF_DIR).collect()]
     assert [(d, pytest.approx(s, abs=2e-9)) for d, s in want] == got
+
+
+def test_ks_doc_length_drift_matches_scipy_style_python(spark):
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    a = sorted(r.n_chars for r in docs if r.source == "src0")
+    b = sorted(r.n_chars for r in docs if r.source == "src1")
+    grid = sorted(set(a) | set(b))
+    import bisect
+    ks = max(
+        abs(bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b))
+        for v in grid
+    )
+    row = Q.REGISTRY["ks_doc_length_drift"].fn(spark, SF_DIR).first()
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert row.ks_stat == pytest.approx(ks, abs=1e-6)

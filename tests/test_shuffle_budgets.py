@@ -298,6 +298,9 @@ BUDGETS = {
     "seasonal_naive_wape": 2,
     # label census + the one-row totals branch (class-count rows)
     "balanced_class_weights": 3,
+    # per-value grid checkpointed (corpus aggregates once); the CDF
+    # window + totals + final max run on |distinct lengths| rows
+    "ks_doc_length_drift": 2,
     # fan_out hop + one lang-keyed two-phase aggregation
     "tokenizer_fertility_by_lang": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run
