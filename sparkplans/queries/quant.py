@@ -191,6 +191,104 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Population stability index (ML monitoring drift score)
+# ---------------------------------------------------------------------
+
+@register(
+    "psi_value_drift",
+    """
+    WITH x AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'a' ELSE 'b' END AS half,
+             value
+      FROM events),
+    ext AS (SELECT min(value) AS lo, max(value) AS hi FROM x),
+    b AS (
+      SELECT half,
+             CAST(least(floor((value - lo) * 10 / (hi - lo)), 9)
+                  AS BIGINT) AS bin,
+             count(*) AS n
+      FROM x CROSS JOIN ext WHERE hi > lo
+      GROUP BY half, CAST(least(floor((value - lo) * 10 / (hi - lo)), 9)
+                          AS BIGINT)),
+    p AS (
+      SELECT bin,
+             sum(CASE WHEN half = 'a' THEN n ELSE 0 END) AS na,
+             sum(CASE WHEN half = 'b' THEN n ELSE 0 END) AS nb
+      FROM b GROUP BY bin),
+    t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM p),
+    terms AS (
+      SELECT CAST((CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+                  * ln((CAST(na AS DOUBLE) / ta)
+                       / (CAST(nb AS DOUBLE) / tb))
+                  AS DECIMAL(18,12)) AS term
+      FROM p CROSS JOIN t WHERE na > 0 AND nb > 0)
+    SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM terms
+    """,
+)
+def q_psi_value_drift(spark, sf_dir):
+    """Population stability index between the first and second half of
+    the month — THE production-ML drift score (rule of thumb: > 0.2 =
+    investigate), completing the drift family beside chi-square
+    (categorical) and KS (continuous, nonparametric).  Each bin's term
+    is one IEEE expression on exact integer ratios, then cast to
+    DECIMAL before summing — the sum is order-free, so the engines
+    agree bit-for-bit despite float terms.  Bins with zero mass on
+    either side are excluded (standard PSI practice).  Spark side:
+    extent is driver model state (two doubles) and the 10-row bin
+    table is localCheckpoint-ed, so the corpus is scanned twice
+    (extent + binning) instead of the oracle CTE's three re-inlines."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("half"),
+        "value",
+    )
+    ext = x.groupBy().agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).first()
+    if ext.lo is None or not ext.hi > ext.lo:
+        return spark.createDataFrame([], "psi double, n_bins bigint")
+    lo, hi = F.lit(ext.lo), F.lit(ext.hi)
+    b = (
+        x.withColumn(
+            "bin",
+            F.least(
+                F.floor((F.col("value") - lo) * 10 / (hi - lo)), F.lit(9)
+            ).cast("bigint"),
+        )
+        .groupBy("half", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    p = (
+        b.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == "a", F.col("n")).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("half") == "b", F.col("n")).otherwise(0)).alias("nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = p.groupBy().agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    ra = F.col("na").cast("double") / F.col("ta")
+    rb = F.col("nb").cast("double") / F.col("tb")
+    terms = (
+        p.crossJoin(F.broadcast(t))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(((ra - rb) * F.log(ra / rb)).cast("decimal(18,12)").alias("term"))
+    )
+    return terms.groupBy().agg(
+        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+        F.count("*").cast("bigint").alias("n_bins"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov distance (distribution drift)
 # ---------------------------------------------------------------------
 

@@ -372,3 +372,24 @@ def test_ks_doc_length_drift_matches_scipy_style_python(spark):
     row = Q.REGISTRY["ks_doc_length_drift"].fn(spark, SF_DIR).first()
     assert (row.n_a, row.n_b) == (len(a), len(b))
     assert row.ks_stat == pytest.approx(ks, abs=1e-6)
+
+
+def test_psi_value_drift_matches_python(spark, events_rows):
+    import math
+    half = [("a" if r.ts < datetime.datetime(2024, 1, 16) else "b", r.value)
+            for r in events_rows]
+    vals = [v for _, v in half]
+    lo, hi = min(vals), max(vals)
+    na = collections.Counter()
+    nb = collections.Counter()
+    for h, v in half:
+        b = min(int((v - lo) * 10 / (hi - lo)), 9)
+        (na if h == "a" else nb)[b] += 1
+    ta, tb = sum(na.values()), sum(nb.values())
+    psi = sum(
+        (na[b] / ta - nb[b] / tb) * math.log((na[b] / ta) / (nb[b] / tb))
+        for b in set(na) & set(nb)
+    )
+    row = Q.REGISTRY["psi_value_drift"].fn(spark, SF_DIR).first()
+    assert row.n_bins == len(set(na) & set(nb))
+    assert row.psi == pytest.approx(psi, abs=1e-6)

@@ -301,6 +301,9 @@ BUDGETS = {
     # per-value grid checkpointed (corpus aggregates once); the CDF
     # window + totals + final max run on |distinct lengths| rows
     "ks_doc_length_drift": 2,
+    # extent is driver model state; 10-row bin table checkpointed —
+    # corpus scanned twice (extent + binning), never re-inlined
+    "psi_value_drift": 2,
     # fan_out hop + one lang-keyed two-phase aggregation
     "tokenizer_fertility_by_lang": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run
