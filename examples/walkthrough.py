@@ -247,6 +247,34 @@ def main() -> None:
     pq = S.pq_topk(coded.localCheckpoint(), books, probes, k=10).collect()
     print(f"PQ-ADC (16x16 codebooks): recall {recall(pq)} — codes-only corpus scan")
 
+    # ---- 15: versioned tables ----------------------------------------
+    section(15, "versioned tables: tx log, time travel, MERGE, compact")
+    import shutil
+    import tempfile
+
+    from sparkplans.table import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="walkthrough_vt_")
+    try:
+        nation = load_table(spark, sf_dir, "nation")
+        t = VersionedTable(spark, root)
+        t.append(nation)
+        t.append(nation.limit(5))
+        print("after 2 appends:", t.read().count(), "rows,",
+              [e["op"] for e in t.history()])
+        patched = nation.limit(2).withColumn("n_name", F.lit("MERGED"))
+        v = t.merge(patched, key="n_nationkey")
+        n_patched = t.read().filter("n_name = 'MERGED'").count()
+        n_prev = t.read(version=v - 1).count()
+        print(f"merge -> v{v}: {n_patched} patched rows; "
+              f"v{v - 1} still reads {n_prev} rows (time travel)")
+        t.compact(target_files=1)
+        dead = t.vacuum(keep_versions=1)
+        print(f"compact+vacuum: {len(dead)} dead files reclaimed, "
+              f"{t.read().count()} rows intact")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     spark.stop()
 
 
