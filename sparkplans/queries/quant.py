@@ -191,6 +191,36 @@ _shared_sql(
 
 
 # ---------------------------------------------------------------------
+# Revenue-concentration Gini coefficient
+# ---------------------------------------------------------------------
+
+_shared_sql(
+    "revenue_gini",
+    """
+    WITH c AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT s, row_number() OVER (ORDER BY s, o_custkey) AS i,
+             count(*) OVER () AS n, sum(s) OVER () AS tot
+      FROM c)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(CAST(sum((2 * i - n - 1) * s) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * max(tot)), 6) AS gini
+    FROM r
+    """,
+)
+# Gini coefficient of per-customer revenue — the inequality /
+# concentration metric behind "what share of revenue do the top
+# customers carry".  The rank-sum form G = Σ(2i−n−1)·s / (n·Σs) with
+# DECIMAL spend totals and integer ranks keeps every accumulation
+# exact (order-free DECIMAL·int sums); only the final divide is IEEE.
+# Ranks tie-break on custkey, so the statistic is deterministic.
+# The corpus touches one customer-keyed aggregation; the ranked
+# windows run on per-customer rows.
+
+
+# ---------------------------------------------------------------------
 # Population stability index (ML monitoring drift score)
 # ---------------------------------------------------------------------
 

@@ -393,3 +393,17 @@ def test_psi_value_drift_matches_python(spark, events_rows):
     row = Q.REGISTRY["psi_value_drift"].fn(spark, SF_DIR).first()
     assert row.n_bins == len(set(na) & set(nb))
     assert row.psi == pytest.approx(psi, abs=1e-6)
+
+
+def test_revenue_gini_matches_numpy(spark):
+    orders = load_table(spark, SF_DIR, "orders").collect()
+    spend = collections.defaultdict(float)
+    for r in orders:
+        spend[r.o_custkey] += round(r.o_totalprice, 2)
+    s = np.sort(np.array(list(spend.values())))
+    n = len(s)
+    i = np.arange(1, n + 1)
+    want = float(((2 * i - n - 1) * s).sum() / (n * s.sum()))
+    row = Q.REGISTRY["revenue_gini"].fn(spark, SF_DIR).first()
+    assert row.n_customers == n
+    assert row.gini == pytest.approx(want, abs=1e-5)

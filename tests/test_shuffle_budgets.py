@@ -304,6 +304,8 @@ BUDGETS = {
     # extent is driver model state; 10-row bin table checkpointed —
     # corpus scanned twice (extent + binning), never re-inlined
     "psi_value_drift": 2,
+    # customer spend agg + the per-customer ranked windows
+    "revenue_gini": 2,
     # fan_out hop + one lang-keyed two-phase aggregation
     "tokenizer_fertility_by_lang": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run
