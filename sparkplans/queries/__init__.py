@@ -585,15 +585,45 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
-@register("approx_value_quantiles", None)  # sketch; error gate in tests/
+@register(
+    "approx_value_quantiles",
+    """
+    SELECT t.event_type, CAST(q.q AS DOUBLE) AS q, TRUE AS within_tol
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q) q
+    """,
+)
 def q_approx_value_quantiles(spark, sf_dir):
     """Greenwald-Khanna quantile sketch over event values: mergeable
-    per-partition state, so the plan is partial+final like any agg."""
+    per-partition state, so the plan is partial+final like any agg.
+
+    Driver contract: the sketch output can't hash-match an exact
+    oracle, so the *tolerance check itself* is the result — each
+    (event_type, q) row carries ``within_tol``, true iff the sketch
+    value is within 5% relative (1.0 absolute floor) of Spark's exact
+    interpolated percentile computed in the same aggregation.  The
+    DuckDB oracle emits the expected all-true grid, so row count,
+    schema, and value hash are all exercised.  Scalar rows only — no
+    array-typed output (the round-1 canonicalizer failure)."""
+    qs = [0.25, 0.5, 0.75, 0.95]
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx(
-            "value", [0.25, 0.5, 0.75, 0.95], 10000
-        ).alias("quantiles")
+    agg = e.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10000).alias("approx"),
+        F.expr(
+            "percentile(value, array({}))".format(",".join(map(str, qs)))
+        ).alias("exact"),
+    )
+    qarr = F.array(*[F.lit(q) for q in qs])
+    return agg.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("approx", "exact")).alias("pos", "pair"),
+    ).select(
+        "event_type",
+        F.element_at(qarr, F.col("pos") + 1).alias("q"),
+        (
+            F.abs(F.col("pair.approx") - F.col("pair.exact"))
+            <= 0.05 * F.greatest(F.abs(F.col("pair.exact")), F.lit(1.0))
+        ).alias("within_tol"),
     )
 
 
@@ -875,16 +905,21 @@ def q_percentile_exact(spark, sf_dir):
 
 @register(
     "array_agg_ops",
-    "SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, "
+    "SELECT user_id, "
+    "array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types, "
     "len(list(DISTINCT event_type)) AS n_types "
     "FROM events GROUP BY user_id",
 )
 def q_array_agg_ops(spark, sf_dir):
     """Array aggregation surface: collect_set -> sorted array (DuckDB
-    twin: list(DISTINCT) + list_sort)."""
+    twin: list(DISTINCT) + list_sort).  The array is serialized with
+    ``array_join`` so the result is scalar-typed — the driver's
+    canonicalizer hashes row values and can't hash raw arrays."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types"
+        ),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
 

@@ -33,3 +33,21 @@ def test_rows_only_queries_run(spark, name):
     df = Q.REGISTRY[name].fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(Q.queries()))
+def test_query_output_is_scalar_typed(spark, name):
+    """Driver-sample insurance: the driver's canonicalizer hashes row
+    values and dies on array/map-typed cells (round-1
+    `approx_value_quantiles` failure).  Every registered query must
+    therefore emit only scalar top-level columns — serialize arrays
+    with array_join / explode before returning."""
+    from pyspark.sql import types as T
+
+    df = Q.REGISTRY[name].fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: non-scalar output columns {bad}"
