@@ -194,7 +194,7 @@ _shared_sql(
 # Revenue-concentration Gini coefficient
 # ---------------------------------------------------------------------
 
-_shared_sql(
+@register(
     "revenue_gini",
     """
     WITH c AS (
@@ -210,14 +210,87 @@ _shared_sql(
     FROM r
     """,
 )
-# Gini coefficient of per-customer revenue — the inequality /
-# concentration metric behind "what share of revenue do the top
-# customers carry".  The rank-sum form G = Σ(2i−n−1)·s / (n·Σs) with
-# DECIMAL spend totals and integer ranks keeps every accumulation
-# exact (order-free DECIMAL·int sums); only the final divide is IEEE.
-# Ranks tie-break on custkey, so the statistic is deterministic.
-# The corpus touches one customer-keyed aggregation; the ranked
-# windows run on per-customer rows.
+def q_revenue_gini(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — the inequality /
+    concentration metric behind "what share of revenue do the top
+    customers carry".  The rank-sum form G = Σ(2i−n−1)·s / (n·Σs) with
+    DECIMAL spend totals and integer ranks keeps every accumulation
+    exact (order-free DECIMAL·int sums); only the final divide is IEEE.
+    Ranks tie-break on custkey, so the statistic is deterministic.
+
+    Scale: the global rank is computed WITHOUT a single-partition
+    window (the round-1 scale-killer).  Distributed two-pass rank:
+    approxQuantile on the per-customer spend gives range-bucket bounds
+    (kilobyte driver model state, re-entered as literals — the IVF
+    centroid pattern); each row's bucket is a literal comparison chain
+    (no shuffle); a *partitioned* window ranks locally inside each
+    bucket — ONE hash exchange on bucket, the only big-frame shuffle
+    after the spend agg.  Per-bucket (count, sum) — <= n_buckets rows,
+    model state again — are collected once and re-entered as literal
+    rank offsets and the (n, Σs) denominators, so the final plan is
+    exactly window-exchange + final agg: the same 2-exchange budget as
+    the old global-window form, with no executor ever holding more
+    than its bucket's range slice."""
+    from functools import reduce
+
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        .withColumn("sd", F.col("s").cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    n_buckets = max(spark.sparkContext.defaultParallelism, 2)
+    bounds = sorted(
+        set(
+            c.approxQuantile(
+                "sd", [i / n_buckets for i in range(1, n_buckets)], 0.01
+            )
+        )
+    )
+    bucket = reduce(
+        lambda acc, b: acc + F.when(F.col("sd") > F.lit(b), 1).otherwise(0),
+        bounds,
+        F.lit(0),
+    )
+    # per-bucket row counts and spend sums: <= n_buckets rows of model
+    # state (map-side combined), folded into literals like IVF
+    # centroids — removes every small-frame exchange from the plan
+    bstats = sorted(
+        (r["bucket"], r["pc"], r["bs"])
+        for r in c.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("pc"), F.sum("s").alias("bs"))
+        .collect()
+    )
+    n = sum(pc for _, pc, _ in bstats)
+    tot = sum(bs for _, _, bs in bstats)  # exact Decimal sum
+    offsets, acc = {}, 0
+    for b, pc, _ in bstats:
+        offsets[b] = acc
+        acc += pc
+    off_expr = reduce(
+        lambda e, kv: e.when(F.col("bucket") == kv[0], F.lit(kv[1])),
+        offsets.items(),
+        F.when(F.lit(False), 0),
+    ).otherwise(0)
+    ranked = (
+        c.withColumn("bucket", bucket)
+        .withColumn(
+            "li",
+            F.row_number().over(
+                Window.partitionBy("bucket").orderBy("s", "o_custkey")
+            ),
+        )
+        .select("s", (F.col("li") + off_expr).alias("i"))
+    )
+    denom = float(n) * float(tot)
+    return ranked.agg(
+        F.sum((2 * F.col("i") - F.lit(n) - 1) * F.col("s")).alias("rs")
+    ).select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.round(F.col("rs").cast("double") / F.lit(denom), 6).alias("gini"),
+    )
 
 
 # ---------------------------------------------------------------------

@@ -396,3 +396,23 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     )
     phys = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in phys.lower(), "DPP did not fire"
+
+
+def test_revenue_gini_rank_window_is_partitioned(spark):
+    """The round-1 scale defect: revenue_gini ranked every customer
+    through one single-partition window.  The distributed-rank rewrite
+    must keep EVERY window in the plan partitioned — no
+    windowspecdefinition may start at an ordered (ASC/DESC) column."""
+    import re
+
+    import sparkplans.queries as Q
+
+    df = Q.REGISTRY["revenue_gini"].fn(spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", phys)
+    assert specs, "expected a rank window in the plan"
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            f"unpartitioned window spec: {spec[:120]}"
+        )
