@@ -357,7 +357,12 @@ def q_psi_value_drift(spark, sf_dir):
         F.min("value").alias("lo"), F.max("value").alias("hi")
     ).first()
     if ext.lo is None or not ext.hi > ext.lo:
-        return spark.createDataFrame([], "psi double, n_bins bigint")
+        # degenerate extent (empty or flat data): the SQL oracle's
+        # final aggregate-without-GROUP-BY still emits ONE row
+        # (NULL psi, 0 bins) — match it, not a 0-row frame
+        return spark.createDataFrame(
+            [(None, 0)], "psi double, n_bins bigint"
+        )
     lo, hi = F.lit(ext.lo), F.lit(ext.hi)
     b = (
         x.withColumn(

@@ -100,13 +100,19 @@ class VersionedTable:
     def append(self, df: DataFrame) -> int:
         """Commit the rows as a new version on top of the current tip."""
         files = self._stage(df)
-        return self._commit({"op": "append", "files": files})
+        return self._commit(
+            {"op": "append", "files": files, "schema": df.schema.json()}
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit a version that replaces the table contents.  Old
-        versions remain readable (time travel) until vacuum()."""
+        versions remain readable (time travel) until vacuum().  The
+        schema rides in the log entry so a legitimately-empty version
+        (overwrite with 0 rows) stays readable."""
         files = self._stage(df)
-        return self._commit({"op": "overwrite", "files": files})
+        return self._commit(
+            {"op": "overwrite", "files": files, "schema": df.schema.json()}
+        )
 
     # -- reads ----------------------------------------------------------
 
@@ -134,8 +140,26 @@ class VersionedTable:
             raise FileNotFoundError(f"version {v} not in log")
         files = self._files_at(v)
         if not files:
-            raise FileNotFoundError(f"version {v} has no data files")
+            # a version with no files is a legitimate empty table
+            # (overwrite of an empty frame, empty first micro-batch):
+            # reconstruct it from the recorded schema
+            schema = self._schema_at(v)
+            if schema is None:
+                raise FileNotFoundError(f"version {v} has no data files")
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*files)
+
+    def _schema_at(self, version: int):
+        """Schema of the table at ``version``: the most recent log
+        entry at or below it that recorded one (pre-schema log entries
+        return None)."""
+        from pyspark.sql.types import StructType
+
+        for v in reversed([x for x in self.versions() if x <= version]):
+            s = self._read_entry(v).get("schema")
+            if s is not None:
+                return StructType.fromJson(json.loads(s))
+        return None
 
     def history(self) -> list[dict]:
         return [self._read_entry(v) for v in self.versions()]
@@ -158,7 +182,14 @@ class VersionedTable:
         )
         merged = survivors.unionByName(updates)
         files = self._stage(merged)
-        return self._commit({"op": "overwrite", "merge_key": key, "files": files})
+        return self._commit(
+            {
+                "op": "overwrite",
+                "merge_key": key,
+                "files": files,
+                "schema": merged.schema.json(),
+            }
+        )
 
     def streaming_append_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
         """foreachBatch sink body with exactly-once semantics: the
@@ -170,11 +201,18 @@ class VersionedTable:
         Use: ``stream.writeStream.foreachBatch(t.streaming_append_batch)``.
         """
         for e in self.history():
-            if e.get("op") == "append" and e.get("batch_id") == batch_id:
+            if e.get("batch_id") == batch_id or batch_id in e.get(
+                "committed_batch_ids", []
+            ):
                 return None  # replay after restart — already committed
         files = self._stage(batch_df)
         return self._commit(
-            {"op": "append", "batch_id": batch_id, "files": files}
+            {
+                "op": "append",
+                "batch_id": batch_id,
+                "files": files,
+                "schema": batch_df.schema.json(),
+            }
         )
 
     def changes(
@@ -203,38 +241,104 @@ class VersionedTable:
         property."""
         current = self.read().coalesce(target_files)
         files = self._stage(current)
-        return self._commit({"op": "overwrite", "compact": True, "files": files})
+        return self._commit(
+            {
+                "op": "overwrite",
+                "compact": True,
+                "files": files,
+                "schema": current.schema.json(),
+            }
+        )
 
     # -- maintenance ----------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, orphan_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Drop data files referenced only by versions older than the
         newest ``keep_versions`` (their log entries are removed too).
-        Returns the deleted file paths."""
+        Returns the deleted file paths.
+
+        The earliest kept version is rewritten as a self-contained
+        base; its rewrite PRESERVES its own auxiliary metadata
+        (``batch_id``, ``merge_key``, ``schema``) and folds the
+        ``batch_id``s of every removed entry into
+        ``committed_batch_ids`` — so streaming_append_batch's
+        exactly-once dedup still recognizes a replayed micro-batch
+        after vacuum (the round-1 duplicate-rows defect).
+
+        Staged-but-never-committed files (crashed writers, commits
+        that exhausted retries) are also swept: any ``data/stage-*``
+        directory none of whose files appear in a kept version, older
+        than ``orphan_age_seconds`` (the age gate avoids racing an
+        in-flight writer), is removed."""
+        import shutil
+        import time
+
         vs = self.versions()
         keep = vs[-keep_versions:] if keep_versions else []
         live: set[str] = set()
         for v in keep:
             live.update(self._files_at(v))
         doomed: list[str] = []
+        removed_batch_ids: list[int] = []
         for v in vs:
             if v in keep:
                 continue
-            for f in self._read_entry(v).get("files", []):
+            e = self._read_entry(v)
+            if e.get("batch_id") is not None:
+                removed_batch_ids.append(e["batch_id"])
+            removed_batch_ids.extend(e.get("committed_batch_ids", []))
+            for f in e.get("files", []):
                 if f not in live and os.path.exists(f):
                     doomed.append(f)
         # earliest kept version must become self-contained: rewrite its
-        # entry as an overwrite of its resolved file list
+        # entry as an overwrite of its resolved file list, carrying
+        # forward its metadata and the removed entries' batch ids
         if keep:
             base = keep[0]
+            base_entry = self._read_entry(base)
             resolved = self._files_at(base)
-            with open(self._entry_path(base), "w") as f:
-                json.dump(
-                    {"op": "overwrite", "files": resolved, "version": base}, f
+            rewritten = {
+                k: v
+                for k, v in base_entry.items()
+                if k not in ("op", "files", "version", "committed_batch_ids")
+            }
+            rewritten.update(
+                {"op": "overwrite", "files": resolved, "version": base}
+            )
+            folded = sorted(
+                set(
+                    removed_batch_ids
+                    + base_entry.get("committed_batch_ids", [])
                 )
+            )
+            if folded:
+                rewritten["committed_batch_ids"] = folded
+            with open(self._entry_path(base), "w") as f:
+                json.dump(rewritten, f)
         for v in vs:
             if v not in keep:
                 os.unlink(self._entry_path(v))
         for f in doomed:
             os.unlink(f)
+        # sweep orphaned stage directories (never-committed writers)
+        now = time.time()
+        for d in os.listdir(self.data_dir):
+            if not d.startswith("stage-"):
+                continue
+            sub = os.path.join(self.data_dir, d)
+            try:
+                if now - os.path.getmtime(sub) < orphan_age_seconds:
+                    continue
+                members = [
+                    os.path.join(sub, f)
+                    for f in os.listdir(sub)
+                    if f.endswith(".parquet")
+                ]
+            except FileNotFoundError:
+                continue
+            if not any(m in live for m in members):
+                shutil.rmtree(sub, ignore_errors=True)
+                doomed.extend(m for m in members)
         return doomed

@@ -407,3 +407,20 @@ def test_revenue_gini_matches_numpy(spark):
     row = Q.REGISTRY["revenue_gini"].fn(spark, SF_DIR).first()
     assert row.n_customers == n
     assert row.gini == pytest.approx(want, abs=1e-5)
+
+
+def test_psi_degenerate_extent_single_row(spark, tmp_path):
+    """ADVICE round-1: flat (or empty) data used to return a 0-row
+    frame while the SQL oracle's aggregate-without-GROUP-BY emits one
+    row (NULL psi, 0 bins).  The degenerate branch must match."""
+    import datetime
+
+    flat = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 10 + i), 5.0) for i in range(8)],
+        "ts timestamp_ntz, value double",
+    )
+    flat.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = Q.REGISTRY["psi_value_drift"].fn(spark, str(tmp_path)).collect()
+    assert len(row) == 1
+    assert row[0]["psi"] is None
+    assert row[0]["n_bins"] == 0

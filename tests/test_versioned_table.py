@@ -216,3 +216,54 @@ def test_compact_shrinks_files_preserves_rows(spark, nation, tmp_path):
     deleted = t.vacuum(keep_versions=1)
     assert len(deleted) >= files_before
     assert t.read().count() == rows_before
+
+
+def test_vacuum_preserves_exactly_once_dedup(spark, nation, tmp_path):
+    """ADVICE round-1 (medium): vacuum's base-entry rewrite used to
+    drop batch_id metadata, so a restarted stream replaying the last
+    micro-batch after vacuum(keep_versions=1) re-committed it and
+    duplicated rows.  The rewrite must keep the exactly-once dedup
+    visible."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.streaming_append_batch(nation.limit(4), batch_id=0)
+    t.streaming_append_batch(nation.limit(3), batch_id=1)
+    t.vacuum(keep_versions=1, orphan_age_seconds=0)
+    n = t.read().count()
+    # restart replays the latest micro-batch — must be a no-op
+    assert t.streaming_append_batch(nation.limit(3), batch_id=1) is None
+    # and an already-vacuumed-away batch id must also stay deduped
+    assert t.streaming_append_batch(nation.limit(4), batch_id=0) is None
+    assert t.read().count() == n
+
+
+def test_empty_version_is_readable(spark, nation, tmp_path):
+    """ADVICE round-1 (low): an overwrite with an empty frame commits
+    fine and must read back as an empty table with the recorded
+    schema, not raise FileNotFoundError."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation.limit(3))
+    v = t.overwrite(nation.limit(0))
+    got = t.read(version=v)
+    assert got.count() == 0
+    assert got.columns == nation.columns
+    # and the table keeps working afterwards
+    t.append(nation.limit(2))
+    assert t.read().count() == 2
+
+
+def test_vacuum_sweeps_orphaned_stage_dirs(spark, nation, tmp_path):
+    """ADVICE round-1 (low): staged-but-never-committed files (a
+    crashed writer) must be reclaimed by vacuum; fresh stage dirs
+    inside the age gate survive (could be an in-flight commit)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation.limit(3))
+    orphan = t._stage(nation.limit(2))  # staged, never committed
+    orphan_dir = os.path.dirname(orphan[0])
+    assert os.path.exists(orphan_dir)
+    # inside the age gate: kept
+    t.vacuum(keep_versions=1, orphan_age_seconds=3600)
+    assert os.path.exists(orphan_dir)
+    # past the age gate: swept; committed files untouched
+    t.vacuum(keep_versions=1, orphan_age_seconds=0)
+    assert not os.path.exists(orphan_dir)
+    assert t.read().count() == 3
