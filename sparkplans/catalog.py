@@ -50,6 +50,7 @@ class TableSpec:
     schema: StructType | None = None
     options: dict[str, str] = field(default_factory=dict)
     in_memory: bool = False
+    target_partitions: int | None = None
 
     @property
     def files(self) -> list[str]:
@@ -84,6 +85,7 @@ class Catalog:
         partition_per_file: bool | None = None,
         schema: StructType | str | None = None,
         has_header: bool = True,
+        target_partitions: int | None = None,
         **options: str,
     ) -> TableSpec:
         """``CREATE EXTERNAL TABLE name ... LOCATION path WITH ORDER (...)``.
@@ -93,13 +95,31 @@ class Catalog:
         reference does (``docs/2:17-23``), and plans around it.
         ``partition_per_file`` defaults to True when an order is
         declared over a directory (order is a per-file property).
-        """
+
+        ``target_partitions`` is the PER-TABLE split knob of the
+        reference's ``with_target_partitions(N)``
+        (``tests/setup_tables.rs:42,68``): every read of THIS table
+        fans out to exactly N partitions — independent of the
+        session-wide ``target_partitions`` — via a round-robin
+        repartition, the Spark analog of the ``RepartitionExec
+        RoundRobinBatch(N)`` the reference inserts above the scan
+        (``docs/5:18-44``).  Incompatible with a declared sort order:
+        round-robin does not preserve per-partition order, so the
+        combination is rejected rather than silently un-sorting."""
         fmt = format.lower()
         order = normalize_sort_keys(with_order)
         if partition_per_file is None:
             partition_per_file = bool(order) and os.path.isdir(path)
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
+        if target_partitions is not None:
+            if target_partitions < 1:
+                raise ValueError("target_partitions must be >= 1")
+            if order:
+                raise ValueError(
+                    "target_partitions round-robin repartition would "
+                    "destroy the declared WITH ORDER; drop one of them"
+                )
         spec = TableSpec(
             name=name,
             path=path,
@@ -109,6 +129,7 @@ class Catalog:
             partition_per_file=partition_per_file,
             schema=schema,
             options=dict(options),
+            target_partitions=target_partitions,
         )
         self._tables[name] = spec
         # Register as a temp view so plain spark.sql() sees it too.
@@ -156,10 +177,15 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         spec = self._tables[name]
         if spec.in_memory:
-            return self.spark.table(name)
-        if spec.partition_per_file and len(spec.files) > 1:
-            return self._read_per_file(spec)
-        return self._read_path(spec, spec.path)
+            df = self.spark.table(name)
+        elif spec.partition_per_file and len(spec.files) > 1:
+            df = self._read_per_file(spec)
+        else:
+            df = self._read_path(spec, spec.path)
+        if spec.target_partitions is not None:
+            # per-table RoundRobinBatch(N) — see create_external_table
+            df = df.repartition(spec.target_partitions)
+        return df
 
     def _reader(self, spec: TableSpec):
         reader = self.spark.read

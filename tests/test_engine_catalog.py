@@ -371,3 +371,37 @@ def test_file_level_stats_pruning(eng, spark, tmp_path):
     assert none_df.count() == 0
     assert none_df.schema == spark.table("orders_ranged").schema
     eng.catalog.drop("orders_ranged")
+
+
+def test_per_table_target_partitions(eng, spark, fixture_dirs, tmp_path):
+    """Reference ``with_target_partitions(4)`` parity
+    (tests/setup_tables.rs:42,68): ONE table's reads split into
+    exactly N partitions while a default-registered table in the SAME
+    session keeps Spark's own split — the per-table knob, not the
+    session knob.  The plan carries RoundRobinPartitioning, the Spark
+    analog of the reference's RepartitionExec RoundRobinBatch(N)."""
+    eng.create_external_table(
+        "dim_tp4", fixture_dirs["dim"], format="parquet",
+        target_partitions=4,
+    )
+    split = eng.catalog.read("dim_tp4")
+    assert split.rdd.getNumPartitions() == 4
+    # default table in the same session: a single tiny file stays 1
+    default = eng.catalog.read("dim")
+    assert default.rdd.getNumPartitions() != 4
+    # same rows either way
+    assert sorted(map(tuple, split.collect())) == sorted(
+        map(tuple, default.collect())
+    )
+    phys = split._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning(4" in phys.replace(", ", "("), phys
+
+
+def test_target_partitions_rejects_declared_order(eng, fixture_dirs):
+    """Round-robin splitting destroys per-file order; declaring both
+    must fail loudly instead of silently un-sorting."""
+    with pytest.raises(ValueError, match="WITH ORDER"):
+        eng.create_external_table(
+            "dim_bad", fixture_dirs["dim"], format="parquet",
+            with_order=["env"], target_partitions=4,
+        )
