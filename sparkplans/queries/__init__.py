@@ -723,6 +723,55 @@ _shared_sql(
 )
 
 
+@register(
+    "multi_fact_join",
+    """
+    SELECT o_orderpriority, l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem, orders, customer
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority, l_returnflag
+    """,
+)
+def q_multi_fact_join(spark, sf_dir):
+    """Multi-fact headline (reference docs/9_what_next.md:4-6: "more
+    input files into the join", "smart partitioned hash join"): THREE
+    input tables in one join tree, the two big ones joined with an
+    explicit shuffle-hash (both sides hash-partitioned on l_orderkey =
+    o_orderkey — the reference's smart partitioned hash join, no sort,
+    no broadcast of a fact), the filtered customer side left to the
+    optimizer (dimension-sized after the segment filter -> broadcast;
+    AQE would pick the probe side on a cluster).  The co-located twin
+    — all three inputs pre-bucketed on the join key, ZERO exchanges in
+    the whole join tree — is pinned in
+    tests/test_bucketing.py::test_three_table_cobucketed_join_no_shuffle;
+    at 100 TB that is the layout you'd write once and join forever."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    j = (
+        li.hint("shuffle_hash")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return j.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
 # =====================================================================
 # Training-data pipeline: dedup / text / similarity  (north star)
 # =====================================================================

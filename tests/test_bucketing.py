@@ -75,3 +75,50 @@ def test_analyze_table_stats(spark, eng):
     desc = spark.sql("DESCRIBE TABLE EXTENDED orders_b").toPandas()
     stats = desc[desc["col_name"] == "Statistics"]["data_type"]
     assert len(stats) == 1 and "rows" in stats.iloc[0]
+
+
+def test_three_table_cobucketed_join_no_shuffle(spark, eng):
+    """The multi-fact headline's co-located layout (reference
+    docs/9_what_next.md:4-6 "more input files into the join"): THREE
+    tables bucketed on the same join key — the full join tree runs
+    with ZERO exchanges.  This is the 100 TB answer to the multi-fact
+    join: write each fact bucketed by the shared key once, and every
+    subsequent N-way join on that key is shuffle-free."""
+    orders = load_table(spark, SF_DIR, "orders")
+    eng.catalog.write_bucketed(
+        orders.select(
+            F.col("o_orderkey").alias("m_orderkey"),
+            F.col("o_orderpriority").alias("m_priority"),
+        ),
+        "ordermeta_b", 8, "m_orderkey",
+    )
+    try:
+        o = spark.table("orders_b")
+        li = spark.table("lineitem_b")
+        m = spark.table("ordermeta_b")
+        joined = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(m, o.o_orderkey == m.m_orderkey)
+            .select("o_orderkey", "l_linenumber", "m_priority")
+        )
+        assert plans.num_exchanges(joined) == 0, plans.physical_plan_str(joined)
+        base_o = load_table(spark, SF_DIR, "orders")
+        base_l = load_table(spark, SF_DIR, "lineitem")
+        want = base_o.join(
+            base_l, base_o.o_orderkey == base_l.l_orderkey
+        ).count()
+        assert joined.count() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ordermeta_b")
+
+
+def test_multi_fact_join_shuffle_hash_plan(spark):
+    """The registered multi_fact_join must actually run its big-big
+    join as a shuffled hash join (fact never broadcast, no sort), with
+    the dimension side broadcast."""
+    import sparkplans.queries as Q
+
+    df = Q.REGISTRY["multi_fact_join"].fn(spark, SF_DIR)
+    phys = plans.physical_plan_str(df)
+    assert "ShuffledHashJoin" in phys, phys
+    assert "BroadcastHashJoin" in phys, phys

@@ -306,6 +306,9 @@ BUDGETS = {
     "psi_value_drift": 2,
     # customer spend agg + the per-customer ranked windows
     "revenue_gini": 2,
+    # smart partitioned hash join: both big sides shuffle on orderkey,
+    # then the group-by; the co-bucketed twin (test_bucketing) is 0
+    "multi_fact_join": 3,
     # fan_out hop + one lang-keyed two-phase aggregation
     "tokenizer_fertility_by_lang": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run
