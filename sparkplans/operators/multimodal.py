@@ -7,10 +7,14 @@ Spark-idiomatic shape for Python-side media processing: each task
 pulls record batches, processes locally, emits batches; no driver
 involvement, scales with partitions.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-the decode kernels are stubbed behind ``_HAVE_CODECS``: real Spark
-plumbing (schemas, batching, partition flow) with a deterministic
-fake decode, and a ``NotImplementedError`` on the true path.  Swap
+Codec reality map: TWO image formats are fully real with no external
+library — PPM (pure numpy) and PNG (stdlib zlib + numpy unfiltering;
+see ``encode_png``/``decode_png``) — covering decode, featurize, and
+resize end-to-end.  The remaining paths that genuinely need external
+codecs (generic PIL formats, WAV/audio resampling, MP4 frame
+extraction) are stubbed behind ``_HAVE_CODECS``: real Spark plumbing
+(schemas, batching, partition flow) with a deterministic fake decode,
+and a ``NotImplementedError`` on the true path.  Swap
 ``_fake_decode_*`` for real codec calls in production.
 """
 
@@ -344,6 +348,241 @@ def resize_ppm_images(media: DataFrame, width: int = 8, height: int = 8) -> Data
     return media.filter(F.col("mime") == "image/x-portable-pixmap").mapInPandas(
         batches, RESIZED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------
+# A SECOND real codec path: PNG in stdlib zlib + numpy
+# ---------------------------------------------------------------------
+# PNG needs no external library either: chunks are length/type/CRC
+# framing, IDAT is zlib (stdlib), and scanline unfiltering (None /
+# Sub / Up / Average / Paeth) is numpy row arithmetic.  This upgrades
+# the round-1 `_HAVE_CODECS=False` PNG stub to a fully real branch —
+# encode, decode, featurize, resize — through the identical
+# mapInPandas plumbing.  8-bit RGB/RGBA, non-interlaced (the common
+# case for generated/training imagery); anything else raises.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr, filter_per_row: bool = True) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as PNG.  With
+    ``filter_per_row`` the encoder cycles through all five scanline
+    filters (row i uses filter i % 5), so round-trip tests exercise
+    every unfilter branch of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    h, w, c = a.shape
+    assert c in (3, 4), "RGB or RGBA"
+    color_type = 2 if c == 3 else 6
+    bpp = c
+    raw = a.reshape(h, w * c).astype("int16")
+    zero = np.zeros(w * c, dtype="int16")
+    lines = []
+    for y in range(h):
+        cur, prev = raw[y], (raw[y - 1] if y > 0 else zero)
+        left = np.concatenate([np.zeros(bpp, dtype="int16"), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype="int16"), prev[:-bpp]])
+        ft = y % 5 if filter_per_row else 0
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        lines.append(bytes([ft]) + (filt % 256).astype("uint8").tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit RGB/RGBA non-interlaced PNG to an (h, w, c)
+    uint8 array.  Pure stdlib zlib + numpy: chunk CRCs are verified,
+    IDAT is inflated, and each scanline is unfiltered (all five PNG
+    filter types)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = len(_PNG_SIG), [], None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    "only 8-bit RGB/RGBA non-interlaced PNG supported"
+                )
+            meta = (w, h, 3 if color_type == 2 else 4)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("no IHDR chunk")
+    w, h, c = meta
+    stride, bpp = w * c, c
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.zeros((h, stride), dtype="int16")
+    zero = np.zeros(stride, dtype="int16")
+    for y in range(h):
+        row = data[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ft = row[0]
+        line = np.frombuffer(row, dtype="uint8", offset=1).astype("int16")
+        prev = out[y - 1] if y > 0 else zero
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = line.copy()
+            lanes = rec.reshape(w, bpp)
+            rec = (
+                np.cumsum(lanes.astype("int64"), axis=0) % 256
+            ).reshape(stride).astype("int16")
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
+            rec = np.zeros(stride, dtype="int16")
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = int(prev[x])
+                upleft = int(out[y - 1][x - bpp]) if (y > 0 and x >= bpp) else 0
+                if ft == 3:
+                    pred = (int(left) + up) // 2
+                else:
+                    p = int(left) + up - upleft
+                    pa, pb, pc = (
+                        abs(p - int(left)),
+                        abs(p - up),
+                        abs(p - upleft),
+                    )
+                    pred = (
+                        int(left)
+                        if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else upleft)
+                    )
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = rec
+    return out.astype("uint8").reshape(h, w, c)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL decode + featurize for image/png payloads: per-channel
+    pixel means from the actual decoded array — the PPM branch's twin,
+    same Arrow-batched mapInPandas flow, no PIL anywhere."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arrs = pdf["payload"].map(decode_png)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": arrs.map(lambda a: a.shape[1]).astype("int32"),
+                    "height": arrs.map(lambda a: a.shape[0]).astype("int32"),
+                    "channel_means": arrs.map(
+                        lambda a: [float(m) for m in a.mean(axis=(0, 1))]
+                    ),
+                }
+            )
+
+    return media.filter(F.col("mime") == "image/png").mapInPandas(
+        batches, PPM_FEATURES_SCHEMA
+    )
+
+
+def resize_png_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """REAL nearest-neighbor resize for PNG payloads: decode,
+    integer-stride resample, re-encode — actual pixels, not digests."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def rz(b: bytes) -> bytes:
+                a = decode_png(b)
+                h, w = a.shape[:2]
+                yi = np.minimum((np.arange(height) * h) // height, h - 1)
+                xi = np.minimum((np.arange(width) * w) // width, w - 1)
+                return encode_png(a[yi][:, xi])
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(rz),
+                }
+            )
+
+    return media.filter(F.col("mime") == "image/png").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
+def synthetic_png_media(spark, n: int = 16) -> DataFrame:
+    """Deterministic real PNG images (per-id gradients, varying sizes,
+    alternating RGB/RGBA, every scanline filter exercised)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 6
+        c = 3 if i % 2 == 0 else 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        chans = [
+            (xx * 255 // max(w - 1, 1)).astype("uint8"),
+            (yy * 255 // max(h - 1, 1)).astype("uint8"),
+            np.full((h, w), i * 16 % 256, dtype="uint8"),
+        ]
+        if c == 4:
+            chans.append(((xx + yy) * 7 % 256).astype("uint8"))
+        a = np.stack(chans, axis=-1)
+        rows.append((i, "image", "image/png", encode_png(a), w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthetic_ppm_media(spark, n: int = 16) -> DataFrame:

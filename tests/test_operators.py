@@ -1369,3 +1369,55 @@ def test_misra_gries_guarantees_vs_exact(spark, docs):
     for item, true in exact.items():
         if true > bound:
             assert item in got, f"heavy item {item} (count {true}) missing"
+
+
+def test_png_decode_roundtrip_all_filters(spark):
+    """The PNG branch is REAL: stdlib-zlib + numpy, no PIL.  The
+    encoder cycles all five scanline filters (row i uses filter i%5),
+    so a tall round-trip exercises None/Sub/Up/Average/Paeth
+    unfiltering; RGB and RGBA both round-trip bit-for-bit, and CRC
+    corruption is detected."""
+    import numpy as np
+
+    rgb = (np.arange(7 * 5 * 3, dtype="uint8") * 11 % 256).reshape(7, 5, 3)
+    assert (multimodal.decode_png(multimodal.encode_png(rgb)) == rgb).all()
+    rgba = (np.arange(6 * 4 * 4, dtype="uint8") * 23 % 256).reshape(6, 4, 4)
+    assert (multimodal.decode_png(multimodal.encode_png(rgba)) == rgba).all()
+    # every filter type really appears in the stream
+    assert rgb.shape[0] >= 5
+    # CRC check: flip one payload byte inside the IDAT chunk
+    blob = bytearray(multimodal.encode_png(rgb))
+    idat = blob.index(b"IDAT")
+    blob[idat + 8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(blob))
+
+
+def test_png_features_match_numpy(spark):
+    """Spark-side PNG channel means equal numpy's on the decoded
+    pixels — the planted-PNG feature test mirroring the PPM branch."""
+    media = multimodal.synthetic_png_media(spark, n=12)
+    feats = {r.media_id: r for r in multimodal.decode_png_features(media).collect()}
+    assert len(feats) == 12
+    for row in media.collect():
+        arr = multimodal.decode_png(bytes(row.payload))
+        got = feats[row.media_id]
+        assert (got.width, got.height) == (arr.shape[1], arr.shape[0])
+        want = [float(m) for m in arr.mean(axis=(0, 1))]
+        assert got.channel_means == pytest.approx(want)
+
+
+def test_png_resize_real_nearest_neighbor(spark):
+    import numpy as np
+
+    media = multimodal.synthetic_png_media(spark, n=6)
+    out = {r.media_id: bytes(r.payload)
+           for r in multimodal.resize_png_images(media, width=4, height=4).collect()}
+    for row in media.collect():
+        src = multimodal.decode_png(bytes(row.payload))
+        h, w = src.shape[:2]
+        yi = np.minimum((np.arange(4) * h) // 4, h - 1)
+        xi = np.minimum((np.arange(4) * w) // 4, w - 1)
+        want = src[yi][:, xi]
+        got = multimodal.decode_png(out[row.media_id])
+        assert (got == want).all()
