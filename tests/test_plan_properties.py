@@ -416,3 +416,28 @@ def test_revenue_gini_rank_window_is_partitioned(spark):
         assert " ASC" not in first and " DESC" not in first, (
             f"unpartitioned window spec: {spec[:120]}"
         )
+
+
+def test_fact_side_never_broadcast_without_threshold(spark):
+    """100 TB regression guard: with autoBroadcastJoinThreshold off,
+    the lineitem/orders fact joins in q3 and q5 must fall back to
+    shuffle strategies (SMJ/SHJ) — a plan change that broadcasts a
+    FACT table would OOM a real cluster even though it passes at test
+    scale.  The dimension-broadcast assertions elsewhere pin the happy
+    path; this pins the guard rail."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in ("tpch_q3_topk_revenue", "tpch_q5_local_supplier",
+                  "multi_fact_join"):
+            df = _df(spark, q)
+            strategies = plans.join_strategies(df)
+            assert "BroadcastHashJoin" not in strategies, (q, strategies)
+            assert any(
+                s in ("SortMergeJoin", "ShuffledHashJoin")
+                for s in strategies
+            ), (q, strategies)
+            phys = plans.physical_plan_str(df)
+            assert "BroadcastNestedLoopJoin" not in phys, q
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
