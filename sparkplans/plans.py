@@ -232,12 +232,67 @@ def _walk_metrics(jplan, depth: int, out: list[str]) -> None:
 # -- EXPLAIN VERBOSE --------------------------------------------------------
 
 
-def explain_verbose(df: DataFrame) -> str:
-    """All four Catalyst stages (parsed/analyzed/optimized/physical) —
-    the practical Spark analog of the reference's per-rule dump
-    (docs/3:83-180).  For true per-rule traces set
-    ``spark.sql.planChangeLog.level=INFO`` and read driver logs."""
-    return plan_text(df, "extended")
+def explain_verbose(df: DataFrame, per_rule: bool = False) -> str:
+    """All four Catalyst stages (parsed/analyzed/optimized/physical);
+    with ``per_rule=True``, appends the full PER-RULE transformation
+    trace — every named Catalyst rule that changed the plan, with its
+    before/after diff — the true analog of the reference's EXPLAIN
+    VERBOSE rule dump (docs/3_cli_query_plans.md:96-172)."""
+    base = plan_text(df, "extended")
+    if not per_rule:
+        return base
+    return base + "\n\n== Per-Rule Plan Changes ==\n" + rule_trace(df)
+
+
+def rule_trace(df: DataFrame) -> str:
+    """Capture Catalyst's PlanChangeLogger output for this frame's
+    full analysis->optimization->physical-planning pipeline.
+
+    Mechanics: a log4j2 WriterAppender is attached to the
+    PlanChangeLogger logger, ``spark.sql.planChangeLog.level`` routes
+    the rule diffs through it, and the plan pipeline is re-run from
+    the raw logical plan (a fresh Dataset — the cached queryExecution
+    would skip the rules).  Appender, logger level, and conf are
+    restored afterwards.  Driver-side metadata only; nothing
+    executes."""
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    writer = jvm.java.io.StringWriter()
+    layout = (
+        jvm.org.apache.logging.log4j.core.layout.PatternLayout.newBuilder()
+        .withPattern("%m%n")
+        .build()
+    )
+    appender = jvm.org.apache.logging.log4j.core.appender.WriterAppender.createAppender(
+        layout, None, writer, f"planCapture-{id(df)}", False, True
+    )
+    appender.start()
+    name = "org.apache.spark.sql.catalyst.rules.PlanChangeLogger"
+    ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
+    logger = ctx.getLogger(name)
+    old_level = logger.getLevel()
+    configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+    try:
+        old_conf = spark.conf.get("spark.sql.planChangeLog.level")
+    except Exception:
+        old_conf = None
+    logger.addAppender(appender)
+    configurator.setLevel(name, jvm.org.apache.logging.log4j.Level.ALL)
+    spark.conf.set("spark.sql.planChangeLog.level", "info")
+    try:
+        fresh = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, df._jdf.queryExecution().logical()
+        )
+        fresh.queryExecution().executedPlan()
+        return writer.toString()
+    finally:
+        logger.removeAppender(appender)
+        appender.stop()
+        configurator.setLevel(name, old_level)
+        if old_conf is not None:
+            spark.conf.set("spark.sql.planChangeLog.level", old_conf)
+        else:
+            spark.conf.unset("spark.sql.planChangeLog.level")
 
 
 def partition_histogram(df: DataFrame) -> dict:

@@ -441,3 +441,20 @@ def test_fact_side_never_broadcast_without_threshold(spark):
             assert "BroadcastNestedLoopJoin" not in phys, q
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_explain_verbose_per_rule_trace(spark):
+    """Reference docs/3_cli_query_plans.md:96-172 parity: EXPLAIN
+    VERBOSE shows the plan after every named rule that changed it.
+    per_rule=True captures Catalyst's PlanChangeLogger — named rule
+    transitions with before/after plans — and restores logging state
+    afterwards."""
+    df = _df(spark, "filter_pushdown")
+    out = plans.explain_verbose(df, per_rule=True)
+    assert "== Per-Rule Plan Changes ==" in out
+    # at least one fully-qualified named rule fired with a diff
+    assert "=== Applying Rule org.apache.spark.sql.catalyst." in out
+    # rule trace shows before/after plan lines (the ! diff marker)
+    assert "=== Result of Batch" in out
+    # logging state restored: a second plain call captures nothing new
+    assert "Per-Rule" not in plans.explain_verbose(df)
