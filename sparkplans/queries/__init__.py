@@ -574,14 +574,34 @@ _shared_sql(
 )
 
 
-@register("approx_distinct_users", None)  # sketch; <5% error gate in tests/
+@register(
+    "approx_distinct_users",
+    "SELECT event_type, count(DISTINCT user_id) AS exact_users, "
+    "TRUE AS within_tol "
+    "FROM events GROUP BY event_type",
+)
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct-user counts per event type — the sketch
     path for cardinality at 100 TB (fixed-size state, one pass, no
-    exact-distinct shuffle of the full key set)."""
+    exact-distinct shuffle of the full key set).
+
+    Driver contract (tolerance-encoded oracle, same recipe as
+    approx_value_quantiles): the sketch value itself can't hash-match
+    SQL, so the result carries the exact count plus ``within_tol`` —
+    the <=5% sketch-vs-exact check computed in the SAME aggregation —
+    and the oracle emits the expected all-true rows."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_users"))
+            <= F.greatest(0.05 * F.col("exact_users"), F.lit(2))
+        ).alias("within_tol"),
     )
 
 
@@ -1314,8 +1334,55 @@ def q_simhash_fingerprints(spark, sf_dir):
     return dedup.simhash(d, bits=32)
 
 
-@register("near_dup_pairs", None)  # full pipeline; stages oracle-checked above
+_NEAR_DUP_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS hv
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, p.perm,
+             min((hv * (p.perm * 2 + 1) + (p.perm * 997 + 31)) % 2147483647) AS minhash
+      FROM h, (SELECT unnest(range(0, 16)) AS perm) p
+      GROUP BY doc_id, p.perm
+    ), bands AS (
+      SELECT doc_id, perm // 2 AS band,
+             md5(array_to_string(list_sort(list(perm || ':' || minhash)), ',')) AS band_hash
+      FROM sig GROUP BY doc_id, perm // 2
+    ), cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS ni
+      FROM cand_pairs c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5
+"""
+
+
+@register("near_dup_pairs", _NEAR_DUP_ORACLE)
 def q_near_dup_pairs(spark, sf_dir):
+    """Full MinHash-LSH near-dup pipeline (16 perms, 8 bands,
+    Jaccard >= 0.5) — now with a FULL exact oracle: the banding is
+    cross-engine-deterministic (md5-affine permutations), so DuckDB
+    reproduces the identical candidate set, then verifies with exact
+    shingle-set Jaccard (intersection-join / sizes form).  The
+    jaccard column is an int/int double division on both engines —
+    bit-identical."""
     from sparkplans.operators import dedup
 
     d = _t_cpu(spark, sf_dir, "documents")

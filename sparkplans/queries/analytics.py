@@ -219,23 +219,45 @@ _shared_sql(
 # broadcasts.  All-double arithmetic, identical on both engines.
 
 
-@register("hll_daily_users", None)  # sketch state has no SQL oracle
+@register(
+    "hll_daily_users",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bin, event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY bin, event_type
+    """,
+)
 def q_hll_daily_users(spark, sf_dir):
     """Persistable distinct-user sketches per (day, event_type) with
-    read-time estimates (operators/sketches).  Rows-only driver check
-    by design: the DataSketches binary state has no DuckDB
-    equivalent; the <5% accuracy and lossless-union guarantees are
-    pinned in tests/test_operators.py instead."""
+    read-time estimates (operators/sketches).  The DataSketches binary
+    state has no DuckDB equivalent, so the driver contract is
+    tolerance-encoded: each (bin, event_type) row carries the exact
+    distinct count and ``within_tol`` — true iff the sketch estimate
+    is within 5% (floor 2) of it — against the oracle's all-true
+    grid.  The lossless-union guarantee stays pinned in
+    tests/test_operators.py.  Both aggregations group on the same
+    keys, so the equi-join adds no exchange beyond the two aggs."""
     from sparkplans.operators.sketches import hll_rollup
 
+    e = _t(spark, sf_dir, "events")
     sk = hll_rollup(
-        _t(spark, sf_dir, "events"),
-        id_col="user_id",
-        keys=["event_type"],
-        interval="1 day",
+        e, id_col="user_id", keys=["event_type"], interval="1 day"
+    ).select("bin", "event_type", "distinct_est")
+    from sparkplans.functions import date_bin
+
+    exact = e.groupBy(
+        date_bin("ts", "1 day").alias("bin"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return sk.join(exact, ["bin", "event_type"]).select(
+        "bin",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_users"))
+            <= F.greatest(0.05 * F.col("exact_users"), F.lit(2))
+        ).alias("within_tol"),
     )
-    # surface the estimate; drop the opaque state column for display
-    return sk.select("bin", "event_type", "distinct_est")
 
 
 _PROFILE_COLS = (

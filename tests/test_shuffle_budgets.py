@@ -26,7 +26,9 @@ SF_DIR = "/root/testdata/sf0.001"
 BUDGETS = {
     "agg_count_star": 1,
     "anti_join": 0,
-    "approx_distinct_users": 1,
+    # tolerance-encoded oracle computes exact countDistinct beside the
+    # sketch: Spark's distinct-agg expansion adds the second exchange
+    "approx_distinct_users": 2,
     "approx_value_quantiles": 1,
     "argmax_struct": 1,
     "array_agg_ops": 1,
@@ -193,7 +195,9 @@ BUDGETS = {
     # lang census + one-row totals rollup + broadcast-back
     "lang_mixture_weights": 3,
     # one keyed shuffle of fixed-size sketch states
-    "hll_daily_users": 1,
+    # sketch agg + exact countDistinct (2 exchanges, distinct
+    # expansion) for the tolerance oracle; same-key join adds none
+    "hll_daily_users": 3,
     # exact multi-column distinct => Expand + two single-partition
     # state merges; approx operator mode is the scale path
     "orders_profile": 2,
