@@ -7,15 +7,21 @@ Spark-idiomatic shape for Python-side media processing: each task
 pulls record batches, processes locally, emits batches; no driver
 involvement, scales with partitions.
 
-Codec reality map: TWO image formats are fully real with no external
-library — PPM (pure numpy) and PNG (stdlib zlib + numpy unfiltering;
-see ``encode_png``/``decode_png``) — covering decode, featurize, and
-resize end-to-end.  The remaining paths that genuinely need external
-codecs (generic PIL formats, WAV/audio resampling, MP4 frame
-extraction) are stubbed behind ``_HAVE_CODECS``: real Spark plumbing
-(schemas, batching, partition flow) with a deterministic fake decode,
-and a ``NotImplementedError`` on the true path.  Swap
-``_fake_decode_*`` for real codec calls in production.
+Codec reality map: ALL THREE modalities have fully real branches with
+no external library —
+  images: PPM (pure numpy), PNG (stdlib zlib + numpy unfiltering),
+          BMP (struct + numpy), plus a magic-sniffing
+          ``decode_image`` dispatcher → decode / featurize / resize;
+  audio:  WAV PCM16 (struct + numpy) → decode / linear-interp
+          resample / RMS-ZCR-spectral-centroid features;
+  video:  Y4M / YUV4MPEG2 (ffmpeg's uncompressed interchange format,
+          pure numpy) → decode / timestamp frame sampling /
+          scene-cut detection.
+Only formats that genuinely require external codec libraries (JPEG
+via PIL, MP3/OGG, H.264/MP4) remain stubbed behind ``_HAVE_CODECS``:
+real Spark plumbing (schemas, batching, partition flow) with a
+deterministic fake decode, and a ``NotImplementedError`` on the true
+path.  Swap ``_fake_decode_*`` for real codec calls in production.
 """
 
 from __future__ import annotations
@@ -585,6 +591,198 @@ def synthetic_png_media(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------
+# A THIRD real codec path: WAV (PCM16) in stdlib struct + numpy
+# ---------------------------------------------------------------------
+# RIFF/WAVE PCM needs no external library: the container is
+# length-framed chunks (struct), samples are little-endian int16
+# (numpy frombuffer).  This upgrades the round-1 audio stub to a fully
+# real branch — decode, resample (linear interpolation), feature
+# extraction (RMS / zero-crossing rate / spectral centroid over a real
+# numpy FFT) — through the identical mapInPandas plumbing.
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossing_rate", DoubleType()),
+        StructField("spectral_centroid_hz", DoubleType()),
+    ]
+)
+
+WAV_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode an (n,) or (n, channels) int16 array as RIFF/WAVE PCM16."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Decode RIFF/WAVE PCM16 to ((n, channels) int16 array, rate).
+    Walks the chunk list (tolerating extra chunks like LIST/fact);
+    PCM16 only — anything else raises."""
+    import struct
+
+    import numpy as np
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + length]
+        if typ == b"fmt ":
+            audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", chunk[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+            fmt = (ch, rate)
+        elif typ == b"data":
+            data = chunk
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    ch, rate = fmt
+    a = np.frombuffer(data, dtype="<i2")
+    return a.reshape(len(a) // ch, ch), rate
+
+
+def wav_feature_row(payload: bytes) -> tuple:
+    """Real audio features from decoded PCM: RMS level, zero-crossing
+    rate, and spectral centroid (magnitude-weighted mean frequency of
+    the rfft) — the standard cheap audio-quality trio."""
+    import numpy as np
+
+    a, rate = decode_wav(payload)
+    mono = a.mean(axis=1)
+    n = len(mono)
+    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    if n > 1:
+        mag = np.abs(np.fft.rfft(mono))
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        tot = mag.sum()
+        centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+    else:
+        centroid = 0.0
+    return rate, n, a.shape[1], rms, zcr, centroid
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL decode + featurize for audio/wav payloads — the PNG/PPM
+    branches' audio twin, same Arrow-batched mapInPandas flow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(wav_feature_row)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": feats.map(lambda t: t[0]).astype("int32"),
+                    "n_samples": feats.map(lambda t: t[1]).astype("int64"),
+                    "n_channels": feats.map(lambda t: t[2]).astype("int32"),
+                    "rms": feats.map(lambda t: t[3]),
+                    "zero_crossing_rate": feats.map(lambda t: t[4]),
+                    "spectral_centroid_hz": feats.map(lambda t: t[5]),
+                }
+            )
+
+    return media.filter(F.col("mime") == "audio/wav").mapInPandas(
+        batches, WAV_FEATURES_SCHEMA
+    )
+
+
+def resample_wav(payload: bytes, target_hz: int):
+    """Linear-interpolation resample of PCM16 to target_hz; returns the
+    re-encoded WAV bytes.  np.interp per channel — the real transform
+    the round-1 stub only described."""
+    import numpy as np
+
+    a, rate = decode_wav(payload)
+    if rate == target_hz:
+        return encode_wav(a, rate)
+    n = a.shape[0]
+    m = max(int(round(n * target_hz / rate)), 1)
+    src_t = np.arange(n) / rate
+    dst_t = np.arange(m) / target_hz
+    out = np.stack(
+        [np.interp(dst_t, src_t, a[:, c].astype("float64")) for c in range(a.shape[1])],
+        axis=1,
+    )
+    return encode_wav(np.clip(np.round(out), -32768, 32767).astype("<i2"), target_hz)
+
+
+def resample_wav_audio(media: DataFrame, target_hz: int = 16000) -> DataFrame:
+    """REAL audio resample for audio/wav payloads: decode, linear-interp
+    to target_hz, re-encode — actual waveforms, not digests."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf["payload"].map(lambda b: resample_wav(bytes(b), target_hz))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": target_hz,
+                    "n_samples": out.map(lambda b: decode_wav(b)[0].shape[0]).astype("int64"),
+                    "payload": out,
+                }
+            )
+
+    return media.filter(F.col("mime") == "audio/wav").mapInPandas(
+        batches, WAV_RESAMPLE_SCHEMA
+    )
+
+
+def synthetic_wav_media(spark, n: int = 12) -> DataFrame:
+    """Deterministic real WAV payloads: per-id sine (and mixed-tone)
+    waveforms at varying rates/durations, mono and stereo."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 44100)[i % 3]
+        dur_ms = 200 + 100 * (i % 4)
+        t = np.arange(int(rate * dur_ms / 1000)) / rate
+        f0 = 220.0 * (1 + i % 5)
+        wave = 0.5 * np.sin(2 * np.pi * f0 * t)
+        if i % 2:  # add a second tone so the spectrum isn't a pure line
+            wave = wave + 0.25 * np.sin(2 * np.pi * 2.5 * f0 * t)
+        pcm = np.round(wave * 32000).astype("<i2")
+        if i % 4 == 3:  # stereo: right channel phase-shifted
+            pcm = np.stack([pcm, np.roll(pcm, rate // 100)], axis=1)
+        rows.append(
+            (i, "audio", "audio/wav", encode_wav(pcm, rate), None, None, dur_ms)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_ppm_media(spark, n: int = 16) -> DataFrame:
     """Deterministic real PPM images (per-id gradient patterns,
     varying sizes) as a media table — every byte decodable."""
@@ -603,4 +801,277 @@ def synthetic_ppm_media(spark, n: int = 16) -> DataFrame:
             axis=-1,
         )
         rows.append((i, "image", "image/x-portable-pixmap", encode_ppm(a), w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# BMP (24-bit) in stdlib struct + numpy, and a magic-sniffing
+# generic-image dispatcher
+# ---------------------------------------------------------------------
+# 24-bit uncompressed BMP is a 14-byte file header + 40-byte
+# BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes — all
+# struct/numpy.  With PNG, PPM and BMP real, `decode_image` sniffs the
+# payload magic and dispatches, so the *generic* image path
+# (extract_image_features_real) is fully real for every format this
+# container can legally decode; only formats that genuinely require
+# external codecs (JPEG etc.) still raise.
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as 24-bit uncompressed BMP
+    (bottom-up BGR rows, 4-byte padded)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    h, w, c = a.shape
+    assert c == 3, "24-bit BMP is RGB"
+    pad = (-3 * w) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(a[y, :, ::-1].tobytes() + b"\x00" * pad)
+    data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes):
+    """Decode 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array.
+    Handles bottom-up and top-down (negative height) row order."""
+    import struct
+
+    import numpy as np
+
+    if not payload or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bits, compression = struct.unpack("<HHI", payload[26:34])
+    if bits != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = 3 * w + ((-3 * w) % 4)
+    raw = np.frombuffer(payload, dtype="uint8", count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(payload: bytes):
+    """Sniff the payload magic and decode with the matching REAL codec
+    (PNG / PPM / BMP).  Unknown formats raise — the honest boundary of
+    a container with no external codec libraries."""
+    if payload is None:
+        raise ValueError("null image payload")
+    b = bytes(payload)
+    if b.startswith(_PNG_SIG):
+        return decode_png(b)
+    if b.startswith(b"P6"):
+        return decode_ppm(b)
+    if b.startswith(b"BM"):
+        return decode_bmp(b)
+    raise ValueError("unsupported image format (PNG/PPM/BMP decodable here)")
+
+
+def extract_image_features_real(media: DataFrame) -> DataFrame:
+    """The generic image-features path, REAL end-to-end: sniff + decode
+    each payload with decode_image and emit actual pixel statistics
+    (width/height + per-channel means) — format-agnostic across every
+    codec this module implements."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arrs = pdf["payload"].map(decode_image)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": arrs.map(lambda a: a.shape[1]).astype("int32"),
+                    "height": arrs.map(lambda a: a.shape[0]).astype("int32"),
+                    "channel_means": arrs.map(
+                        lambda a: [float(m) for m in a.mean(axis=(0, 1))]
+                    ),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, PPM_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------
+# A FOURTH real codec path: Y4M (YUV4MPEG2) video in pure numpy
+# ---------------------------------------------------------------------
+# YUV4MPEG2 is ffmpeg's uncompressed interchange format: one ASCII
+# header line (`YUV4MPEG2 W.. H.. F<num>:<den> .. C444`), then
+# `FRAME\n` + raw planar YUV per frame.  No external codec needed, so
+# the round-1 video stub (digest fakes) gains a fully real branch:
+# decode, timestamp-accurate frame sampling, per-frame luma features,
+# and scene-cut detection — all real pixels, same mapInPandas flow.
+
+Y4M_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("t_ms", LongType()),
+        StructField("luma_mean", DoubleType()),
+        StructField("luma_std", DoubleType()),
+    ]
+)
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("t_ms", LongType()),
+        StructField("luma_delta", DoubleType()),
+    ]
+)
+
+
+def encode_y4m(frames, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """Encode an (n_frames, h, w, 3) uint8 YUV array as YUV4MPEG2
+    (C444 planar: full-resolution U and V planes, no subsampling)."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype="uint8")
+    n, h, w, c = a.shape
+    assert c == 3, "YUV 3-plane"
+    header = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n" % (w, h, fps_num, fps_den)
+    parts = [header]
+    for f in range(n):
+        # planar: all Y, then all U, then all V
+        parts.append(b"FRAME\n" + a[f].transpose(2, 0, 1).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes):
+    """Decode YUV4MPEG2 (C444) to ((n, h, w, 3) uint8 array, fps).
+    Pure numpy; rejects subsampled or non-8-bit variants."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    colorspace = "C420jpeg"  # spec default when absent
+    for tok in payload[10:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fps_num, fps_den = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            colorspace = "C" + val.decode()
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    if colorspace != "C444":
+        raise ValueError("only C444 (no chroma subsampling) supported")
+    frame_bytes = 3 * w * h
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        planes = np.frombuffer(payload, dtype="uint8", count=frame_bytes, offset=fnl + 1)
+        frames.append(planes.reshape(3, h, w).transpose(1, 2, 0))
+        pos = fnl + 1 + frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), "uint8"), fps_num / fps_den
+
+
+def sample_y4m_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling for video/x-yuv4mpeg payloads: decode, pick
+    the frame nearest each every_ms timestamp, emit actual luma
+    statistics.  One output row per sampled frame — the video twin of
+    the image/audio real branches."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames, fps = decode_y4m(bytes(r["payload"]))
+                n = frames.shape[0]
+                if n == 0:
+                    continue
+                dur_ms = n / fps * 1000
+                t = 0.0
+                while t < dur_ms:
+                    idx = min(int(round(t / 1000 * fps)), n - 1)
+                    y = frames[idx, :, :, 0].astype("float64")
+                    rows.append(
+                        (r["media_id"], idx, int(t), float(y.mean()), float(y.std()))
+                    )
+                    t += every_ms
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "t_ms", "luma_mean", "luma_std"]
+            )
+
+    return media.filter(F.col("mime") == "video/x-yuv4mpeg").mapInPandas(
+        batches, Y4M_FRAME_SCHEMA
+    )
+
+
+def detect_scene_cuts(media: DataFrame, threshold: float = 30.0) -> DataFrame:
+    """Scene-cut detection over real decoded frames: a cut is a frame
+    whose mean absolute luma delta vs the previous frame exceeds
+    ``threshold`` (0-255 scale).  The canonical first step of a video
+    training-data pipeline (keyframe selection / shot segmentation)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames, fps = decode_y4m(bytes(r["payload"]))
+                if frames.shape[0] < 2:
+                    continue
+                y = frames[:, :, :, 0].astype("float64")
+                deltas = np.abs(y[1:] - y[:-1]).mean(axis=(1, 2))
+                for i, d in enumerate(deltas, start=1):
+                    if d > threshold:
+                        rows.append(
+                            (r["media_id"], i, int(i / fps * 1000), float(d))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "t_ms", "luma_delta"]
+            )
+
+    return media.filter(F.col("mime") == "video/x-yuv4mpeg").mapInPandas(
+        batches, SCENE_CUT_SCHEMA
+    )
+
+
+def synthetic_y4m_media(spark, n: int = 8) -> DataFrame:
+    """Deterministic real Y4M clips: gradient frames whose luma drifts
+    smoothly, with a hard scene cut (luma jump) at the midpoint frame
+    so detect_scene_cuts has exactly one planted positive per clip."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 8
+        fps = (10, 25)[i % 2]
+        n_frames = 6 + (i % 4) * 2
+        cut_at = n_frames // 2
+        frames = np.zeros((n_frames, h, w, 3), dtype="uint8")
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 128 // max(w - 1, 1)).astype("int32")
+        for f in range(n_frames):
+            jump = 120 if f >= cut_at else 0
+            frames[f, :, :, 0] = ((base + 2 * f + jump) % 256).astype("uint8")
+            frames[f, :, :, 1] = (
+                (yy * 128 // max(h - 1, 1) + i) % 256
+            ).astype("uint8")
+            frames[f, :, :, 2] = (i * 16 + f) % 256
+        dur_ms = int(n_frames / fps * 1000)
+        rows.append(
+            (i, "video", "video/x-yuv4mpeg", encode_y4m(frames, fps, 1), w, h, dur_ms)
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
