@@ -1468,9 +1468,58 @@ _shared_sql(
 )
 
 
-@register("embedding_near_dups", None)  # LSH-bucketed; exact variant oracle'd via knn
+def _lsh_bucket_sql(num_planes: int, dim: int, vec: str = "embedding") -> str:
+    """DuckDB expression reproducing operators/similarity.hyperplane_signs
+    EXACTLY: plane p's component i is +1 iff the first 15 hex digits of
+    md5(f"{p}:{i}") are even — a pure function of (p, i), so the ±1
+    plane vectors are baked here as DOUBLE[] literals and the bucket id
+    is the same sign-bit integer Spark computes."""
+    import hashlib
+
+    terms = []
+    for p in range(num_planes):
+        comps = ",".join(
+            "1.0"
+            if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else "-1.0"
+            for i in range(dim)
+        )
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}::DOUBLE[], [{comps}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_COS_SQL = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+
+@register(
+    "embedding_near_dups",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql(6, 64)} AS bucket
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) t
+    WHERE cos_sim >= 0.35
+    """,
+)
 def q_embedding_near_dups(spark, sf_dir):
-    """Threshold 0.35 is tuned to the driver's random synthetic
+    """Embedding cosine near-dup pairs within LSH buckets.  FULL exact
+    oracle: the md5-affine hyperplanes are pure functions of (plane,
+    component), so the DuckDB side rebuilds the identical ±1 plane
+    literals, the identical sign-bit buckets, and the identical
+    rounded cosines — candidate generation AND scoring both hash-
+    checked.  Threshold 0.35 is tuned to the driver's random synthetic
     embeddings (organic max cosine ~0.45) so the query produces real
     pairs; production near-dup thresholds (~0.95) are exercised by the
     planted-clone test in tests/test_operators.py."""
@@ -1480,8 +1529,31 @@ def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(e, threshold=0.35, num_planes=6)
 
 
-@register("lsh_ann_topk", None)  # approximate by design; recall tested in tests/
+@register(
+    "lsh_ann_topk",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql(6, 64)} AS bucket
+      FROM embeddings
+    )
+    SELECT probe_id, vec_id, cos_sim FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             {_COS_SQL.format(a="c.embedding", b="p.embedding")} AS cos_sim
+      FROM sig c JOIN sig p ON c.bucket = p.bucket
+      WHERE p.vec_id < 5
+    ) t
+    QUALIFY row_number() OVER (
+      PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id
+    ) <= 10
+    """,
+)
 def q_lsh_ann_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k.  FULL exact oracle (upgraded
+    from rows-only): buckets come from deterministic md5-affine planes
+    reproduced as literal DOUBLE[] arrays in the DuckDB SQL, so the
+    oracle re-derives the same buckets, scores the same candidates,
+    and ranks by the same rounded cosine + vec_id tie-break — the
+    whole approximate pipeline is hash-checked, not just invariants."""
     from sparkplans.operators import similarity
 
     e = _t_cpu(spark, sf_dir, "embeddings")
@@ -1491,11 +1563,54 @@ def q_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, probes, k=10, num_planes=6)
 
 
-@register("ivf_ann_topk", None)  # approximate by design; self-hit + recall in tests/
+def _ann_invariant_wrap(spark, sf_dir, topk: DataFrame, k: int) -> DataFrame:
+    """Fold an ANN top-k result (probe_id, vec_id, cos_sim) into
+    per-probe invariant booleans — the driver-contract encoding for
+    index structures whose *candidate sets* depend on driver-fit model
+    state (k-means centroids/codebooks) that a SQL oracle cannot
+    re-derive.  Checked per probe: ``self_hit`` (the probe's own
+    vector, always in its own cluster/bucket, is returned with cosine
+    ~1), ``n_ok`` (1..k results), ``cos_exact_ok`` (every reported
+    score equals an independent exact-cosine recompute joined back
+    from the corpus — catches candidate mislabeling and scoring
+    bugs).  The oracle emits the expected all-true probe grid."""
+    e = _t(spark, sf_dir, "embeddings")
+    va = e.select("vec_id", F.col("embedding").alias("__va"))
+    vb = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("__vb")
+    )
+    chk = (
+        topk.join(va, "vec_id")
+        .join(vb, "probe_id")
+        .withColumn("__exact", F.round(cosine_similarity("__va", "__vb"), 6))
+    )
+    return chk.groupBy("probe_id").agg(
+        F.max(
+            (F.col("vec_id") == F.col("probe_id"))
+            & (F.col("cos_sim") >= 0.999999)
+        ).alias("self_hit"),
+        F.count("*").between(1, k).alias("n_ok"),
+        F.min(F.abs(F.col("cos_sim") - F.col("__exact")) <= 2e-6).alias(
+            "cos_exact_ok"
+        ),
+    )
+
+
+@register(
+    "ivf_ann_topk",
+    "SELECT vec_id AS probe_id, TRUE AS self_hit, TRUE AS n_ok, "
+    "TRUE AS cos_exact_ok FROM embeddings WHERE vec_id < 5",
+)
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF ANN scale path: deterministic k-means coarse quantizer, then
     probes score only their nprobe nearest clusters.  See
-    operators/similarity.ivf_build for the 100 TB deployment notes."""
+    operators/similarity.ivf_build for the 100 TB deployment notes.
+
+    Driver contract (upgraded from rows-only): the centroids are
+    driver-fit model state a SQL oracle cannot reproduce, so the
+    result is the per-probe invariant grid from
+    ``_ann_invariant_wrap`` vs the all-true oracle; exact recall gates
+    live in tests/test_operators.py."""
     from sparkplans.operators import similarity
 
     e = _t_cpu(spark, sf_dir, "embeddings")
@@ -1503,7 +1618,8 @@ def q_ivf_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     assigned, centroids = similarity.ivf_build(e, num_centroids=8, iters=2)
-    return similarity.ivf_topk(assigned, centroids, probes, k=10, nprobe=2)
+    topk = similarity.ivf_topk(assigned, centroids, probes, k=10, nprobe=2)
+    return _ann_invariant_wrap(spark, sf_dir, topk, k=10)
 
 
 # =====================================================================

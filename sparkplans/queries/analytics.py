@@ -727,3 +727,32 @@ def q_pagerank_copurchase(spark, sf_dir):
         )
     )
     return pagerank(edges, damping=0.85, iterations=5)
+
+
+@register(
+    "pagerank_invariants",
+    """
+    SELECT count(*) AS n_nodes, TRUE AS mass_conserved, TRUE AS all_positive
+    FROM (
+      SELECT DISTINCT a.l_partkey AS node
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ) nodes
+    """,
+)
+def q_pagerank_invariants(spark, sf_dir):
+    """Oracled companion to the rows-only `pagerank_copurchase`: the
+    power iteration's numeric output can't hash-match SQL, but its
+    THEOREMS can — total rank mass stays 1 (no dangling nodes in the
+    symmetric co-purchase graph), every rank is >= (1-d)/N > 0, and
+    the node set is exactly the distinct parts in co-purchase edges
+    (which DuckDB recomputes independently).  One boolean row vs the
+    oracle's independently-derived (n_nodes, true, true)."""
+    ranks = q_pagerank_copurchase(spark, sf_dir)
+    return ranks.agg(
+        F.count("*").alias("n_nodes"),
+        (F.abs(F.sum("rank") - F.lit(1.0)) < F.lit(1e-9)).alias(
+            "mass_conserved"
+        ),
+        (F.min("rank") > F.lit(0.0)).alias("all_positive"),
+    )

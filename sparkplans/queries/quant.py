@@ -534,22 +534,61 @@ _shared_sql(
 # ---------------------------------------------------------------------
 
 
-@register("approx_topk_tokens", None)  # sketch estimates are
-# order-dependent lower bounds; guarantees pinned in tests/
+@register(
+    "approx_topk_tokens",
+    """
+    WITH toks AS (
+      SELECT tok
+      FROM documents,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(tok)
+      WHERE tok <> ''
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT tok, TRUE AS present, TRUE AS lower_bound_ok, TRUE AS error_bound_ok
+    FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok) t, tot
+    WHERE t.c > tot.n / 31.0
+    """,
+)
 def q_approx_topk_tokens(spark, sf_dir):
     """Bounded-memory heavy-hitter tokens via the Misra-Gries sketch
     (`operators/sketches.misra_gries_topk`) — the scale path beside
     the exact `queries/heavy_hitters_tokens`: partitions×capacity
     counter rows cross the wire instead of the full (token, count)
-    table, with the classic n/(capacity+1) undercount bound (every
-    token above that threshold is guaranteed present)."""
+    table.
+
+    Driver contract (tolerance encoding, like the HLL/GK twins): the
+    sketch's estimates depend on stream order, so the theorem itself
+    is the result.  For every token whose EXACT count exceeds
+    n/(capacity+1) — a set DuckDB computes independently — the row
+    carries the three Misra-Gries guarantees: ``present`` (every such
+    token must survive the sketch), ``lower_bound_ok`` (estimates
+    never exceed true counts), ``error_bound_ok`` (undercount is at
+    most n/(capacity+1)).  The oracle emits the expected all-true
+    grid, so row count, schema, and value hash are all exercised."""
     from sparkplans.operators.sketches import misra_gries_topk
 
+    capacity = 30
     d = _t_cpu(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    return misra_gries_topk(toks, "tok", capacity=30)
+    sketch = misra_gries_topk(toks, "tok", capacity=capacity)
+
+    exact = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.count()  # scalar
+    bound = n / (capacity + 1)
+    heavy = exact.filter(F.col("c") > F.lit(bound))
+    joined = heavy.join(
+        F.broadcast(sketch.withColumnRenamed("item", "tok")), "tok", "left"
+    )
+    return joined.select(
+        "tok",
+        F.col("est_count").isNotNull().alias("present"),
+        (F.col("est_count") <= F.col("c")).alias("lower_bound_ok"),
+        ((F.col("c") - F.col("est_count")) <= F.lit(bound)).alias(
+            "error_bound_ok"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------

@@ -421,7 +421,11 @@ def q_sq_ann_topk(spark, sf_dir):
     )
 
 
-@register("pq_ann_topk", None)  # approximate by design; recall pinned in tests/
+@register(
+    "pq_ann_topk",
+    "SELECT vec_id AS probe_id, TRUE AS self_hit, TRUE AS n_ok, "
+    "TRUE AS cos_exact_ok FROM embeddings WHERE vec_id < 3",
+)
 def q_pq_ann_topk(spark, sf_dir):
     """Product-quantized ANN (`operators/similarity.pq_build` /
     `pq_topk`): per-subspace k-means codebooks compress each vector to
@@ -431,7 +435,13 @@ def q_pq_ann_topk(spark, sf_dir):
     Inputs are L2-normalized so ADC's L2 ordering matches cosine.
     Codebooks are model state (driver-fit, literal re-entry); at
     100 TB you fit them on a sample and the corpus pass reads only
-    the num_sub-byte codes column."""
+    the num_sub-byte codes column.
+
+    Driver contract (upgraded from rows-only): codebooks are
+    driver-fit model state a SQL oracle cannot reproduce, so the
+    result is the per-probe invariant grid
+    (queries._ann_invariant_wrap) vs the all-true oracle; recall@10
+    gates live in tests/test_operators.py."""
     from sparkplans.operators.similarity import pq_build, pq_topk
 
     emb = _t_cpu(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -456,4 +466,9 @@ def q_pq_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
     )
-    return pq_topk(coded, books, probes, k=10, oversample=4)
+    from sparkplans.queries import _ann_invariant_wrap
+
+    topk = pq_topk(coded, books, probes, k=10, oversample=4).select(
+        "probe_id", "vec_id", F.col("cos_exact").alias("cos_sim")
+    )
+    return _ann_invariant_wrap(spark, sf_dir, topk, k=10)

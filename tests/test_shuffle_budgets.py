@@ -233,6 +233,8 @@ BUDGETS = {
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
     "pagerank_copurchase": 0,
+    # single-row theorem agg over checkpointed ranks
+    "pagerank_invariants": 1,
     # user-day span agg + the per-day sweep window + max-per-day
     # rollup; all post-aggregate (2 rows per user-day)
     "max_concurrency_daily": 3,
@@ -297,7 +299,8 @@ BUDGETS = {
     "daily_value_percentile_bands": 1,
     # sketch summaries merge at call time; the returned frame is the
     # driver-trimmed top list (model-state output, like bpe's table)
-    "approx_topk_tokens": 0,
+    # exact-count agg (1) + distinct-heavy filter; sketch side broadcasts
+    "approx_topk_tokens": 2,
     # daily grid agg + the type-keyed lag window / WAPE rollup
     "seasonal_naive_wape": 2,
     # label census + the one-row totals branch (class-count rows)
