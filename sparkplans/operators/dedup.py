@@ -24,7 +24,7 @@ constants are small affine functions of the permutation index).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from sparkplans.functions.text import doc_fingerprint
 
@@ -513,4 +513,71 @@ def prefix_filter_pairs(
     )
     return ver.select(
         "id_a", "id_b", F.round("j", 6).alias("jaccard")
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+) -> DataFrame:
+    """CCNet-style segment-level deduplication: split each document
+    into consecutive ``window``-word segments, keep only the GLOBAL
+    first occurrence of each distinct segment (ordered by doc id,
+    then position), and reassemble the surviving text.
+
+    CCNet dedups at line/paragraph granularity; for single-line
+    corpora the unit becomes a fixed word window, same algorithm.
+    Returns (id, n_segments, n_kept, clean_text).
+
+    Scale shape: explode is pipelined; first-occurrence selection is
+    ONE shuffle on the segment value (a window rank on the segment
+    key — equivalently groupBy(segment).min(struct(id, seg_no)) +
+    join-back); reassembly is one shuffle on id.  No all-pairs
+    anywhere, skew bounded by the hottest boilerplate segment's
+    occurrence count (cap with a pre-aggregated kill list if a
+    segment exceeds executor memory — not the case for word windows).
+    Docs whose every segment occurred earlier survive with empty
+    ``clean_text`` (the left join below), mirroring CCNet's behavior
+    of emitting empty shells rather than dropping rows."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_seg = F.ceil(F.size(words) / F.lit(window)).cast("int")
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * window + 1, window)),
+    )
+    segs = docs.select(
+        F.col(id_col).alias("__id"), F.posexplode(segs_arr).alias("seg_no", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("__id", "seg_no")
+    firsts = segs.withColumn("rn", F.row_number().over(w))
+    rebuilt = firsts.groupBy("__id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("seg_no", "seg")
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

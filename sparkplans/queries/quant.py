@@ -1238,3 +1238,133 @@ def q_copurchase_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Segment-level dedup (CCNet), stratified split, training-order shuffle
+# ---------------------------------------------------------------------
+
+
+@register(
+    "segment_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(words) AS word,
+             generate_subscripts(words, 1) AS pos
+      FROM w
+    ),
+    segs AS (
+      SELECT doc_id, CAST((pos - 1) // 3 AS INT) AS seg_no,
+             string_agg(word, ' ' ORDER BY pos) AS seg
+      FROM toks GROUP BY doc_id, (pos - 1) // 3
+    ),
+    firsts AS (
+      SELECT doc_id, seg_no, seg,
+             row_number() OVER (
+               PARTITION BY seg ORDER BY doc_id, seg_no
+             ) AS rn
+      FROM segs
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+                                 ' ' ORDER BY seg_no), '') AS clean_text
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.n_segments, 0) AS n_segments,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_segment_dedup(spark, sf_dir):
+    """CCNet-style segment-level dedup over the corpus
+    (`operators/dedup.segment_dedup`, window=3 words): global
+    first-occurrence of every distinct segment survives, documents
+    reassemble from surviving segments.  Full exact oracle — the
+    whole pipeline (segmentation, first-keeper selection, reassembly)
+    is deterministic and hash-checked.  ~19% of segments are cross-doc
+    duplicates at sf0.01, so the query is non-vacuous."""
+    from sparkplans.operators.dedup import segment_dedup
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return segment_dedup(d, window=3)
+
+
+@register(
+    "stratified_split",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+      FROM documents
+    ) t
+    """,
+)
+def q_stratified_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (80/10/10):
+    split membership is a pure function of the stable doc id — the
+    property a training pipeline needs so re-runs, backfills, and
+    incremental appends never migrate a document across splits.  Uses
+    the module-standard cross-engine md5 hash, so the oracle
+    recomputes the identical assignment.  Embarrassingly parallel
+    (zero shuffles: a projection on the scan)."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+@register(
+    "training_order_shuffle",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+             AS shuffle_pos,
+           doc_id
+    FROM (
+      SELECT doc_id, md5('epoch-1:' || doc_id::VARCHAR) AS k
+      FROM documents
+    ) t
+    QUALIFY shuffle_pos <= 100
+    """,
+)
+def q_training_order_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: each document's
+    position is fixed by md5(seed || id), so every epoch's order is
+    reproducible across engines, restarts, and cluster sizes (change
+    the seed string to reshuffle).  First 100 positions returned.
+
+    Scale shape: a TakeOrdered on the hash key here; materializing a
+    full epoch at 100 TB is a range-partitioned sort on ``k`` —
+    Spark's repartitionByRange gives a total order across output
+    files without any single-node bottleneck."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("epoch-1:"), F.col("doc_id").cast("string")))
+    # TakeOrderedAndProject first (distributed per-partition heaps),
+    # THEN rank the bounded 100-row frame — never a global window over
+    # the full corpus.
+    top = d.select("doc_id", k.alias("k")).orderBy("k", "doc_id").limit(100)
+    w = Window.orderBy("k", "doc_id")
+    return (
+        top.withColumn("shuffle_pos", F.row_number().over(w).cast("bigint"))
+        .select("shuffle_pos", "doc_id")
+    )

@@ -1569,3 +1569,43 @@ def test_bmp_roundtrip_and_generic_image_dispatch(spark):
         assert got.channel_means == pytest.approx(
             [float(m) for m in a.mean(axis=(0, 1))]
         )
+
+
+# -- segment-level (CCNet-style) dedup --------------------------------------
+
+
+def test_segment_dedup_planted_duplicates(spark):
+    """A segment planted in three docs survives only in the earliest
+    (doc_id, position); docs reassemble from surviving segments in
+    order; a doc made entirely of earlier segments becomes an empty
+    shell (kept, clean_text='')."""
+    boiler = "copy right all reserved here"  # 5 words; window=5 below
+    rows = [
+        (1, boiler + " alpha beta gamma delta eps"),
+        (2, "uniq two words here now " + boiler),
+        (3, boiler),  # all segments seen earlier -> empty shell
+        (4, "totally fresh text nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.segment_dedup(docs, window=5).collect()}
+    assert len(out) == 4
+    assert out[1].clean_text == boiler + " alpha beta gamma delta eps"
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[2].clean_text == "uniq two words here now"
+    assert out[2].n_segments == 2 and out[2].n_kept == 1
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[3].n_segments == 1
+    assert out[4].clean_text == "totally fresh text nothing shared"
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    """Documents whose word count is not a multiple of the window
+    produce a short final segment, deduped like any other."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "d e")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.segment_dedup(docs, window=3).collect()}
+    # doc 1: segments ["a b c", "d e"]; doc 2: ["d e"] (dup of doc 1's tail)
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[2].n_segments == 1 and out[2].n_kept == 0
+    assert out[2].clean_text == ""

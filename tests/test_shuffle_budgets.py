@@ -233,6 +233,12 @@ BUDGETS = {
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
     "pagerank_copurchase": 0,
+    # explode -> first-keeper window on seg (1) + doc regroup + rejoin
+    "segment_dedup": 4,
+    # pure projection: split is a hash of the scanned id, zero shuffles
+    "stratified_split": 0,
+    # TakeOrdered + bounded 100-row rank: no full-corpus exchange
+    "training_order_shuffle": 0,
     # single-row theorem agg over checkpointed ranks
     "pagerank_invariants": 1,
     # user-day span agg + the per-day sweep window + max-per-day
