@@ -56,6 +56,8 @@ HEADLINE = [
     "rrf_hybrid_retrieval",
     "sq_ann_topk",
     "activity_streaks",
+    "segment_dedup",
+    "stratified_split",
 ]
 
 

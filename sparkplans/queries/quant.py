@@ -1368,3 +1368,57 @@ def q_training_order_shuffle(spark, sf_dir):
         top.withColumn("shuffle_pos", F.row_number().over(w).cast("bigint"))
         .select("shuffle_pos", "doc_id")
     )
+
+
+@register(
+    "token_budget_mixture",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(str_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 100
+    """,
+)
+def q_token_budget_mixture(spark, sf_dir):
+    """Token-budget mixture sampling — the curriculum-mixing step of a
+    training pipeline: every source contributes documents in a
+    deterministic pseudo-random order (md5 of the stable id) until its
+    token budget is filled (greedy fill: the document that crosses the
+    budget is kept, the rest are cut).  Budgets in TOKENS, not
+    documents, which is what an LM data mixture actually specifies.
+
+    Scale shape: one shuffle on source shared by the window; per-source
+    running state is a single counter.  Hash-ordering means re-runs
+    and appends keep earlier selections stable (a new doc can only
+    displace docs hashed after it)."""
+    d = _t_cpu(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.filter(F.col("cum_tokens") - F.col("n_tokens") < 100).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )

@@ -237,6 +237,8 @@ BUDGETS = {
     "segment_dedup": 4,
     # pure projection: split is a hash of the scanned id, zero shuffles
     "stratified_split": 0,
+    # one source-keyed window + fan_out repartition of the small scan
+    "token_budget_mixture": 2,
     # TakeOrdered + bounded 100-row rank: no full-corpus exchange
     "training_order_shuffle": 0,
     # single-row theorem agg over checkpointed ranks
