@@ -10,18 +10,21 @@ involvement, scales with partitions.
 Codec reality map: ALL THREE modalities have fully real branches with
 no external library —
   images: PPM (pure numpy), PNG (stdlib zlib + numpy unfiltering),
-          BMP (struct + numpy), plus a magic-sniffing
+          BMP (struct + numpy), baseline JPEG (full T.81
+          encoder/decoder in operators/jpeg: DCT, quantization,
+          canonical Huffman, JFIF color), plus a magic-sniffing
           ``decode_image`` dispatcher → decode / featurize / resize;
   audio:  WAV PCM16 (struct + numpy) → decode / linear-interp
           resample / RMS-ZCR-spectral-centroid features;
   video:  Y4M / YUV4MPEG2 (ffmpeg's uncompressed interchange format,
           pure numpy) → decode / timestamp frame sampling /
           scene-cut detection.
-Only formats that genuinely require external codec libraries (JPEG
-via PIL, MP3/OGG, H.264/MP4) remain stubbed behind ``_HAVE_CODECS``:
-real Spark plumbing (schemas, batching, partition flow) with a
-deterministic fake decode, and a ``NotImplementedError`` on the true
-path.  Swap ``_fake_decode_*`` for real codec calls in production.
+Only compressed-audio/video formats that genuinely require external
+codec libraries (MP3/OGG, H.264/MP4) remain stubbed behind
+``_HAVE_CODECS``: real Spark plumbing (schemas, batching, partition
+flow) with a deterministic fake decode, and a ``NotImplementedError``
+on the true path.  Swap ``_fake_decode_*`` for real codec calls in
+production.
 """
 
 from __future__ import annotations
@@ -863,8 +866,9 @@ def decode_bmp(payload: bytes):
 
 def decode_image(payload: bytes):
     """Sniff the payload magic and decode with the matching REAL codec
-    (PNG / PPM / BMP).  Unknown formats raise — the honest boundary of
-    a container with no external codec libraries."""
+    (PNG / PPM / BMP / baseline JPEG — see operators/jpeg).  Unknown
+    formats raise — the honest boundary of a container with no
+    external codec libraries."""
     if payload is None:
         raise ValueError("null image payload")
     b = bytes(payload)
@@ -874,7 +878,13 @@ def decode_image(payload: bytes):
         return decode_ppm(b)
     if b.startswith(b"BM"):
         return decode_bmp(b)
-    raise ValueError("unsupported image format (PNG/PPM/BMP decodable here)")
+    if b.startswith(b"\xff\xd8"):
+        from sparkplans.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
+    raise ValueError(
+        "unsupported image format (PNG/PPM/BMP/JPEG decodable here)"
+    )
 
 
 def extract_image_features_real(media: DataFrame) -> DataFrame:

@@ -1609,3 +1609,108 @@ def test_segment_dedup_partial_tail_segment(spark):
     assert out[1].n_segments == 2 and out[1].n_kept == 2
     assert out[2].n_segments == 1 and out[2].n_kept == 0
     assert out[2].clean_text == ""
+
+
+# -- baseline JPEG codec (operators/jpeg) -----------------------------------
+
+
+def test_jpeg_dct_and_zigzag_against_spec():
+    """Structural spec checks that do NOT depend on our own encoder:
+    the generated zigzag matches the published scan order, a flat
+    block transforms to a lone DC coefficient of 8x the level, and the
+    DCT matrix is orthonormal."""
+    import numpy as np
+
+    from sparkplans.operators import jpeg
+
+    assert jpeg.zigzag_order()[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert jpeg.zigzag_order()[-3:] == [(6, 7), (7, 6), (7, 7)]
+    co = jpeg.fdct2(np.full((8, 8), 37.0))
+    assert abs(co[0, 0] - 8 * 37) < 1e-9
+    assert np.abs(co).sum() - abs(co[0, 0]) < 1e-9
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(8, 8))
+    assert np.allclose(jpeg.idct2(jpeg.fdct2(x)), x)
+
+
+def test_jpeg_roundtrip_quality():
+    """Flat colors reconstruct within quantization error; smooth
+    gradients round-trip above 30 dB PSNR at q=90; odd dimensions
+    (edge-replication padding) crop back exactly."""
+    import numpy as np
+
+    from sparkplans.operators import jpeg
+
+    flat = np.full((16, 24, 3), 113, dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=85))
+    assert dec.shape == flat.shape
+    assert np.abs(dec.astype(int) - 113).max() <= 2
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) * 3 % 200],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 30
+
+    crop = img[:37, :51]
+    dec2 = jpeg.decode_jpeg(jpeg.encode_jpeg(crop, quality=75))
+    assert dec2.shape == crop.shape
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkplans.operators import jpeg
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        jpeg.decode_jpeg(b"hello")
+    # progressive SOF2 must raise, not mis-decode
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    enc = bytearray(jpeg.encode_jpeg(img))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_generic_image_dispatch_includes_jpeg(spark):
+    """decode_image sniffs JPEG payloads; Spark-side channel means of
+    a mixed PNG+JPEG media table match numpy within lossy-codec
+    tolerance (exact for PNG, ~2/255 for JPEG)."""
+    import numpy as np
+
+    from sparkplans.operators import jpeg
+
+    rng = np.random.default_rng(9)
+    arrays, rows = {}, []
+    for i in range(6):
+        h, w = 16 + (i % 2) * 8, 24
+        yy, xx = np.mgrid[0:h, 0:w]
+        a = np.stack(
+            [xx * 255 // (w - 1), yy * 255 // (h - 1),
+             np.full((h, w), 30 * i % 255)], axis=-1,
+        ).astype(np.uint8)
+        if i % 2 == 0:
+            payload, mime = multimodal.encode_png(a), "image/png"
+        else:
+            payload, mime = jpeg.encode_jpeg(a, quality=92), "image/jpeg"
+        arrays[i] = a
+        rows.append((i, "image", mime, payload, w, h, None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r
+             for r in multimodal.extract_image_features_real(media).collect()}
+    assert len(feats) == 6
+    for i, a in arrays.items():
+        got = feats[i]
+        assert (got.width, got.height) == (a.shape[1], a.shape[0])
+        want = a.mean(axis=(0, 1))
+        tol = 1e-6 if i % 2 == 0 else 2.0
+        assert np.abs(np.array(got.channel_means) - want).max() <= tol
