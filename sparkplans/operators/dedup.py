@@ -581,3 +581,45 @@ def segment_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup — the production shape at 100 TB: you
+    never re-dedup the whole corpus, you dedup the NEW batch against a
+    persisted fingerprint index.
+
+    ``seen`` is the index table with a single ``fingerprint`` column
+    (or None for the first batch).  Returns ``(clean, new_seen)``:
+    ``clean`` keeps each new document that is (a) the first occurrence
+    of its fingerprint within the batch (lowest id wins, same rule as
+    :func:`exact_dedup`) and (b) not already in ``seen``;
+    ``new_seen`` is the updated index to persist for the next batch.
+
+    Scale shape: one shuffle of the batch on the fingerprint for the
+    within-batch groupBy; the anti join against ``seen`` shuffles on
+    the same key — and becomes SHUFFLE-FREE when the index is stored
+    bucketed by fingerprint (`Catalog.write_bucketed`, pinned in
+    tests/test_bucketing.py) with the batch side pre-partitioned by
+    the same key.  The index table is fingerprints only (16 bytes a
+    row), ~1/1000th of corpus bytes."""
+    fp = new_docs.withColumn("fingerprint", doc_fingerprint(text_col))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    batch_first = fp.join(keep, ["fingerprint", id_col])
+    if seen is not None:
+        clean = batch_first.join(
+            seen.select("fingerprint"), "fingerprint", "left_anti"
+        )
+        new_seen = (
+            seen.select("fingerprint")
+            .unionByName(batch_first.select("fingerprint"))
+            .distinct()
+        )
+    else:
+        clean = batch_first
+        new_seen = batch_first.select("fingerprint").distinct()
+    return clean, new_seen

@@ -1422,3 +1422,46 @@ def q_token_budget_mixture(spark, sf_dir):
     return c.filter(F.col("cum_tokens") - F.col("n_tokens") < 100).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     )
+
+
+@register(
+    "incremental_dedup_batch",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ),
+    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1),
+    firsts AS (
+      SELECT fingerprint, min(doc_id) AS doc_id
+      FROM batch GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.fingerprint
+    FROM firsts f LEFT JOIN seen s USING (fingerprint)
+    WHERE s.fingerprint IS NULL
+    """,
+)
+def q_incremental_dedup_batch(spark, sf_dir):
+    """Incremental exact dedup (`operators/dedup.incremental_exact_
+    dedup`) — the production shape: dedup a NEW batch (odd doc ids)
+    against the persisted fingerprint index of the existing corpus
+    (even doc ids), never re-deduping the whole corpus.  Exact oracle
+    reproduces fingerprint, within-batch first-keeper, and the
+    index anti join.  Planted-duplicate coverage (within-batch and
+    cross-batch) lives in tests/test_operators.py; the bucketed
+    shuffle-free index join is pinned in tests/test_bucketing.py."""
+    from sparkplans.operators.dedup import incremental_exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    seen_docs = d.filter(F.col("doc_id") % 2 == 0)
+    from sparkplans.functions.text import doc_fingerprint
+
+    seen = seen_docs.select(
+        doc_fingerprint("text").alias("fingerprint")
+    ).distinct()
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    clean, _new_seen = incremental_exact_dedup(batch, seen)
+    return clean.select("doc_id", "fingerprint")

@@ -122,3 +122,41 @@ def test_multi_fact_join_shuffle_hash_plan(spark):
     phys = plans.physical_plan_str(df)
     assert "ShuffledHashJoin" in phys, phys
     assert "BroadcastHashJoin" in phys, phys
+
+
+def test_incremental_dedup_bucketed_index_no_shuffle(spark):
+    """The incremental-dedup scale claim, pinned: with the fingerprint
+    index AND the batch's first-keeper table both stored bucketed by
+    fingerprint, the cross-batch anti join plans with ZERO exchanges —
+    at 100 TB the nightly dedup touches no corpus-wide shuffle."""
+    from sparkplans.engine import Engine
+    from sparkplans.functions.text import doc_fingerprint
+
+    e = Engine(spark=spark)
+    docs = load_table(spark, SF_DIR, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(doc_fingerprint("text").alias("fingerprint"))
+        .distinct()
+    )
+    batch_first = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    try:
+        e.catalog.write_bucketed(seen, "seen_fp_b", 8, "fingerprint")
+        e.catalog.write_bucketed(
+            batch_first, "batch_fp_b", 8, "fingerprint"
+        )
+        s = spark.table("seen_fp_b")
+        b = spark.table("batch_fp_b")
+        clean = b.join(s, "fingerprint", "left_anti")
+        assert plans.num_exchanges(clean) == 0, plans.physical_plan_str(clean)
+        # correctness matches the unbucketed anti join
+        want = batch_first.join(seen, "fingerprint", "left_anti").count()
+        assert clean.count() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_fp_b")
+        spark.sql("DROP TABLE IF EXISTS batch_fp_b")

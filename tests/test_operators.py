@@ -1714,3 +1714,36 @@ def test_generic_image_dispatch_includes_jpeg(spark):
         want = a.mean(axis=(0, 1))
         tol = 1e-6 if i % 2 == 0 else 2.0
         assert np.abs(np.array(got.channel_means) - want).max() <= tol
+
+
+# -- incremental exact dedup ------------------------------------------------
+
+
+def test_incremental_exact_dedup_cross_and_within_batch(spark):
+    """Batch 1 seeds the index; batch 2 drops cross-batch dups (vs the
+    index), keeps only the lowest-id copy of within-batch dups, and
+    the returned index accumulates every fingerprint seen so far."""
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    clean1, seen1 = dedup.incremental_exact_dedup(b1, None)
+    assert sorted(r.doc_id for r in clean1.collect()) == [1, 2]
+    assert seen1.count() == 2
+
+    seen1 = seen1.localCheckpoint()  # persisted-index stand-in
+    b2 = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),      # cross-batch dup (normalized)
+            (11, "epsilon zeta"),      # fresh
+            (12, "epsilon  ZETA"),     # within-batch dup of 11
+            (13, "eta theta"),         # fresh
+        ],
+        "doc_id long, text string",
+    )
+    clean2, seen2 = dedup.incremental_exact_dedup(b2, seen1)
+    assert sorted(r.doc_id for r in clean2.collect()) == [11, 13]
+    # index now holds all 4 distinct fingerprints
+    assert seen2.count() == 4
+    # re-running batch 2 against the updated index yields nothing new
+    clean3, _ = dedup.incremental_exact_dedup(b2, seen2.localCheckpoint())
+    assert clean3.count() == 0

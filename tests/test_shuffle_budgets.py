@@ -239,6 +239,9 @@ BUDGETS = {
     "stratified_split": 0,
     # one source-keyed window + fan_out repartition of the small scan
     "token_budget_mixture": 2,
+    # batch first-keeper groupBy + index anti join (0 when bucketed —
+    # pinned in test_bucketing.py)
+    "incremental_dedup_batch": 2,
     # TakeOrdered + bounded 100-row rank: no full-corpus exchange
     "training_order_shuffle": 0,
     # single-row theorem agg over checkpointed ranks
