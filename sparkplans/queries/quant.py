@@ -1465,3 +1465,74 @@ def q_incremental_dedup_batch(spark, sf_dir):
     batch = d.filter(F.col("doc_id") % 2 == 1)
     clean, _new_seen = incremental_exact_dedup(batch, seen)
     return clean.select("doc_id", "fingerprint")
+
+
+@register(
+    "multimodal_ppm_features",
+    """
+    WITH px AS (
+      SELECT d.doc_id, t.i, (d.doc_id * 7 + t.i * 13) % 256 AS v
+      FROM documents d CROSS JOIN generate_series(0, 191) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           round(avg(CASE WHEN i % 3 = 0 THEN v END), 6) AS mean_r,
+           round(avg(CASE WHEN i % 3 = 1 THEN v END), 6) AS mean_g,
+           round(avg(CASE WHEN i % 3 = 2 THEN v END), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_ppm_features(spark, sf_dir):
+    """Driver-checked MULTIMODAL round trip: for every document an
+    8x8 RGB image is synthesized from the pure formula
+    ``pixel[i] = (doc_id*7 + i*13) % 256``, ENCODED as a real binary
+    PPM payload, DECODED back through the production codec path
+    (`operators/multimodal.decode_ppm_features`, Arrow-batched
+    mapInPandas), and reduced to per-channel pixel means.  The DuckDB
+    oracle predicts those means independently from the formula — so a
+    bug anywhere in encode, decode, batching, or feature math breaks
+    the hash.  Means of 64 bytes are exact in binary (sum < 2^53,
+    /64), so cross-engine equality is bit-exact.
+
+    Scale shape: two chained mapInPandas stages over the scan, zero
+    shuffles until the (tiny) per-image aggregate — media pipelines
+    are per-partition CPU, exactly how they run at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkplans.operators import multimodal as mm
+
+    d = _t_cpu(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads = [
+                mm.encode_ppm(
+                    ((int(did) * 7 + np.arange(192) * 13) % 256)
+                    .astype("uint8")
+                    .reshape(8, 8, 3)
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "mime": "image/x-portable-pixmap",
+                    "payload": payloads,
+                    "width": 8,
+                    "height": 8,
+                    "duration_ms": None,
+                }
+            )
+
+    media = d.mapInPandas(make, mm.MEDIA_SCHEMA)
+    feats = mm.decode_ppm_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        F.round(F.element_at("channel_means", 1), 6).alias("mean_r"),
+        F.round(F.element_at("channel_means", 2), 6).alias("mean_g"),
+        F.round(F.element_at("channel_means", 3), 6).alias("mean_b"),
+    )

@@ -242,6 +242,8 @@ BUDGETS = {
     # batch first-keeper groupBy + index anti join (0 when bucketed —
     # pinned in test_bucketing.py)
     "incremental_dedup_batch": 2,
+    # fan_out repartition only; media decode is per-partition CPU
+    "multimodal_ppm_features": 1,
     # TakeOrdered + bounded 100-row rank: no full-corpus exchange
     "training_order_shuffle": 0,
     # single-row theorem agg over checkpointed ranks
