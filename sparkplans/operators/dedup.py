@@ -165,25 +165,7 @@ def lsh_candidate_pairs_wide(
     (same sorted 'perm:minhash' encoding), so candidates are identical
     too; only the plan is cheaper (one shuffle saved per corpus
     pass)."""
-    rows_per_band = num_perm // bands
-    structs = []
-    for b in range(bands):
-        perms = range(b * rows_per_band, (b + 1) * rows_per_band)
-        entries = F.array(
-            *[
-                F.concat_ws(":", F.lit(str(p)), F.col(f"mh_{p}").cast("string"))
-                for p in perms
-            ]
-        )
-        structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", F.sort_array(entries))).alias("band_hash"),
-            )
-        )
-    band_sig = wide.select(
-        id_col, F.explode(F.array(*structs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    band_sig = _band_hashes_wide(wide, id_col, num_perm, bands)
     return _pairs_from_band_sig(band_sig, id_col, max_bucket)
 
 
@@ -623,3 +605,93 @@ def incremental_exact_dedup(
         clean = batch_first
         new_seen = batch_first.select("fingerprint").distinct()
     return clean, new_seen
+
+
+def _band_hashes_wide(
+    wide: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band, band_hash) from a wide signature — banding as a pure
+    projection (shared by lsh_candidate_pairs_wide and the incremental
+    index path; hashes bit-identical to the narrow formulation)."""
+    rows_per_band = num_perm // bands
+    structs = []
+    for b in range(bands):
+        perms = range(b * rows_per_band, (b + 1) * rows_per_band)
+        entries = F.array(
+            *[
+                F.concat_ws(":", F.lit(str(p)), F.col(f"mh_{p}").cast("string"))
+                for p in perms
+            ]
+        )
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", F.sort_array(entries))).alias("band_hash"),
+            )
+        )
+    return wide.select(id_col, F.explode(F.array(*structs)).alias("bb")).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    index_wide: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup dedup — the MinHash analog of
+    :func:`incremental_exact_dedup`: a new batch is deduped against a
+    persisted SIGNATURE index of the kept corpus, so the corpus text
+    is never re-read.
+
+    ``index_wide`` is the persisted ``minhash_wide`` output (id +
+    ``mh_0..mh_{num_perm-1}``) of previously kept documents, or None
+    for the first batch.  A new document dies when it shares any LSH
+    band bucket with an indexed document AND the signature-estimated
+    Jaccard (fraction of agreeing minhashes — the standard index-side
+    verify, since the index stores signatures, not text) reaches
+    ``threshold``.  Returns ``(clean, new_index)`` where ``clean``
+    keeps surviving new docs and ``new_index`` appends their
+    signatures.  The batch is assumed internally deduped first
+    (``deduplicate``).
+
+    Scale shape: the index is num_perm ints per document (~100 bytes a
+    row vs KBs of text); candidate generation joins band hashes (never
+    all-pairs), and storing the index bucketed by (band, band_hash)
+    makes the candidate join shuffle-free, like the exact-dedup twin.
+    """
+    batch_wide = minhash_wide(new_docs, text_col, id_col, num_perm, shingle_n)
+    if index_wide is None:
+        return new_docs, batch_wide
+    bb = _band_hashes_wide(batch_wide, id_col, num_perm, bands).withColumnRenamed(
+        id_col, "__new_id"
+    )
+    ib = _band_hashes_wide(index_wide, id_col, num_perm, bands).withColumnRenamed(
+        id_col, "__old_id"
+    )
+    cand = bb.join(ib, ["band", "band_hash"]).select("__new_id", "__old_id").distinct()
+    agree = sum(
+        F.when(F.col(f"n.mh_{i}") == F.col(f"o.mh_{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    verified = (
+        cand.join(
+            batch_wide.withColumnRenamed(id_col, "__new_id").alias("n"), "__new_id"
+        )
+        .join(index_wide.withColumnRenamed(id_col, "__old_id").alias("o"), "__old_id")
+        .withColumn("est_j", agree / F.lit(float(num_perm)))
+        .filter(F.col("est_j") >= threshold)
+    )
+    kill = verified.select(F.col("__new_id").alias(id_col)).distinct()
+    clean = new_docs.join(kill, id_col, "left_anti")
+    new_index = index_wide.unionByName(
+        batch_wide.join(kill, id_col, "left_anti")
+    )
+    return clean, new_index

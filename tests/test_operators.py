@@ -1747,3 +1747,40 @@ def test_incremental_exact_dedup_cross_and_within_batch(spark):
     # re-running batch 2 against the updated index yields nothing new
     clean3, _ = dedup.incremental_exact_dedup(b2, seen2.localCheckpoint())
     assert clean3.count() == 0
+
+
+def test_incremental_near_dedup_against_signature_index(spark):
+    """Batch 1 seeds the signature index; in batch 2 a planted
+    near-clone of an indexed doc (one word changed out of 12) dies, a
+    fresh doc survives, and the index grows by exactly the survivors'
+    signatures.  The corpus text is never consulted after batch 1 —
+    only its minhash signatures."""
+    base = (
+        "the quick brown fox jumps over a lazy dog near the big "
+        "river bank today while birds sing loud songs"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words in this document here")],
+        "doc_id long, text string",
+    )
+    clean1, idx1 = dedup.incremental_near_dedup(b1, None)
+    assert clean1.count() == 2 and idx1.count() == 2
+
+    idx1 = idx1.localCheckpoint()
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("loud", "soft")),     # near-clone of doc 1
+            (11, "fresh unrelated content that matches nothing at all"),
+        ],
+        "doc_id long, text string",
+    )
+    clean2, idx2 = dedup.incremental_near_dedup(b2, idx1, threshold=0.5)
+    assert sorted(r.doc_id for r in clean2.collect()) == [11]
+    assert sorted(r.doc_id for r in idx2.select("doc_id").collect()) == [1, 2, 11]
+    # survivor's signature now guards future batches
+    b3 = spark.createDataFrame(
+        [(20, "fresh unrelated content that matches nothing at all")],
+        "doc_id long, text string",
+    )
+    clean3, _ = dedup.incremental_near_dedup(b3, idx2.localCheckpoint(), threshold=0.5)
+    assert clean3.count() == 0
