@@ -1085,3 +1085,177 @@ def synthetic_y4m_media(spark, n: int = 8) -> DataFrame:
             (i, "video", "video/x-yuv4mpeg", encode_y4m(frames, fps, 1), w, h, dur_ms)
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Image perceptual hashing (dHash) + image near-dup detection
+# ---------------------------------------------------------------------
+# The image analog of MinHash dedup: a 64-bit difference hash is
+# robust to re-encoding, mild noise, and resizing, so near-identical
+# images collide.  Candidate pairs come from banding the 64 bits into
+# 16-bit bands (exact-match join per band — never all-pairs, the
+# SimHash recipe), then verify by full Hamming distance JVM-side
+# (bit_count(a XOR b)).
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def dhash_array(arr) -> int:
+    """64-bit difference hash of an (h, w, c|1) image array:
+    grayscale -> 8x9 area downsample -> horizontal gradient signs."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    # area downsample to 8 rows x 9 cols (mean over cells)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(10) * w) // 9
+    g = np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            cell = a[ys[r] : max(ys[r + 1], ys[r] + 1),
+                     xs[c] : max(xs[c + 1], xs[c] + 1)]
+            g[r, c] = cell.mean()
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # signed 64-bit
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash) for every image payload, decoded with the
+    real sniffing codec path — same Arrow-batched mapInPandas flow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pdf["payload"]
+                    .map(lambda b: dhash_array(decode_image(b)))
+                    .astype("int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, DHASH_SCHEMA
+    )
+
+
+def image_near_dups(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-dup pairs: dHash -> four 16-bit band keys -> band
+    equi-join for candidates (near-identical hashes agree on at least
+    one band whenever <= 3 of the 64 bits differ per band region) ->
+    exact Hamming verify via bit_count(a XOR b), all JVM-side.
+
+    Scale shape: hashes are 8 bytes/image; the candidate join
+    shuffles band keys only — the corpus of image bytes is touched
+    once, by the hashing pass."""
+    h = image_dhash(media)
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("dhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "dhash", "bk.band", "bk.key")
+    a = bands.select(
+        "band", "key", F.col("media_id").alias("id_a"), F.col("dhash").alias("ha")
+    )
+    b = bands.select(
+        "band", "key", F.col("media_id").alias("id_b"), F.col("dhash").alias("hb")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------
+# Voice-activity detection (speech-data curation)
+# ---------------------------------------------------------------------
+
+VAD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("seg_start_ms", LongType()),
+        StructField("seg_end_ms", LongType()),
+        StructField("mean_rms", DoubleType()),
+    ]
+)
+
+
+def detect_voice_activity(
+    media: DataFrame, frame_ms: int = 20, threshold_ratio: float = 0.5
+) -> DataFrame:
+    """Energy-based VAD over real decoded WAV payloads: frames of
+    ``frame_ms`` whose RMS exceeds ``threshold_ratio`` x the clip's
+    overall RMS are active; consecutive active frames merge into
+    (start_ms, end_ms) segments — the first curation step of a speech
+    training pipeline (trim silence, measure speech density).  Pure
+    numpy per clip, same Arrow-batched mapInPandas flow."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                a, rate = decode_wav(bytes(r["payload"]))
+                mono = a.mean(axis=1)
+                spf = max(int(rate * frame_ms / 1000), 1)
+                n_frames = len(mono) // spf
+                if n_frames == 0:
+                    continue
+                frames = mono[: n_frames * spf].reshape(n_frames, spf)
+                rms = np.sqrt((frames.astype(np.float64) ** 2).mean(axis=1))
+                overall = float(np.sqrt((mono.astype(np.float64) ** 2).mean()))
+                active = rms > threshold_ratio * overall
+                start = None
+                for i in range(n_frames + 1):
+                    on = i < n_frames and active[i]
+                    if on and start is None:
+                        start = i
+                    elif not on and start is not None:
+                        seg = rms[start:i]
+                        rows.append(
+                            (
+                                r["media_id"],
+                                int(start * frame_ms),
+                                int(i * frame_ms),
+                                float(seg.mean()),
+                            )
+                        )
+                        start = None
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "seg_start_ms", "seg_end_ms", "mean_rms"],
+            )
+
+    return media.filter(F.col("mime") == "audio/wav").mapInPandas(
+        batches, VAD_SCHEMA
+    )

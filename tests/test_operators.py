@@ -1784,3 +1784,64 @@ def test_incremental_near_dedup_against_signature_index(spark):
     )
     clean3, _ = dedup.incremental_near_dedup(b3, idx2.localCheckpoint(), threshold=0.5)
     assert clean3.count() == 0
+
+
+def test_image_near_dups_cross_format(spark):
+    """The image-dedup showcase: the same picture stored as PNG and as
+    JPEG (lossy!) is found as a near-dup pair by dHash banding +
+    Hamming verify; unrelated images don't pair."""
+    import numpy as np
+
+    from sparkplans.operators import jpeg
+
+    rng = np.random.default_rng(21)
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    # smooth structured image (noise-free so JPEG stays close)
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx * yy) % 151],
+        axis=-1,
+    ).astype("uint8")
+    other = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", "image/png", multimodal.encode_png(img), w, h, None),
+        (2, "image", "image/jpeg", jpeg.encode_jpeg(img, quality=90), w, h, None),
+        (3, "image", "image/png", multimodal.encode_png(other), w, h, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = multimodal.image_near_dups(media, max_hamming=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].hamming <= 6
+
+    hashes = {r.media_id: r.dhash for r in multimodal.image_dhash(media).collect()}
+    assert bin((hashes[1] ^ hashes[2]) & (2**64 - 1)).count("1") <= 6
+    assert bin((hashes[1] ^ hashes[3]) & (2**64 - 1)).count("1") > 10
+
+
+def test_voice_activity_detection_planted_segments(spark):
+    """Clips alternate 200 ms of tone with 200 ms of silence; VAD
+    recovers exactly the tone intervals (20 ms frame resolution)."""
+    import numpy as np
+
+    rate = 16000
+    seg = rate // 5  # 200 ms
+    rows = []
+    for mid in range(3):
+        t = np.arange(seg) / rate
+        tone = np.round(20000 * np.sin(2 * np.pi * 440 * t)).astype("<i2")
+        silence = np.zeros(seg, dtype="<i2")
+        # tone, silence, tone, silence
+        pcm = np.concatenate([tone, silence, tone, silence])
+        rows.append(
+            (mid, "audio", "audio/wav", multimodal.encode_wav(pcm, rate),
+             None, None, 800)
+        )
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    segs = multimodal.detect_voice_activity(media, frame_ms=20).collect()
+    by_id = {}
+    for s in segs:
+        by_id.setdefault(s.media_id, []).append((s.seg_start_ms, s.seg_end_ms))
+    assert set(by_id) == {0, 1, 2}
+    for mid, got in by_id.items():
+        assert sorted(got) == [(0, 200), (400, 600)]
+    assert all(s.mean_rms > 0 for s in segs)
