@@ -1536,3 +1536,123 @@ def q_multimodal_ppm_features(spark, sf_dir):
         F.round(F.element_at("channel_means", 2), 6).alias("mean_g"),
         F.round(F.element_at("channel_means", 3), 6).alias("mean_b"),
     )
+
+
+@register(
+    "multimodal_wav_features",
+    """
+    WITH s AS (
+      SELECT d.doc_id, ((d.doc_id * 31 + t.i * 17) % 2001) - 1000 AS v
+      FROM documents d CROSS JOIN generate_series(0, 159) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(160 AS BIGINT) AS n_samples,
+           CAST(1 AS INT) AS n_channels,
+           round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_multimodal_wav_features(spark, sf_dir):
+    """Driver-checked AUDIO round trip (the PPM query's WAV twin):
+    each document becomes a real 160-sample PCM16 WAV built from
+    ``sample[i] = ((doc_id*31 + i*17) % 2001) - 1000``, decoded back
+    through the production codec (`decode_wav_features`), and its RMS
+    compared against the oracle's closed-form prediction.  Squares of
+    |v| <= 1000 sum exactly in doubles, so both engines compute the
+    identical RMS bit-for-bit before the 6dp round."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkplans.operators import multimodal as mm
+
+    d = _t_cpu(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads = [
+                mm.encode_wav(
+                    (((int(did) * 31 + np.arange(160) * 17) % 2001) - 1000)
+                    .astype("<i2"),
+                    8000,
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": 20,
+                }
+            )
+
+    media = d.mapInPandas(make, mm.MEDIA_SCHEMA)
+    feats = mm.decode_wav_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "n_channels",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    """
+    WITH clips AS (SELECT doc_id, 4 + doc_id % 3 AS n_frames FROM documents)
+    SELECT c.doc_id,
+           CAST(t.f AS INT) AS frame_idx,
+           CAST(t.f * 100 AS BIGINT) AS t_ms,
+           round(CAST((c.doc_id * 5 + t.f * 11) % 256 AS DOUBLE), 6)
+             AS luma_mean
+    FROM clips c CROSS JOIN generate_series(0, 6) AS t(f)
+    WHERE t.f < c.n_frames
+    """,
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    """Driver-checked VIDEO round trip: each document becomes a real
+    Y4M clip of ``4 + doc_id % 3`` constant-luma frames
+    (``luma_f = (doc_id*5 + f*11) % 256``) at 10 fps, then
+    `sample_y4m_frames(every_ms=100)` — one sample per frame, exact
+    integer timestamps — must recover every frame's index, timestamp,
+    and luma mean, each predicted in closed form by the oracle.
+    Decode, frame walk, and luma statistics all sit on the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkplans.operators import multimodal as mm
+
+    d = _t_cpu(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 4 + did % 3
+                frames = np.zeros((n, 8, 8, 3), dtype="uint8")
+                for f in range(n):
+                    frames[f, :, :, 0] = (did * 5 + f * 11) % 256
+                    frames[f, :, :, 1] = 128
+                    frames[f, :, :, 2] = 128
+                rows.append(
+                    (did, "video", "video/x-yuv4mpeg",
+                     mm.encode_y4m(frames, 10, 1), 8, 8, n * 100)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in mm.MEDIA_SCHEMA.fields]
+            )
+
+    media = d.mapInPandas(make, mm.MEDIA_SCHEMA)
+    frames = mm.sample_y4m_frames(media, every_ms=100)
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        "t_ms",
+        F.round("luma_mean", 6).alias("luma_mean"),
+    )

@@ -143,7 +143,11 @@ def test_no_python_in_any_query_hot_path(spark):
     # IS the idiomatic Spark plan (pyspark_guide: Pandas UDFs for
     # unavoidable Python).  Anything else showing a Python stage is a
     # regression.
-    python_by_design = {"multimodal_ppm_features"}
+    python_by_design = {
+        "multimodal_ppm_features",
+        "multimodal_wav_features",
+        "multimodal_video_frames",
+    }
     offenders = []
     for name, spec in sorted(Q.REGISTRY.items()):
         if name in python_by_design:
