@@ -1656,3 +1656,86 @@ def q_multimodal_video_frames(spark, sf_dir):
         "t_ms",
         F.round("luma_mean", 6).alias("luma_mean"),
     )
+
+
+@register(
+    "curation_pipeline_v2",
+    """
+    WITH w AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(words) AS word,
+             generate_subscripts(words, 1) AS pos
+      FROM w
+    ),
+    segs AS (
+      SELECT doc_id, CAST((pos - 1) // 3 AS INT) AS seg_no,
+             string_agg(word, ' ' ORDER BY pos) AS seg
+      FROM toks GROUP BY doc_id, (pos - 1) // 3
+    ),
+    firsts AS (
+      SELECT doc_id, seg_no, seg,
+             row_number() OVER (
+               PARTITION BY seg ORDER BY doc_id, seg_no
+             ) AS rn
+      FROM segs
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+                                 ' ' ORDER BY seg_no), '') AS clean_text
+      FROM firsts GROUP BY doc_id
+    ),
+    split AS (
+      SELECT r.doc_id, d.lang, r.clean_text,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM rebuilt r
+      JOIN documents d USING (doc_id)
+      CROSS JOIN LATERAL (SELECT ('0x' || substr(md5(r.doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b) h
+      WHERE r.n_kept >= 1
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(str_split_regex(trim(clean_text), '\\s+')))
+                AS BIGINT) AS total_tokens
+    FROM split GROUP BY lang, split
+    """,
+)
+def q_curation_pipeline_v2(spark, sf_dir):
+    """The full modern curation chain in one hash-checked composite:
+    CCNet segment-level dedup (global first-keeper, docs reassembled
+    from surviving 3-word segments) -> empty-shell drop -> stable
+    hash-based train/val/test split -> per-(lang, split) doc and
+    token totals.  Three key-only shuffles (segment value, doc id,
+    lang+split); every stage JVM-side; the DuckDB oracle re-derives
+    the identical pipeline end-to-end.
+
+    At 100 TB each stage keeps its standalone scale shape
+    (`segment_dedup`, `stratified_split` rows in SCALE.md); composing
+    them adds no new shuffle beyond the final rollup."""
+    from sparkplans.operators.dedup import segment_dedup
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    cleaned = segment_dedup(d, window=3).filter(F.col("n_kept") >= 1)
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") % 100
+    with_split = (
+        cleaned.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "split",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+        )
+    )
+    return with_split.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("clean_text")), r"\s+")))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )

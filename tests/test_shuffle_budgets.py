@@ -244,6 +244,8 @@ BUDGETS = {
     "incremental_dedup_batch": 2,
     # fan_out repartition only; media decode is per-partition CPU
     "multimodal_ppm_features": 1,
+    # segment-dedup core (4) + lang join + (lang,split) rollup
+    "curation_pipeline_v2": 6,
     "multimodal_wav_features": 1,
     "multimodal_video_frames": 1,
     # TakeOrdered + bounded 100-row rank: no full-corpus exchange
