@@ -58,6 +58,8 @@ HEADLINE = [
     "activity_streaks",
     "segment_dedup",
     "stratified_split",
+    "curation_pipeline_v2",
+    "incremental_dedup_batch",
 ]
 
 
