@@ -584,3 +584,58 @@ def quality_gate(
     )
     q.awaitTermination(120)
     return q
+
+
+# ---------------------------------------------------------------------
+# Streaming corpus ingestion with incremental dedup (exactly-once)
+# ---------------------------------------------------------------------
+
+
+def dedup_ingest_sink(
+    stream_docs: DataFrame,
+    corpus_root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuously ingest a document stream into a versioned corpus
+    table with INCREMENTAL exact dedup: each micro-batch is deduped
+    (a) within itself, (b) against a persisted fingerprint index —
+    never against the re-read corpus — and both the clean rows and
+    the updated index commit under the SAME micro-batch id, so a
+    replayed batch after restart is a no-op on both tables
+    (exactly-once end to end).
+
+    Layout: ``corpus_root/corpus`` holds the documents (+fingerprint
+    column), ``corpus_root/fp_index`` holds one 32-hex-char
+    fingerprint per kept doc (~1/1000th of corpus bytes — the only
+    thing the dedup ever reads back).  This is the production shape
+    of `operators/dedup.incremental_exact_dedup` wired into
+    structured streaming via foreachBatch.
+    """
+    from sparkplans.operators.dedup import incremental_exact_dedup
+    from sparkplans.table import VersionedTable
+
+    spark = stream_docs.sparkSession
+    corpus = VersionedTable(spark, os.path.join(corpus_root, "corpus"))
+    index = VersionedTable(spark, os.path.join(corpus_root, "fp_index"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            seen = index.read().select("fingerprint")
+        except FileNotFoundError:
+            seen = None
+        clean, _ = incremental_exact_dedup(
+            batch_df, seen, id_col=id_col, text_col=text_col
+        )
+        clean = clean.localCheckpoint()  # evaluate once, commit twice
+        corpus.streaming_append_batch(clean, batch_id)
+        index.streaming_append_batch(
+            clean.select("fingerprint"), batch_id
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -602,3 +602,57 @@ def test_annotate_violations_row_level(spark):
 
     with pytest.raises(ValueError):
         X.annotate_violations(df, [X.unique("id")])
+
+
+def test_dedup_ingest_exactly_once_across_batches(spark, tmp_path):
+    """Streaming corpus ingestion with incremental dedup: duplicates
+    within a micro-batch and across micro-batches are dropped using
+    only the persisted fingerprint index; re-draining the stream with
+    no new input commits nothing; the index holds exactly the kept
+    fingerprints."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkplans.table import VersionedTable
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "doc_stream"
+    root = str(tmp_path / "corpus_root")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming.dedup_ingest_sink(stream, root, ckpt).start()
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA   beta")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    corpus = VersionedTable(spark, os.path.join(root, "corpus"))
+    index = VersionedTable(spark, os.path.join(root, "fp_index"))
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [1, 2]
+
+    # second file: cross-batch dup of doc 1 + one fresh doc
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "fresh text")], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [1, 2, 11]
+    assert index.read().count() == 3
+
+    # re-drain with no new input: no new versions on either table
+    v_corpus, v_index = corpus.latest_version(), index.latest_version()
+    drain()
+    assert corpus.latest_version() == v_corpus
+    assert index.latest_version() == v_index
+    # and fingerprints stay unique
+    fps = [r.fingerprint for r in index.read().collect()]
+    assert len(fps) == len(set(fps)) == 3
