@@ -386,7 +386,8 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def encode_png(arr, filter_per_row: bool = True) -> bytes:
-    """Encode an (h, w, 3|4) uint8 array as PNG.  With
+    """Encode an (h, w, 1|2|3|4) (or (h, w)) uint8 array as PNG
+    (gray / gray+alpha / RGB / RGBA).  With
     ``filter_per_row`` the encoder cycles through all five scanline
     filters (row i uses filter i % 5), so round-trip tests exercise
     every unfilter branch of :func:`decode_png`."""
@@ -396,9 +397,11 @@ def encode_png(arr, filter_per_row: bool = True) -> bytes:
     import numpy as np
 
     a = np.asarray(arr, dtype="uint8")
+    if a.ndim == 2:
+        a = a[:, :, None]
     h, w, c = a.shape
-    assert c in (3, 4), "RGB or RGBA"
-    color_type = 2 if c == 3 else 6
+    assert c in (1, 2, 3, 4), "gray / gray+alpha / RGB / RGBA"
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     bpp = c
     raw = a.reshape(h, w * c).astype("int16")
     zero = np.zeros(w * c, dtype="int16")
@@ -434,8 +437,8 @@ def encode_png(arr, filter_per_row: bool = True) -> bytes:
 
 
 def decode_png(payload: bytes):
-    """Decode an 8-bit RGB/RGBA non-interlaced PNG to an (h, w, c)
-    uint8 array.  Pure stdlib zlib + numpy: chunk CRCs are verified,
+    """Decode an 8-bit gray/gray+alpha/RGB/RGBA non-interlaced PNG
+    to an (h, w, c) uint8 array.  Pure stdlib zlib + numpy: chunk CRCs are verified,
     IDAT is inflated, and each scanline is unfiltered (all five PNG
     filter types)."""
     import struct
@@ -459,11 +462,12 @@ def decode_png(payload: bytes):
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if depth != 8 or channels is None or interlace != 0:
                 raise ValueError(
-                    "only 8-bit RGB/RGBA non-interlaced PNG supported"
+                    "only 8-bit gray/gray+alpha/RGB/RGBA non-interlaced PNG supported"
                 )
-            meta = (w, h, 3 if color_type == 2 else 4)
+            meta = (w, h, channels)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":

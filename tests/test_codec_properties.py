@@ -148,3 +148,20 @@ def test_decoders_reject_garbage(data):
         except Exception:
             pass
         assert not accepted, f"{dec.__name__} accepted garbage"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.tuples(
+        st.integers(min_value=1, max_value=16),
+        st.integers(min_value=1, max_value=16),
+    ),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_all_color_types_roundtrip(hw, channels, seed):
+    """PNG round-trips for every 8-bit color type: grayscale (0),
+    gray+alpha (4), RGB (2), RGBA (6)."""
+    img = _rand_img(*hw, channels, seed)
+    dec = mm.decode_png(mm.encode_png(img))
+    assert dec.shape == img.shape and (dec == img).all()
