@@ -4,11 +4,11 @@ Closes the last stubbed *image* branch of `operators/multimodal`: with
 this module, `decode_image` handles JPEG payloads with no external
 codec library.  Scope is the honest baseline-sequential subset:
 
-- 8-bit, 3-component YCbCr (JFIF), 4:4:4 (no chroma subsampling)
+- 8-bit, 3-component YCbCr (JFIF), 4:4:4 AND 4:2:0 chroma sampling
 - one scan, non-progressive, non-arithmetic (Huffman only)
 - quantization tables and Huffman tables are READ FROM THE STREAM
   (DQT/DHT), so the decoder handles any conforming baseline 4:4:4
-  file, not just our encoder's output
+  or 4:2:0 file, not just our encoder's output
 
 The encoder writes canonical-Huffman tables it derives itself
 (uniform code lengths — valid per the spec, which lets DHT carry any
@@ -234,55 +234,87 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF 4:4:4."""
+def _encode_block(bw: _BitWriter, block, q, prev_dc: int) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block; returns its DC
+    (the caller threads per-component DC prediction)."""
+    coeffs = np.round(fdct2(block) / q).astype(np.int64)
+    stream = coeffs.flatten()[_ZZ_IDX]
+    diff = int(stream[0]) - prev_dc
+    size, bits = _magnitude_bits(diff)
+    code, length = _DC_CODES[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    for v in stream[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc, zl = _AC_CODES[0xF0]
+            bw.write(zc, zl)
+            run -= 16
+        size, bits = _magnitude_bits(v)
+        code, length = _AC_CODES[16 * run + size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        ec, el = _AC_CODES[0x00]
+        bw.write(ec, el)
+    return int(stream[0])
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF — 4:4:4 by
+    default, or 4:2:0 (``subsample=True``: 16x16 MCUs of four Y blocks
+    plus one 2x2-averaged Cb and Cr block — the variant virtually all
+    camera/web JPEGs use)."""
     a = np.asarray(rgb, dtype=np.uint8)
     h, w, c = a.shape
     assert c == 3, "RGB input"
     qy, qc = _quant_tables(quality)
 
-    # pad to 8x8 multiples by edge replication
-    ph, pw = -h % 8, -w % 8
+    # pad to MCU multiples by edge replication
+    mcu = 16 if subsample else 8
+    ph, pw = -h % mcu, -w % mcu
     a = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
     ycc = rgb_to_ycbcr(a) - 128.0
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
     hh, ww = a.shape[:2]
-    for by in range(0, hh, 8):
-        for bx in range(0, ww, 8):
-            for comp in range(3):
-                q = qy if comp == 0 else qc
-                block = ycc[by : by + 8, bx : bx + 8, comp]
-                coeffs = np.round(fdct2(block) / q).astype(np.int64)
-                stream = coeffs.flatten()[_ZZ_IDX]
-                # DC
-                diff = int(stream[0]) - prev_dc[comp]
-                prev_dc[comp] = int(stream[0])
-                size, bits = _magnitude_bits(diff)
-                code, length = _DC_CODES[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(bits, size)
-                # AC
-                run = 0
-                for v in stream[1:]:
-                    v = int(v)
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        zc, zl = _AC_CODES[0xF0]
-                        bw.write(zc, zl)
-                        run -= 16
-                    size, bits = _magnitude_bits(v)
-                    code, length = _AC_CODES[16 * run + size]
-                    bw.write(code, length)
-                    bw.write(bits, size)
-                    run = 0
-                if run:
-                    ec, el = _AC_CODES[0x00]
-                    bw.write(ec, el)
+    if not subsample:
+        for by in range(0, hh, 8):
+            for bx in range(0, ww, 8):
+                for comp in range(3):
+                    q = qy if comp == 0 else qc
+                    prev_dc[comp] = _encode_block(
+                        bw, ycc[by : by + 8, bx : bx + 8, comp], q, prev_dc[comp]
+                    )
+    else:
+        y_plane = ycc[:, :, 0]
+        # 2x2 box-filter chroma downsample
+        cb = ycc[:, :, 1].reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+        cr = ycc[:, :, 2].reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+        for my in range(0, hh, 16):
+            for mx in range(0, ww, 16):
+                for dy in (0, 8):        # interleave: Y00 Y01 Y10 Y11
+                    for dx in (0, 8):
+                        prev_dc[0] = _encode_block(
+                            bw,
+                            y_plane[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
+                            qy,
+                            prev_dc[0],
+                        )
+                cy, cx = my // 2, mx // 2
+                prev_dc[1] = _encode_block(
+                    bw, cb[cy : cy + 8, cx : cx + 8], qc, prev_dc[1]
+                )
+                prev_dc[2] = _encode_block(
+                    bw, cr[cy : cy + 8, cx : cx + 8], qc, prev_dc[2]
+                )
 
     def dqt(tid: int, q: np.ndarray) -> bytes:
         return _seg(0xDB, bytes([tid]) + bytes(int(x) for x in q.flatten()[_ZZ_IDX]))
@@ -290,10 +322,11 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
         return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
 
+    y_samp = 0x22 if subsample else 0x11
     sof = _seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -386,12 +419,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if prec != 8 or nc != 3:
                 raise ValueError("only 8-bit 3-component baseline supported")
             comps = []
+            samps = []
             for i in range(nc):
                 cid, samp, tq = data[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError("only 4:4:4 (no subsampling) supported")
+                samps.append(samp)
                 comps.append((cid, tq))
-            frame = (h, w, comps)
+            if samps not in ([0x11, 0x11, 0x11], [0x22, 0x11, 0x11]):
+                raise ValueError("only 4:4:4 or 4:2:0 sampling supported")
+            frame = (h, w, comps, samps[0] == 0x22)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -403,44 +438,65 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos = end
             if frame is None:
                 raise ValueError("SOS before SOF")
-            h, w, comps = frame
-            hh, ww = h + (-h % 8), w + (-w % 8)
-            out = np.zeros((hh, ww, 3), dtype=np.float64)
+            h, w, comps, sub = frame
             br = _BitReader(entropy)
             prev_dc = [0, 0, 0]
-            for by in range(0, hh, 8):
-                for bx in range(0, ww, 8):
-                    for ci in range(3):
-                        _, tq = comps[ci]
-                        td, ta = scan[ci][1] >> 4, scan[ci][1] & 0x0F
-                        dc_dec, ac_dec = htables[(0, td)], htables[(1, ta)]
-                        stream = np.zeros(64, dtype=np.int64)
-                        size = dc_dec.decode(br)
-                        diff = _extend(br.read_bits(size), size)
-                        prev_dc[ci] += diff
-                        stream[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            sym = ac_dec.decode(br)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            stream[k] = _extend(br.read_bits(size), size)
-                            k += 1
-                        coeffs = stream[_INV_ZZ].reshape(8, 8) * qtables[tq]
-                        out[by : by + 8, bx : bx + 8, ci] = idct2(
-                            coeffs.astype(np.float64)
-                        )
+
+            def block(ci: int) -> np.ndarray:
+                _, tq = comps[ci]
+                td, ta = scan[ci][1] >> 4, scan[ci][1] & 0x0F
+                dc_dec, ac_dec = htables[(0, td)], htables[(1, ta)]
+                stream = np.zeros(64, dtype=np.int64)
+                size = dc_dec.decode(br)
+                diff = _extend(br.read_bits(size), size)
+                prev_dc[ci] += diff
+                stream[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = ac_dec.decode(br)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC index out of range")
+                    stream[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                coeffs = stream[_INV_ZZ].reshape(8, 8) * qtables[tq]
+                return idct2(coeffs.astype(np.float64))
+
+            if not sub:
+                hh, ww = h + (-h % 8), w + (-w % 8)
+                out = np.zeros((hh, ww, 3), dtype=np.float64)
+                for by in range(0, hh, 8):
+                    for bx in range(0, ww, 8):
+                        for ci in range(3):
+                            out[by : by + 8, bx : bx + 8, ci] = block(ci)
+            else:
+                hh, ww = h + (-h % 16), w + (-w % 16)
+                out = np.zeros((hh, ww, 3), dtype=np.float64)
+                for my in range(0, hh, 16):
+                    for mx in range(0, ww, 16):
+                        for dy in (0, 8):  # Y00 Y01 Y10 Y11 interleave
+                            for dx in (0, 8):
+                                out[
+                                    my + dy : my + dy + 8,
+                                    mx + dx : mx + dx + 8,
+                                    0,
+                                ] = block(0)
+                        # chroma: one 8x8 block covers the 16x16 MCU
+                        for ci in (1, 2):
+                            c8 = block(ci)
+                            out[my : my + 16, mx : mx + 16, ci] = c8.repeat(
+                                2, axis=0
+                            ).repeat(2, axis=1)
         elif marker == 0xD8:
             raise ValueError("unexpected SOI")
         # APPn / COM / others: skipped via seglen
     if frame is None or scan is None:
         raise ValueError("truncated JPEG (no frame/scan)")
-    h, w, _ = frame[0], frame[1], None
+    h, w = frame[0], frame[1]
     return ycbcr_to_rgb(out[:h, :w] + 128.0)

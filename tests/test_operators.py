@@ -1845,3 +1845,31 @@ def test_voice_activity_detection_planted_segments(spark):
     for mid, got in by_id.items():
         assert sorted(got) == [(0, 200), (400, 600)]
     assert all(s.mean_rms > 0 for s in segs)
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 (the near-universal camera/web variant): MCU interleave,
+    2x2 chroma averaging, and nearest upsample round-trip above 25 dB
+    on gradients, exactly on flat images, and crop odd dims back."""
+    import numpy as np
+
+    from sparkplans.operators import jpeg
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) * 3 % 200],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, subsample=True))
+    assert dec.shape == img.shape
+    mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 25
+
+    flat = np.full((20, 22, 3), 77, dtype=np.uint8)
+    d2 = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=85, subsample=True))
+    assert np.abs(d2.astype(int) - 77).max() <= 2
+
+    crop = img[:37, :51]
+    d3 = jpeg.decode_jpeg(jpeg.encode_jpeg(crop, quality=80, subsample=True))
+    assert d3.shape == crop.shape
