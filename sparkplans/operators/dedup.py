@@ -513,16 +513,17 @@ def segment_dedup(
     corpora the unit becomes a fixed word window, same algorithm.
     Returns (id, n_segments, n_kept, clean_text).
 
-    Scale shape: explode is pipelined; first-occurrence selection is
-    ONE shuffle on the segment value (a window rank on the segment
-    key — equivalently groupBy(segment).min(struct(id, seg_no)) +
-    join-back); reassembly is one shuffle on id.  No all-pairs
-    anywhere, skew bounded by the hottest boilerplate segment's
-    occurrence count (cap with a pre-aggregated kill list if a
-    segment exceeds executor memory — not the case for word windows).
-    Docs whose every segment occurred earlier survive with empty
-    ``clean_text`` (the left join below), mirroring CCNet's behavior
-    of emitting empty shells rather than dropping rows."""
+    Scale shape: explode is pipelined; the first-keeper is
+    groupBy(segment).min(struct(id, seg_no)) — partial aggregation
+    combines map-side, so a boilerplate segment repeated 10M times
+    contributes ONE row per map partition to the shuffle, and the
+    join-back that marks keepers is AQE-skew-splittable (a window
+    rank over the segment key would be neither: no map-side combine,
+    and skewed window partitions cannot be split).  Reassembly is one
+    shuffle on id.  No all-pairs anywhere.  Docs whose every segment
+    occurred earlier survive with empty ``clean_text`` (the left join
+    below), mirroring CCNet's behavior of emitting empty shells
+    rather than dropping rows."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_seg = F.ceil(F.size(words) / F.lit(window)).cast("int")
     segs_arr = F.transform(
@@ -532,11 +533,17 @@ def segment_dedup(
     segs = docs.select(
         F.col(id_col).alias("__id"), F.posexplode(segs_arr).alias("seg_no", "seg")
     )
-    w = Window.partitionBy("seg").orderBy("__id", "seg_no")
-    firsts = segs.withColumn("rn", F.row_number().over(w))
-    rebuilt = firsts.groupBy("__id").agg(
+    keepers = segs.groupBy("seg").agg(
+        F.min(F.struct("__id", "seg_no")).alias("__k")
+    )
+    marked = segs.join(keepers, "seg").withColumn(
+        "kept",
+        (F.col("__id") == F.col("__k.__id"))
+        & (F.col("seg_no") == F.col("__k.seg_no")),
+    )
+    rebuilt = marked.groupBy("__id").agg(
         F.count("*").alias("n_segments"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_kept"),
         F.concat_ws(
@@ -544,9 +551,7 @@ def segment_dedup(
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(
-                            F.col("rn") == 1, F.struct("seg_no", "seg")
-                        )
+                        F.when(F.col("kept"), F.struct("seg_no", "seg"))
                     )
                 ),
                 lambda s: s["seg"],

@@ -233,8 +233,10 @@ BUDGETS = {
     # frame reads the final checkpoint (iteration shuffles are keyed
     # aggregates counted per pass, not accumulated in the plan)
     "pagerank_copurchase": 0,
-    # explode -> first-keeper window on seg (1) + doc regroup + rejoin
-    "segment_dedup": 4,
+    # +1 vs the window formulation, deliberately: keeper min-agg
+    # combines map-side and the seg join is AQE-skew-splittable,
+    # while a window rank over the segment key is neither
+    "segment_dedup": 5,
     # pure projection: split is a hash of the scanned id, zero shuffles
     "stratified_split": 0,
     # one source-keyed window + fan_out repartition of the small scan
@@ -244,8 +246,8 @@ BUDGETS = {
     "incremental_dedup_batch": 2,
     # fan_out repartition only; media decode is per-partition CPU
     "multimodal_ppm_features": 1,
-    # segment-dedup core (4) + lang join + (lang,split) rollup
-    "curation_pipeline_v2": 6,
+    # segment-dedup core (5) + lang join + (lang,split) rollup
+    "curation_pipeline_v2": 7,
     "multimodal_wav_features": 1,
     "multimodal_video_frames": 1,
     # TakeOrdered + bounded 100-row rank: no full-corpus exchange
