@@ -639,3 +639,58 @@ def dedup_ingest_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def near_dedup_ingest_sink(
+    stream_docs: DataFrame,
+    corpus_root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+):
+    """`dedup_ingest_sink`'s NEAR-dup twin: each micro-batch is deduped
+    against a persisted MINHASH-SIGNATURE index (band-hash candidates
+    + signature-agreement Jaccard — see
+    `operators/dedup.incremental_near_dedup`), and the clean rows plus
+    their signatures commit under the same micro-batch id
+    (exactly-once on both tables).  The index is ``num_perm`` ints per
+    kept doc; the corpus text is never re-read by the dedup."""
+    from sparkplans.operators.dedup import incremental_near_dedup
+    from sparkplans.table import VersionedTable
+
+    spark = stream_docs.sparkSession
+    corpus = VersionedTable(spark, os.path.join(corpus_root, "corpus"))
+    index = VersionedTable(spark, os.path.join(corpus_root, "sig_index"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            seen = index.read()
+        except FileNotFoundError:
+            seen = None
+        clean, new_index = incremental_near_dedup(
+            batch_df,
+            seen,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+        )
+        clean = clean.localCheckpoint()
+        corpus.streaming_append_batch(clean, batch_id)
+        # append only the NEW signatures (incremental_near_dedup
+        # returns the full updated index; the delta is the clean rows')
+        from sparkplans.operators.dedup import minhash_wide
+
+        index.streaming_append_batch(
+            minhash_wide(clean, text_col, id_col, num_perm), batch_id
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

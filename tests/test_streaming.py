@@ -656,3 +656,49 @@ def test_dedup_ingest_exactly_once_across_batches(spark, tmp_path):
     # and fingerprints stay unique
     fps = [r.fingerprint for r in index.read().collect()]
     assert len(fps) == len(set(fps)) == 3
+
+
+def test_near_dedup_ingest_kills_cross_batch_clone(spark, tmp_path):
+    """Streaming near-dup ingestion: a near-clone (one word changed)
+    arriving in a later micro-batch dies against the persisted
+    signature index; fresh docs survive and extend the index."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkplans.table import VersionedTable
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "near_stream"
+    root = str(tmp_path / "near_root")
+    ckpt = str(tmp_path / "near_ckpt")
+    base = (
+        "the quick brown fox jumps over a lazy dog near the big "
+        "river bank today while birds sing loud songs"
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming.near_dedup_ingest_sink(
+            stream, root, ckpt, threshold=0.5
+        ).start()
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    spark.createDataFrame(
+        [(10, base.replace("loud", "soft")), (11, "fresh unrelated words")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+
+    corpus = VersionedTable(spark, os.path.join(root, "corpus"))
+    index = VersionedTable(spark, os.path.join(root, "sig_index"))
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [1, 11]
+    assert sorted(r.doc_id for r in index.read().select("doc_id").collect()) == [1, 11]
