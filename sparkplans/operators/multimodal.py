@@ -1263,3 +1263,46 @@ def detect_voice_activity(
     return media.filter(F.col("mime") == "audio/wav").mapInPandas(
         batches, VAD_SCHEMA
     )
+
+
+def resize_images_real(
+    media: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Format-generic REAL resize: sniff + decode with the matching
+    codec, nearest-neighbor resample, re-encode in the SAME format
+    (PPM/PNG/BMP lossless; JPEG at q=85).  The real twin of the
+    `_HAVE_CODECS`-stubbed `resize_images`, closing the last fake
+    image path."""
+    import numpy as np
+
+    def rz_payload(b: bytes) -> bytes:
+        a = decode_image(b)
+        h, w = a.shape[:2]
+        yi = np.minimum((np.arange(height) * h) // height, h - 1)
+        xi = np.minimum((np.arange(width) * w) // width, w - 1)
+        out = a[yi][:, xi]
+        raw = bytes(b)
+        if raw.startswith(_PNG_SIG):
+            return encode_png(out)
+        if raw.startswith(b"P6"):
+            return encode_ppm(out)
+        if raw.startswith(b"BM"):
+            return encode_bmp(out)
+        from sparkplans.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(out[:, :, :3], quality=85)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(rz_payload),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )

@@ -1873,3 +1873,42 @@ def test_jpeg_420_subsampling_roundtrip():
     crop = img[:37, :51]
     d3 = jpeg.decode_jpeg(jpeg.encode_jpeg(crop, quality=80, subsample=True))
     assert d3.shape == crop.shape
+
+
+def test_generic_resize_real_across_formats(spark):
+    """resize_images_real decodes with the sniffed codec, resamples
+    real pixels, and re-encodes in the same container: lossless
+    formats round-trip to exactly the numpy nearest-neighbor result;
+    JPEG output re-decodes close to it."""
+    import numpy as np
+
+    from sparkplans.operators import jpeg
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) % 200], axis=-1
+    ).astype("uint8")
+    rows = [
+        (1, "image", "image/png", multimodal.encode_png(img), w, h, None),
+        (2, "image", "image/x-portable-pixmap", multimodal.encode_ppm(img), w, h, None),
+        (3, "image", "image/bmp", multimodal.encode_bmp(img), w, h, None),
+        (4, "image", "image/jpeg", jpeg.encode_jpeg(img, quality=92), w, h, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: bytes(r.payload)
+           for r in multimodal.resize_images_real(media, width=8, height=8).collect()}
+    yi = np.minimum((np.arange(8) * h) // 8, h - 1)
+    xi = np.minimum((np.arange(8) * w) // 8, w - 1)
+    want = img[yi][:, xi]
+    for mid, magic in [(1, b"\x89PN"), (2, b"P6"), (3, b"BM"), (4, b"\xff\xd8")]:
+        assert out[mid].startswith(magic[:2]) or out[mid].startswith(magic)
+        got = multimodal.decode_image(out[mid])
+        if mid == 4:
+            # JPEG path: decode(encode(resized jpeg-decoded pixels));
+            # two lossy steps, so compare loosely
+            src = multimodal.decode_image(bytes(rows[3][3]))
+            want4 = src[yi][:, xi]
+            assert np.abs(got.astype(int) - want4.astype(int)).mean() < 12
+        else:
+            assert (got == want).all()
