@@ -1912,3 +1912,75 @@ def test_generic_resize_real_across_formats(spark):
             assert np.abs(got.astype(int) - want4.astype(int)).mean() < 12
         else:
             assert (got == want).all()
+
+
+def test_incremental_dedup_equals_global_dedup(spark):
+    """Algebraic property: feeding batches through
+    incremental_exact_dedup sequentially keeps EXACTLY the same doc
+    set as exact_dedup over the whole corpus at once (ids ordered by
+    batch).  Randomized corpora with heavy duplication."""
+    import random
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3))))
+            for i in range(30)
+        ]
+        full = spark.createDataFrame(docs, "doc_id long, text string")
+        want = sorted(r.doc_id for r in dedup.exact_dedup(full).collect())
+
+        cut1, cut2 = 10, 20
+        seen, kept = None, []
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, 30)):
+            batch = spark.createDataFrame(
+                docs[lo:hi], "doc_id long, text string"
+            )
+            clean, seen = dedup.incremental_exact_dedup(batch, seen)
+            seen = seen.localCheckpoint()
+            kept.extend(r.doc_id for r in clean.collect())
+        assert sorted(kept) == want, (seed, sorted(kept), want)
+
+
+def test_segment_dedup_matches_pure_python_reference(spark):
+    """segment_dedup vs an independent pure-Python implementation of
+    the same spec (global first occurrence by (doc_id, seg_no)) on
+    randomized heavily-duplicated corpora."""
+    import random
+
+    def reference(docs, window):
+        seen = set()
+        out = {}
+        for did, text in docs:
+            words = text.strip().split()
+            segs = [
+                " ".join(words[i : i + window])
+                for i in range(0, len(words), window)
+            ] or [""]
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            out[did] = (len(segs), len(kept), " ".join(kept))
+        return out
+
+    for seed in (7, 42):
+        rng = random.Random(seed)
+        vocab = ["x", "y", "z", "w", "v"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 9))))
+            for i in range(25)
+        ]
+        # reference iterates in doc_id order == the operator's
+        # (doc_id, seg_no) global ordering
+        want = reference(sorted(docs), window=2)
+        got = {
+            r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
+            for r in dedup.segment_dedup(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                window=2,
+            ).collect()
+        }
+        assert got == want, seed
