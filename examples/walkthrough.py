@@ -275,6 +275,30 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    section(16, "real media codecs + incremental dedup (beyond the reference)")
+    import numpy as np
+
+    from sparkplans.operators import dedup, jpeg, multimodal
+
+    img = np.stack(np.mgrid[0:16, 0:24], axis=-1).astype("uint8")
+    img = np.concatenate([img, img[..., :1]], axis=-1) * 7 % 256
+    for name, enc in (("png", multimodal.encode_png),
+                      ("bmp", multimodal.encode_bmp),
+                      ("ppm", multimodal.encode_ppm)):
+        assert (multimodal.decode_image(enc(img)) == img).all()
+    jp = jpeg.encode_jpeg(img, quality=90, subsample=True)
+    print("codecs: png/bmp/ppm bit-exact;",
+          f"jpeg 4:2:0 {len(jp)} bytes, decoded shape",
+          multimodal.decode_image(jp).shape)
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    clean1, seen = dedup.incremental_exact_dedup(b1, None)
+    seen = seen.localCheckpoint()
+    clean2, seen2 = dedup.incremental_exact_dedup(b2, seen)
+    print(f"incremental dedup: batch1 kept {clean1.count()}, "
+          f"batch2 kept {clean2.count()}, index {seen2.count()} fingerprints")
+
     spark.stop()
 
 
