@@ -1739,3 +1739,88 @@ def q_curation_pipeline_v2(spark, sf_dir):
         .cast("bigint")
         .alias("total_tokens"),
     )
+
+
+@register(
+    "seasonal_decomposition",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+      SELECT event_type, day, cnt,
+             sum(cnt) OVER w AS sum7,
+             CAST(count(*) OVER w AS BIGINT) AS n7,
+             CAST(dayofweek(day) AS INT) AS dow
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             sum(420 * (cnt * n7 - sum7) / n7) AS snum,
+             CAST(count(*) AS BIGINT) AS sden
+      FROM tr GROUP BY event_type, dow
+    )
+    SELECT t.event_type, t.day, t.cnt,
+           round(CAST(t.sum7 AS DOUBLE) / t.n7, 6) AS trend,
+           round(CAST(s.snum AS DOUBLE) / (420.0 * s.sden), 6) AS seasonal,
+           round(t.cnt - round(CAST(t.sum7 AS DOUBLE) / t.n7, 6)
+                 - round(CAST(s.snum AS DOUBLE) / (420.0 * s.sden), 6), 6)
+             AS residual
+    FROM tr t JOIN seas s USING (event_type, dow)
+    """,
+)
+def q_seasonal_decomposition(spark, sf_dir):
+    """STL-lite seasonal decomposition of daily event volumes:
+    trend = centered 7-day moving average, seasonal = day-of-week mean
+    of the detrended series, residual = remainder — the standard
+    additive decomposition behind capacity planning and anomaly
+    baselines.
+
+    Numeric discipline (module docstring): the detrended value
+    ``cnt - sum7/n7`` is kept RATIONAL as ``(cnt*n7 - sum7)/n7`` and
+    scaled by 420 (lcm of all edge-window sizes 4..7), so every
+    seasonal numerator term is an exact BIGINT — no float accumulates
+    across rows anywhere, and both engines produce bit-identical
+    doubles after the single final division.  One (type, day) agg +
+    one type-keyed window + one (type, dow) agg; daily-grid-sized
+    throughout."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("sum7"),
+        F.count("*").over(w).cast("bigint").alias("n7"),
+        F.dayofweek("day").cast("int").alias("dow"),
+    )
+    seas = tr.groupBy("event_type", "dow").agg(
+        F.sum(
+            (F.lit(420) * (F.col("cnt") * F.col("n7") - F.col("sum7")))
+            / F.col("n7")
+        ).alias("snum"),
+        F.count("*").cast("bigint").alias("sden"),
+    )
+    trend = F.round(F.col("sum7").cast("double") / F.col("n7"), 6)
+    seasonal = F.round(
+        F.col("snum").cast("double") / (F.lit(420.0) * F.col("sden")), 6
+    )
+    return tr.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "cnt",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.round(F.col("cnt") - trend - seasonal, 6).alias("residual"),
+    )

@@ -237,6 +237,8 @@ BUDGETS = {
     # combines map-side and the seg join is AQE-skew-splittable,
     # while a window rank over the segment key is neither
     "segment_dedup": 5,
+    # daily agg + type window + dow agg + rejoin (daily-grid-sized)
+    "seasonal_decomposition": 4,
     # pure projection: split is a hash of the scanned id, zero shuffles
     "stratified_split": 0,
     # one source-keyed window + fan_out repartition of the small scan
