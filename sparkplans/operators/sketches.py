@@ -139,3 +139,60 @@ def misra_gries_topk(
         rows = [(r["item"], r["cnt"]) for r in rows]
     spark = df.sparkSession
     return spark.createDataFrame(rows or [], "item string, est_count bigint")
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """KMV / bottom-k sketch: the k smallest md5 hashes of a column's
+    DISTINCT values, with the values carried alongside.  Three
+    properties make it the third mergeable summary beside the HLL and
+    Misra-Gries states above:
+
+    - **deterministic**: hash order replaces RNG, so the sketch is a
+      pure function of the value set (same guarantee style as the
+      repo's other samplers);
+    - **mergeable**: sketch(A ∪ B) = bottom_k(sketch(A) ∪ sketch(B))
+      EXACTLY (min-wise hashing), proven by the merge-equivalence
+      test;
+    - **dual-use**: the k-th smallest hash estimates distinct counts
+      ((k-1)/h_k on the unit interval), and the carried values are a
+      uniform sample of the distinct set, so order statistics
+      (median, quantiles) fall out of the same state.
+
+    Plan shape: one column projection, then ``ORDER BY hash LIMIT k``
+    — Spark fuses that to TakeOrderedAndProject (per-partition heaps,
+    no global sort), so corpus cost is one scan and k·partitions rows
+    of transfer."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("value"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.select(F.col(col).cast("string").alias("value"))
+        .distinct()
+        .select("value", h.alias("h"))
+        .orderBy("h", "value")
+        .limit(k)
+    )
+
+
+def kmv_merge(sketches: list[DataFrame], k: int = 256) -> DataFrame:
+    """Merge KMV sketches: union the states, keep the global bottom-k
+    (dedup by value first — the same value hashes identically in every
+    sketch)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h", "value").limit(k)
+
+
+def kmv_distinct_estimate(sketch_rows: list, k: int) -> float:
+    """(k-1) / h_k estimator on the unit interval (h normalized by the
+    60-bit hash space).  ``sketch_rows`` is the collected sketch (a
+    list of Rows) — KB-sized driver state, like the HLL registers."""
+    if len(sketch_rows) < k:
+        return float(len(sketch_rows))  # exact: sketch holds everything
+    hk = max(r.h for r in sketch_rows)
+    return (k - 1) / (hk / float(1 << 60))

@@ -1984,3 +1984,52 @@ def test_segment_dedup_matches_pure_python_reference(spark):
             ).collect()
         }
         assert got == want, seed
+
+
+# -- KMV bottom-k sketch ----------------------------------------------------
+
+
+def test_kmv_sketch_merge_equivalence_and_estimates(spark):
+    """KMV invariants: (a) merging per-part sketches equals the
+    whole-corpus sketch EXACTLY (min-wise hashing); (b) the distinct
+    estimate lands within 20% of truth at k=64; (c) the carried
+    values estimate the median within the sample-quantile tolerance."""
+    import numpy as np
+
+    from sparkplans.operators import sketches
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id")
+    whole = sketches.kmv_sketch(ev, "user_id", k=64)
+    parts = [
+        sketches.kmv_sketch(ev.filter(f"user_id % 3 = {i}"), "user_id", k=64)
+        for i in range(3)
+    ]
+    merged = sketches.kmv_merge(parts, k=64)
+    assert [
+        (r.value, r.h) for r in whole.collect()
+    ] == [(r.value, r.h) for r in merged.collect()]
+
+    rows = whole.collect()
+    true_distinct = ev.distinct().count()
+    est = sketches.kmv_distinct_estimate(rows, k=64)
+    assert abs(est - true_distinct) / true_distinct < 0.20, (est, true_distinct)
+
+    # hash-order values are a uniform sample of the distinct set:
+    # their median approximates the distinct-value median
+    sample_median = float(np.median([int(r.value) for r in rows]))
+    true_median = float(
+        np.median([int(r.user_id) for r in ev.distinct().collect()])
+    )
+    spread = true_distinct  # user ids are ~uniform over their range
+    assert abs(sample_median - true_median) <= 0.25 * spread
+
+
+def test_kmv_sketch_exact_below_capacity(spark):
+    """A value set smaller than k is carried exactly (the sketch IS
+    the distinct set) and the estimator returns the exact count."""
+    from sparkplans.operators import sketches
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    sk = sketches.kmv_sketch(df, "v", k=64).collect()
+    assert len(sk) == 7
+    assert sketches.kmv_distinct_estimate(sk, k=64) == 7.0
