@@ -1824,3 +1824,74 @@ def q_seasonal_decomposition(spark, sf_dir):
         seasonal.alias("seasonal"),
         F.round(F.col("cnt") - trend - seasonal, 6).alias("residual"),
     )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tot AS (
+      SELECT event_type, sum(cnt) AS total, CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type
+    ),
+    cs AS (
+      SELECT d.event_type, d.day,
+             t.n * sum(d.cnt) OVER (PARTITION BY d.event_type
+                                    ORDER BY d.day) 
+               - CAST(row_number() OVER (PARTITION BY d.event_type
+                                         ORDER BY d.day) AS BIGINT)
+                 * t.total AS s_scaled,
+             t.n
+      FROM daily d JOIN tot t USING (event_type)
+    )
+    SELECT event_type, day AS changepoint_day,
+           round(CAST(abs(s_scaled) AS DOUBLE) / n, 6) AS cusum_score
+    FROM cs
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type ORDER BY abs(s_scaled) DESC, day
+    ) = 1
+    """,
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on daily event volumes: the day
+    maximizing |cumulative deviation from the series mean| — the
+    classic level-shift locator behind monitoring alerts.
+
+    Integer-exact throughout: the CUSUM ``cumsum(cnt) - t*mean`` is
+    scaled by the series length n, so ``n*cumsum - t*total`` is a pure
+    BIGINT — no float accumulates; the single final division is
+    identical on both engines.  One (type, day) agg, one type-keyed
+    window over the daily grid, one argmax."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cs = (
+        daily.join(tot, "event_type")
+        .withColumn(
+            "s_scaled",
+            F.col("n") * F.sum("cnt").over(w)
+            - F.row_number().over(w).cast("bigint") * F.col("total"),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), "day"
+    )
+    return (
+        cs.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("s_scaled")).cast("double") / F.col("n"), 6)
+            .alias("cusum_score"),
+        )
+    )

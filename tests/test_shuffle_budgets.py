@@ -239,6 +239,8 @@ BUDGETS = {
     "segment_dedup": 5,
     # daily agg + type window + dow agg + rejoin (daily-grid-sized)
     "seasonal_decomposition": 4,
+    # daily agg + totals + type-keyed cusum/argmax windows
+    "cusum_changepoint": 3,
     # pure projection: split is a hash of the scanned id, zero shuffles
     "stratified_split": 0,
     # one source-keyed window + fan_out repartition of the small scan
