@@ -385,23 +385,21 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr, filter_per_row: bool = True) -> bytes:
-    """Encode an (h, w, 1|2|3|4) (or (h, w)) uint8 array as PNG
-    (gray / gray+alpha / RGB / RGBA).  With
-    ``filter_per_row`` the encoder cycles through all five scanline
-    filters (row i uses filter i % 5), so round-trip tests exercise
-    every unfilter branch of :func:`decode_png`."""
-    import struct
-    import zlib
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_filter_subimage(a, filter_per_row: bool) -> bytes:
+    """Filter one (sub)image's scanlines (filter byte + filtered row
+    each); row i cycles filter i % 5 when ``filter_per_row``."""
     import numpy as np
 
-    a = np.asarray(arr, dtype="uint8")
-    if a.ndim == 2:
-        a = a[:, :, None]
     h, w, c = a.shape
-    assert c in (1, 2, 3, 4), "gray / gray+alpha / RGB / RGBA"
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if h == 0 or w == 0:
+        return b""
     bpp = c
     raw = a.reshape(h, w * c).astype("int16")
     zero = np.zeros(w * c, dtype="int16")
@@ -427,11 +425,40 @@ def encode_png(arr, filter_per_row: bool = True) -> bytes:
             )
             filt = cur - pred
         lines.append(bytes([ft]) + (filt % 256).astype("uint8").tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return b"".join(lines)
+
+
+def encode_png(arr, filter_per_row: bool = True, interlace: bool = False) -> bytes:
+    """Encode an (h, w, 1|2|3|4) (or (h, w)) uint8 array as PNG
+    (gray / gray+alpha / RGB / RGBA), optionally Adam7-interlaced
+    (``interlace=True`` — the progressive web-PNG layout: seven
+    subsampled passes, each filtered independently).  With
+    ``filter_per_row`` the encoder cycles through all five scanline
+    filters (row i uses filter i % 5), so round-trip tests exercise
+    every unfilter branch of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    assert c in (1, 2, 3, 4), "gray / gray+alpha / RGB / RGBA"
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if interlace:
+        body = b"".join(
+            _png_filter_subimage(a[y0::dy, x0::dx], filter_per_row)
+            for (x0, y0, dx, dy) in _ADAM7
+        )
+    else:
+        body = _png_filter_subimage(a, filter_per_row)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IDAT", zlib.compress(body))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -463,11 +490,11 @@ def decode_png(payload: bytes):
                 ">IIBBBBB", data
             )
             channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-            if depth != 8 or channels is None or interlace != 0:
+            if depth != 8 or channels is None or interlace not in (0, 1):
                 raise ValueError(
-                    "only 8-bit gray/gray+alpha/RGB/RGBA non-interlaced PNG supported"
+                    "only 8-bit gray/gray+alpha/RGB/RGBA PNG supported"
                 )
-            meta = (w, h, channels)
+            meta = (w, h, channels, interlace)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -475,15 +502,43 @@ def decode_png(payload: bytes):
         pos += 12 + length
     if meta is None:
         raise ValueError("no IHDR chunk")
-    w, h, c = meta
-    stride, bpp = w * c, c
+    w, h, c, interlace = meta
     data = zlib.decompress(b"".join(idat))
-    if len(data) != h * (stride + 1):
+    if interlace == 0:
+        img, consumed = _png_unfilter_subimage(data, 0, h, w, c)
+        if consumed != len(data):
+            raise ValueError("IDAT length mismatch")
+        return img
+    # Adam7: seven independently-filtered subsampled passes
+    out = np.zeros((h, w, c), dtype="uint8")
+    offset = 0
+    for (x0, y0, dx, dy) in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        sub, offset = _png_unfilter_subimage(data, offset, ph, pw, c)
+        if ph and pw:
+            out[y0::dy, x0::dx] = sub
+    if offset != len(data):
+        raise ValueError("IDAT length mismatch")
+    return out
+
+
+def _png_unfilter_subimage(data: bytes, offset: int, h: int, w: int, c: int):
+    """Unfilter one (sub)image of h rows x w pixels starting at
+    ``offset`` in the inflated stream; returns (array, new_offset)."""
+    import numpy as np
+
+    if h == 0 or w == 0:
+        return np.zeros((h, w, c), dtype="uint8"), offset
+    stride, bpp = w * c, c
+    need = h * (stride + 1)
+    if offset + need > len(data):
         raise ValueError("IDAT length mismatch")
     out = np.zeros((h, stride), dtype="int16")
     zero = np.zeros(stride, dtype="int16")
     for y in range(h):
-        row = data[y * (stride + 1) : (y + 1) * (stride + 1)]
+        base = offset + y * (stride + 1)
+        row = data[base : base + stride + 1]
         ft = row[0]
         line = np.frombuffer(row, dtype="uint8", offset=1).astype("int16")
         prev = out[y - 1] if y > 0 else zero
@@ -521,7 +576,7 @@ def decode_png(payload: bytes):
         else:
             raise ValueError(f"unknown PNG filter {ft}")
         out[y] = rec
-    return out.astype("uint8").reshape(h, w, c)
+    return out.astype("uint8").reshape(h, w, c), offset + need
 
 
 def decode_png_features(media: DataFrame) -> DataFrame:

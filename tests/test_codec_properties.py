@@ -165,3 +165,15 @@ def test_png_all_color_types_roundtrip(hw, channels, seed):
     img = _rand_img(*hw, channels, seed)
     dec = mm.decode_png(mm.encode_png(img))
     assert dec.shape == img.shape and (dec == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(dims, st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+def test_png_adam7_interlaced_roundtrip(hw, channels, seed):
+    """Adam7-interlaced PNGs round-trip bit-exactly for every size
+    (all seven pass geometries, including empty passes on tiny
+    images) and decode identically to the non-interlaced encoding."""
+    img = _rand_img(*hw, channels, seed)
+    dec = mm.decode_png(mm.encode_png(img, interlace=True))
+    assert dec.shape == img.shape and (dec == img).all()
+    assert (mm.decode_png(mm.encode_png(img)) == dec).all()
