@@ -1,14 +1,18 @@
-"""Baseline JPEG (ITU-T T.81) encoder/decoder in pure stdlib + numpy.
+"""JPEG (ITU-T T.81) encoder/decoder in pure stdlib + numpy —
+baseline sequential and progressive.
 
 Closes the last stubbed *image* branch of `operators/multimodal`: with
 this module, `decode_image` handles JPEG payloads with no external
-codec library.  Scope is the honest baseline-sequential subset:
+codec library.  Scope:
 
 - 8-bit, 3-component YCbCr (JFIF), 4:4:4 AND 4:2:0 chroma sampling
-- one scan, non-progressive, non-arithmetic (Huffman only)
-- quantization tables and Huffman tables are READ FROM THE STREAM
-  (DQT/DHT), so the decoder handles any conforming baseline 4:4:4
-  or 4:2:0 file, not just our encoder's output
+- baseline sequential (SOF0) AND progressive (SOF2): DC successive
+  approximation (first + refinement scans) and spectral-selection AC
+  band scans with general EOB-run semantics; the one omission is AC
+  successive-approximation refinement, which raises cleanly
+- Huffman entropy coding (non-arithmetic); quantization and Huffman
+  tables are READ FROM THE STREAM (DQT/DHT), so the decoder handles
+  conforming files generally, not just our encoder's output
 
 The encoder writes canonical-Huffman tables it derives itself
 (uniform code lengths — valid per the spec, which lets DHT carry any
@@ -266,15 +270,27 @@ def _encode_block(bw: _BitWriter, block, q, prev_dc: int) -> int:
     return int(stream[0])
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    rgb: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    progressive: bool = False,
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as baseline JFIF — 4:4:4 by
     default, or 4:2:0 (``subsample=True``: 16x16 MCUs of four Y blocks
     plus one 2x2-averaged Cb and Cr block — the variant virtually all
-    camera/web JPEGs use)."""
+    camera/web JPEGs use), or PROGRESSIVE 4:4:4
+    (``progressive=True``: SOF2 with a DC successive-approximation
+    scan pair followed by per-component spectral-selection AC band
+    scans — the multi-scan layout most web JPEGs ship)."""
+    if progressive and subsample:
+        raise ValueError("progressive writer is 4:4:4 only")
     a = np.asarray(rgb, dtype=np.uint8)
     h, w, c = a.shape
     assert c == 3, "RGB input"
     qy, qc = _quant_tables(quality)
+    if progressive:
+        return _encode_progressive(a, qy, qc)
 
     # pad to MCU multiples by edge replication
     mcu = 16 if subsample else 8
@@ -346,6 +362,125 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85, subsample: bool = False) -> 
     )
 
 
+def _encode_progressive(a: np.ndarray, qy: np.ndarray, qc: np.ndarray) -> bytes:
+    """Progressive (SOF2) 4:4:4 writer.  Scan script:
+
+      1. DC first scan, interleaved, successive approximation Al=1
+         (diffs of dc >> 1)
+      2. DC refinement scan (Ah=1, Al=0): one raw bit per block
+      3-8. AC spectral-selection first scans per component, bands
+         1-5 and 6-63 (Ah=Al=0), one EOB per all-zero band remainder
+
+    Exercises every progressive structure the decoder supports: DC
+    point transform + refinement, per-component non-interleaved AC
+    scans, and EOB semantics."""
+    h, w, _ = a.shape
+    ph, pw = -h % 8, -w % 8
+    ap = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    ycc = rgb_to_ycbcr(ap) - 128.0
+    hh, ww = ap.shape[:2]
+    bh, bw_blocks = hh // 8, ww // 8
+    # quantized zigzag-stream coefficients per comp per block
+    streams = [
+        [
+            [
+                np.round(
+                    fdct2(ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp])
+                    / (qy if comp == 0 else qc)
+                )
+                .astype(np.int64)
+                .flatten()[_ZZ_IDX]
+                for bx in range(bw_blocks)
+            ]
+            for by in range(bh)
+        ]
+        for comp in range(3)
+    ]
+
+    def sos(comps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for cid, td, ta in comps:
+            body += bytes([cid, (td << 4) | ta])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray()
+    # scan 1: DC first, Al=1, interleaved
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw_blocks):
+            for comp in range(3):
+                dc = int(streams[comp][by][bx][0]) >> 1
+                size, bits = _magnitude_bits(dc - prev[comp])
+                prev[comp] = dc
+                code, length = _DC_CODES[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+    out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 1) + bw.flush()
+    # scan 2: DC refinement (raw bits, no huffman)
+    bw = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_blocks):
+            for comp in range(3):
+                bw.write(int(streams[comp][by][bx][0]) & 1, 1)
+    out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0) + bw.flush()
+    # scans 3-8: AC bands per component
+    for comp in range(3):
+        ta = 0 if comp == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            for by in range(bh):
+                for bx in range(bw_blocks):
+                    band = streams[comp][by][bx][ss : se + 1]
+                    run = 0
+                    wrote_any = False
+                    for v in band:
+                        v = int(v)
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            zc, zl = _AC_CODES[0xF0]
+                            bw.write(zc, zl)
+                            run -= 16
+                        size, bits = _magnitude_bits(v)
+                        code, length = _AC_CODES[16 * run + size]
+                        bw.write(code, length)
+                        bw.write(bits, size)
+                        run = 0
+                        wrote_any = True
+                    if run or not wrote_any:
+                        ec, el = _AC_CODES[0x00]  # EOB (eobrun = 1)
+                        bw.write(ec, el)
+            out += sos([(comp + 1, 0, ta)], ss, se, 0, 0) + bw.flush()
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return _seg(0xDB, bytes([tid]) + bytes(int(x) for x in q.flatten()[_ZZ_IDX]))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qy)
+        + dqt(1, qc)
+        + dht(0, 0, _DC_BITS, _DC_VALS)
+        + dht(1, 0, _AC_BITS, _AC_VALS)
+        + dht(1, 1, _AC_BITS, _AC_VALS)
+        + sof
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
 # ---------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------
@@ -373,28 +508,59 @@ class _HuffDecoder:
         raise ValueError("invalid Huffman code")
 
 
+def _next_marker(b: bytes, pos: int) -> tuple[int, int, int]:
+    """Scan entropy-coded data from ``pos``: returns (entropy_end,
+    marker, pos_after_marker).  Stuffed FF 00 pairs are data; FF fill
+    bytes before the marker are allowed per the spec."""
+    i, n = pos, len(b)
+    while i < n - 1:
+        if b[i] == 0xFF:
+            if b[i + 1] == 0x00:
+                i += 2
+                continue
+            j = i + 1
+            while j < n and b[j] == 0xFF:
+                j += 1
+            if j < n:
+                return i, b[j], j + 1
+            raise ValueError("truncated entropy data")
+        i += 1
+    raise ValueError("no terminating marker")
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential 8-bit 4:4:4 JFIF payload to an
-    (h, w, 3) uint8 RGB array.  Tables come from the stream's DQT/DHT
-    segments; progressive, subsampled, or arithmetic files raise."""
+    """Decode an 8-bit 3-component JFIF payload to (h, w, 3) uint8
+    RGB.  Supported: baseline sequential (SOF0) in 4:4:4 and 4:2:0,
+    and PROGRESSIVE (SOF2) 4:4:4 with DC successive approximation and
+    spectral-selection AC scans (general EOB-run semantics).  AC
+    successive-approximation refinement scans raise — the one
+    progressive feature this pure-Python subset omits.  All
+    quantization and Huffman tables come from the stream."""
     b = bytes(payload or b"")
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffDecoder] = {}
-    frame = None
-    scan = None
-    while pos < len(b):
+    frame = None      # (h, w, comps[(cid, tq)], sub, progressive)
+    coeffs = None     # per comp: [bh][bw] zigzag-stream int arrays
+    grids = None      # per comp: (bh, bw)
+    saw_scan = False
+    while pos < len(b) - 1:
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
+        while pos < len(b) and b[pos] == 0xFF and pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         data = b[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
+        if marker == 0xDB:  # DQT
             dpos = 0
             while dpos < len(data):
                 pq, tq = data[dpos] >> 4, data[dpos] & 0x0F
@@ -403,7 +569,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 flat = np.frombuffer(
                     data[dpos + 1 : dpos + 65], dtype=np.uint8
                 ).astype(np.int32)
-                qtables[tq] = flat[_INV_ZZ].reshape(8, 8)
+                qtables[tq] = flat  # zigzag order; invert at reconstruction
                 dpos += 65
         elif marker == 0xC4:  # DHT
             dpos = 0
@@ -414,89 +580,169 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(data[dpos + 17 : dpos + 17 + n])
                 htables[(tc, th)] = _HuffDecoder(bits, vals)
                 dpos += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8 or nc != 3:
-                raise ValueError("only 8-bit 3-component baseline supported")
-            comps = []
-            samps = []
+                raise ValueError("only 8-bit 3-component JPEG supported")
+            comps, samps = [], []
             for i in range(nc):
                 cid, samp, tq = data[6 + 3 * i : 9 + 3 * i]
                 samps.append(samp)
                 comps.append((cid, tq))
             if samps not in ([0x11, 0x11, 0x11], [0x22, 0x11, 0x11]):
                 raise ValueError("only 4:4:4 or 4:2:0 sampling supported")
-            frame = (h, w, comps, samps[0] == 0x22)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential (SOF0) supported")
-        elif marker == 0xDA:  # SOS — entropy data follows
-            ns = data[0]
-            scan = [(data[1 + 2 * i], data[2 + 2 * i]) for i in range(ns)]
-            # entropy-coded data runs to the next real marker (EOI)
-            end = len(b) - 2
-            entropy = b[pos:end]
-            pos = end
+            sub = samps[0] == 0x22
+            if progressive and sub:
+                raise ValueError("progressive 4:2:0 not supported")
+            frame = (h, w, comps, sub, progressive)
+            if sub:
+                mh, mw = (h + 15) // 16, (w + 15) // 16
+                grids = [(2 * mh, 2 * mw), (mh, mw), (mh, mw)]
+            else:
+                bh, bw = (h + 7) // 8, (w + 7) // 8
+                grids = [(bh, bw)] * 3
+            coeffs = [
+                [[np.zeros(64, dtype=np.int64) for _ in range(g[1])] for _ in range(g[0])]
+                for g in grids
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline (SOF0) / progressive (SOF2) supported")
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            h, w, comps, sub = frame
-            br = _BitReader(entropy)
-            prev_dc = [0, 0, 0]
-
-            def block(ci: int) -> np.ndarray:
-                _, tq = comps[ci]
-                td, ta = scan[ci][1] >> 4, scan[ci][1] & 0x0F
-                dc_dec, ac_dec = htables[(0, td)], htables[(1, ta)]
-                stream = np.zeros(64, dtype=np.int64)
-                size = dc_dec.decode(br)
-                diff = _extend(br.read_bits(size), size)
-                prev_dc[ci] += diff
-                stream[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = ac_dec.decode(br)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index out of range")
-                    stream[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                coeffs = stream[_INV_ZZ].reshape(8, 8) * qtables[tq]
-                return idct2(coeffs.astype(np.float64))
-
-            if not sub:
-                hh, ww = h + (-h % 8), w + (-w % 8)
-                out = np.zeros((hh, ww, 3), dtype=np.float64)
-                for by in range(0, hh, 8):
-                    for bx in range(0, ww, 8):
-                        for ci in range(3):
-                            out[by : by + 8, bx : bx + 8, ci] = block(ci)
-            else:
-                hh, ww = h + (-h % 16), w + (-w % 16)
-                out = np.zeros((hh, ww, 3), dtype=np.float64)
-                for my in range(0, hh, 16):
-                    for mx in range(0, ww, 16):
-                        for dy in (0, 8):  # Y00 Y01 Y10 Y11 interleave
-                            for dx in (0, 8):
-                                out[
-                                    my + dy : my + dy + 8,
-                                    mx + dx : mx + dx + 8,
-                                    0,
-                                ] = block(0)
-                        # chroma: one 8x8 block covers the 16x16 MCU
-                        for ci in (1, 2):
-                            c8 = block(ci)
-                            out[my : my + 16, mx : mx + 16, ci] = c8.repeat(
-                                2, axis=0
-                            ).repeat(2, axis=1)
+            ns = data[0]
+            cid_to_idx = {cid: i for i, (cid, _) in enumerate(frame[2])}
+            scomps = []
+            for i in range(ns):
+                cid, tt = data[1 + 2 * i], data[2 + 2 * i]
+                scomps.append((cid_to_idx[cid], tt >> 4, tt & 0x0F))
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            end, _, _ = _next_marker(b, pos)
+            entropy = b[pos:end]
+            pos = end
+            _process_scan(
+                entropy, frame, grids, coeffs, htables, scomps, ss, se, ah, al
+            )
+            saw_scan = True
         elif marker == 0xD8:
             raise ValueError("unexpected SOI")
-        # APPn / COM / others: skipped via seglen
-    if frame is None or scan is None:
+        # APPn / COM / DRI(ignored: no restart intervals written) skipped
+    if frame is None or not saw_scan:
         raise ValueError("truncated JPEG (no frame/scan)")
-    h, w = frame[0], frame[1]
+    return _reconstruct(frame, grids, coeffs, qtables)
+
+
+def _process_scan(entropy, frame, grids, coeffs, htables, scomps, ss, se, ah, al):
+    h, w, comps, sub, progressive = frame
+    br = _BitReader(entropy)
+    if ss == 0 and (not progressive or se == 0):
+        # DC scan (progressive) or full sequential scan: interleaved
+        if progressive and ah > 0:
+            # DC refinement: one raw bit per block, MCU order
+            gh, gw = grids[1] if sub else grids[0]
+            n_mcu_y, n_mcu_x = (gh, gw) if sub else grids[0]
+            for my in range(n_mcu_y):
+                for mx in range(n_mcu_x):
+                    for ci, _, _ in scomps:
+                        blocks = (
+                            [(2 * my + dy, 2 * mx + dx) for dy in (0, 1) for dx in (0, 1)]
+                            if (sub and ci == 0)
+                            else [(my, mx)]
+                        )
+                        for by, bx in blocks:
+                            if br.read_bit():
+                                coeffs[ci][by][bx][0] |= 1 << al
+            return
+        prev_dc = [0, 0, 0]
+        n_mcu_y, n_mcu_x = grids[1] if sub else grids[0]
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                for ci, td, ta in scomps:
+                    blocks = (
+                        [(2 * my + dy, 2 * mx + dx) for dy in (0, 1) for dx in (0, 1)]
+                        if (sub and ci == 0)
+                        else [(my, mx)]
+                    )
+                    for by, bx in blocks:
+                        stream = coeffs[ci][by][bx]
+                        size = htables[(0, td)].decode(br)
+                        diff = _extend(br.read_bits(size), size)
+                        prev_dc[ci] += diff
+                        stream[0] = prev_dc[ci] << al
+                        if not progressive:
+                            k = 1
+                            ac = htables[(1, ta)]
+                            while k < 64:
+                                sym = ac.decode(br)
+                                if sym == 0x00:
+                                    break
+                                if sym == 0xF0:
+                                    k += 16
+                                    continue
+                                run, size = sym >> 4, sym & 0x0F
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC index out of range")
+                                stream[k] = _extend(br.read_bits(size), size)
+                                k += 1
+        return
+    # AC scan: progressive spectral selection, single component
+    if ah > 0:
+        raise ValueError(
+            "AC successive-approximation refinement not supported"
+        )
+    if len(scomps) != 1:
+        raise ValueError("AC scans must be single-component")
+    ci, _, ta = scomps[0]
+    ac = htables[(1, ta)]
+    gh, gw = grids[ci]
+    eobrun = 0
+    for by in range(gh):
+        for bx in range(gw):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            stream = coeffs[ci][by][bx]
+            k = ss
+            while k <= se:
+                sym = ac.decode(br)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + br.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index out of band")
+                stream[k] = _extend(br.read_bits(s), s) << al
+                k += 1
+
+
+def _reconstruct(frame, grids, coeffs, qtables):
+    h, w, comps, sub, _prog = frame
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        gh, gw = grids[ci]
+        q = qtables[tq][_INV_ZZ].reshape(8, 8).astype(np.int64)
+        plane = np.zeros((gh * 8, gw * 8), dtype=np.float64)
+        for by in range(gh):
+            for bx in range(gw):
+                nat = coeffs[ci][by][bx][_INV_ZZ].reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct2(
+                    nat.astype(np.float64)
+                )
+        planes.append(plane)
+    if sub:
+        hh, ww = planes[0].shape
+        out = np.zeros((hh, ww, 3), dtype=np.float64)
+        out[:, :, 0] = planes[0]
+        for ci in (1, 2):
+            up = planes[ci].repeat(2, axis=0).repeat(2, axis=1)
+            out[:, :, ci] = up[:hh, :ww]
+    else:
+        out = np.stack(planes, axis=-1)
     return ycbcr_to_rgb(out[:h, :w] + 128.0)

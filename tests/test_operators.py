@@ -1672,12 +1672,12 @@ def test_jpeg_rejects_unsupported_variants():
 
     with _pytest.raises(ValueError, match="not a JPEG"):
         jpeg.decode_jpeg(b"hello")
-    # progressive SOF2 must raise, not mis-decode
+    # arithmetic-coded SOF9 must raise, not mis-decode
     img = np.full((8, 8, 3), 50, dtype=np.uint8)
     enc = bytearray(jpeg.encode_jpeg(img))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2
-    with _pytest.raises(ValueError, match="baseline"):
+    enc[sof + 1] = 0xC9
+    with _pytest.raises(ValueError, match="SOF0"):
         jpeg.decode_jpeg(bytes(enc))
 
 
@@ -2033,3 +2033,31 @@ def test_kmv_sketch_exact_below_capacity(spark):
     sk = sketches.kmv_sketch(df, "v", k=64).collect()
     assert len(sk) == 7
     assert sketches.kmv_distinct_estimate(sk, k=64) == 7.0
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) decode: the multi-scan layout — DC
+    successive approximation + per-component spectral-selection AC
+    bands — must reconstruct EXACTLY the same pixels as the baseline
+    encoding of the same source (identical coefficients, independent
+    scan structure), for even, odd, and tiny dimensions."""
+    import numpy as np
+
+    from sparkplans.operators import jpeg
+
+    for h, w in ((40, 56), (37, 51), (8, 8), (5, 11)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                xx * 255 // max(w - 1, 1),
+                yy * 255 // max(h - 1, 1),
+                (xx + yy) * 3 % 200,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=88))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=88, progressive=True)
+        )
+        assert prog.shape == img.shape
+        assert (prog == base).all(), (h, w)
