@@ -9,16 +9,18 @@ involvement, scales with partitions.
 
 Codec reality map: ALL THREE modalities have fully real branches with
 no external library —
-  images: PPM (pure numpy), PNG (stdlib zlib + numpy unfiltering),
-          BMP (struct + numpy), baseline JPEG (full T.81
-          encoder/decoder in operators/jpeg: DCT, quantization,
-          canonical Huffman, JFIF color), plus a magic-sniffing
+  images: PPM (pure numpy), PNG incl. Adam7 interlace (stdlib zlib
+          + numpy unfiltering), BMP (struct + numpy), JPEG — baseline
+          4:4:4/4:2:0 AND progressive SOF2 (full T.81
+          encoder/decoder in operators/jpeg), GIF incl. animation +
+          LZW + interlace (operators/gif), plus a magic-sniffing
           ``decode_image`` dispatcher → decode / featurize / resize;
   audio:  WAV PCM16 (struct + numpy) → decode / linear-interp
           resample / RMS-ZCR-spectral-centroid features;
   video:  Y4M / YUV4MPEG2 (ffmpeg's uncompressed interchange format,
           pure numpy) → decode / timestamp frame sampling /
-          scene-cut detection.
+          scene-cut detection; animated GIF frames sample over their
+          own delay timeline through the same schema.
 Only compressed-audio/video formats that genuinely require external
 codec libraries (MP3/OGG, H.264/MP4) remain stubbed behind
 ``_HAVE_CODECS``: real Spark plumbing (schemas, batching, partition
@@ -941,8 +943,12 @@ def decode_image(payload: bytes):
         from sparkplans.operators.jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b.startswith(b"GIF8"):
+        from sparkplans.operators.gif import decode_gif
+
+        return decode_gif(b)[0][0]  # first frame of a (possibly animated) GIF
     raise ValueError(
-        "unsupported image format (PNG/PPM/BMP/JPEG decodable here)"
+        "unsupported image format (PNG/PPM/BMP/JPEG/GIF decodable here)"
     )
 
 
@@ -1360,4 +1366,42 @@ def resize_images_real(
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         batches, RESIZED_SCHEMA
+    )
+
+
+def sample_gif_frames(media: DataFrame, every_ms: int = 100) -> DataFrame:
+    """REAL frame sampling for animated GIF payloads (image/gif):
+    frames composite per the stream's own delays; one output row per
+    every_ms tick with the luma stats of the frame active at that
+    time — web-media animation handled by the same schema as the Y4M
+    video branch."""
+    import numpy as np
+
+    from sparkplans.operators.gif import decode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames, delays = decode_gif(bytes(r["payload"]))
+                total = sum(delays)
+                starts = np.cumsum([0] + delays[:-1])
+                t = 0
+                while t < total:
+                    idx = int(np.searchsorted(starts, t, side="right") - 1)
+                    y = (
+                        0.299 * frames[idx, :, :, 0]
+                        + 0.587 * frames[idx, :, :, 1]
+                        + 0.114 * frames[idx, :, :, 2]
+                    )
+                    rows.append(
+                        (r["media_id"], idx, int(t), float(y.mean()), float(y.std()))
+                    )
+                    t += every_ms
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "t_ms", "luma_mean", "luma_std"]
+            )
+
+    return media.filter(F.col("mime") == "image/gif").mapInPandas(
+        batches, Y4M_FRAME_SCHEMA
     )

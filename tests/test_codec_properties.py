@@ -130,12 +130,14 @@ def test_dhash_invariant_under_lossless_reencode(hw, seed):
 def test_decoders_reject_garbage(data):
     """Arbitrary non-magic bytes never decode to an image/clip: every
     decoder raises ValueError instead of mis-parsing."""
+    from sparkplans.operators import gif
+
     for dec in (mm.decode_ppm, mm.decode_png, mm.decode_bmp,
                 mm.decode_wav, mm.decode_y4m, jpeg.decode_jpeg,
-                mm.decode_image):
+                gif.decode_gif, mm.decode_image):
         magic_ok = (
             data[:2] in (b"P6", b"BM", b"\xff\xd8")
-            or data[:4] == b"RIFF"
+            or data[:4] in (b"RIFF", b"GIF8")
             or data[:8] == mm._PNG_SIG
             or data[:9] == b"YUV4MPEG2"
         )
@@ -177,3 +179,25 @@ def test_png_adam7_interlaced_roundtrip(hw, channels, seed):
     dec = mm.decode_png(mm.encode_png(img, interlace=True))
     assert dec.shape == img.shape and (dec == img).all()
     assert (mm.decode_png(mm.encode_png(img)) == dec).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.tuples(
+        st.integers(min_value=1, max_value=16),
+        st.integers(min_value=1, max_value=16),
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_roundtrip_property(hw, n_frames, interlace, seed):
+    """GIF round-trips exactly (palette <=256 colors by construction)
+    for every size, frame count, and interlace mode."""
+    from sparkplans.operators import gif
+
+    rng = np.random.default_rng(seed)
+    cols = rng.integers(0, 256, size=(32, 3)).astype("uint8")
+    frames = cols[rng.integers(0, 32, size=(n_frames, *hw))]
+    dec, _ = gif.decode_gif(gif.encode_gif(frames, interlace=interlace))
+    assert dec.shape == frames.shape and (dec == frames).all()

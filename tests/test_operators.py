@@ -2061,3 +2061,44 @@ def test_jpeg_progressive_roundtrip_matches_baseline():
         )
         assert prog.shape == img.shape
         assert (prog == base).all(), (h, w)
+
+
+def test_gif_codec_and_animated_frame_sampling(spark):
+    """GIF branch: exact-palette round trips (plain, interlaced,
+    animated with delays); decode_image returns the first frame; and
+    animated frame sampling walks the stream's own delay timeline."""
+    import numpy as np
+
+    from sparkplans.operators import gif
+
+    rng = np.random.default_rng(13)
+    cols = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    anim = np.stack(
+        [cols[rng.integers(0, 64, size=(10, 14))] for _ in range(3)]
+    )
+    payload = gif.encode_gif(anim, delays_ms=[100, 200, 100])
+    frames, delays = gif.decode_gif(payload)
+    assert (frames == anim).all() and delays == [100, 200, 100]
+    assert (multimodal.decode_image(payload) == anim[0]).all()
+    inter = gif.encode_gif(anim[0], interlace=True)
+    assert (multimodal.decode_image(inter) == anim[0]).all()
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/gif", payload, 14, 10, 400)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        multimodal.sample_gif_frames(media, every_ms=100).collect(),
+        key=lambda r: r.t_ms,
+    )
+    # timeline: frame0 at 0, frame1 at 100+200ms, frame2 at 300
+    assert [(r.t_ms, r.frame_idx) for r in rows] == [
+        (0, 0), (100, 1), (200, 1), (300, 2),
+    ]
+    for r in rows:
+        y = (
+            0.299 * anim[r.frame_idx, :, :, 0]
+            + 0.587 * anim[r.frame_idx, :, :, 1]
+            + 0.114 * anim[r.frame_idx, :, :, 2]
+        )
+        assert r.luma_mean == pytest.approx(float(y.mean()))
