@@ -15,8 +15,10 @@ no external library —
           encoder/decoder in operators/jpeg), GIF incl. animation +
           LZW + interlace (operators/gif), plus a magic-sniffing
           ``decode_image`` dispatcher → decode / featurize / resize;
-  audio:  WAV PCM16 (struct + numpy) → decode / linear-interp
-          resample / RMS-ZCR-spectral-centroid features;
+  audio:  WAV PCM16 + G.711 mu-law/A-law telephony codings (struct
+          + numpy) → decode / linear-interp resample /
+          RMS-ZCR-spectral-centroid features / voice-activity
+          detection;
   video:  Y4M / YUV4MPEG2 (ffmpeg's uncompressed interchange format,
           pure numpy) → decode / timestamp frame sampling /
           scene-cut detection; animated GIF frames sample over their
@@ -708,10 +710,48 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _mulaw_expand(u):
+    """ITU-T G.711 mu-law byte -> linear PCM16 (vectorized numpy)."""
+    import numpy as np
+
+    u = ~np.asarray(u, dtype=np.uint8)
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_expand(a):
+    """ITU-T G.711 A-law byte -> linear PCM16 (vectorized numpy)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.uint8) ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def mulaw_compress(pcm) -> "bytes":
+    """Linear PCM16 -> G.711 mu-law bytes (the encoder used by the
+    synthetic telephony fixtures; inverse of :func:`_mulaw_expand`)."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
+
+
 def decode_wav(payload: bytes):
-    """Decode RIFF/WAVE PCM16 to ((n, channels) int16 array, rate).
-    Walks the chunk list (tolerating extra chunks like LIST/fact);
-    PCM16 only — anything else raises."""
+    """Decode RIFF/WAVE to ((n, channels) int16 array, rate).  Walks
+    the chunk list (tolerating extra chunks like LIST/fact).  Formats:
+    PCM16 (1), A-law (6) and mu-law (7) — the G.711 codings used by
+    telephony/speech corpora, expanded to linear PCM16."""
     import struct
 
     import numpy as np
@@ -725,17 +765,58 @@ def decode_wav(payload: bytes):
         chunk = payload[pos + 8 : pos + 8 + length]
         if typ == b"fmt ":
             audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", chunk[:16])
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError("only PCM16 WAV supported")
-            fmt = (ch, rate)
+            if audio_fmt == 1 and bits == 16:
+                pass
+            elif audio_fmt in (6, 7) and bits == 8:
+                pass
+            else:
+                raise ValueError("only PCM16 / G.711 A-law / mu-law WAV supported")
+            fmt = (audio_fmt, ch, rate)
         elif typ == b"data":
             data = chunk
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    ch, rate = fmt
-    a = np.frombuffer(data, dtype="<i2")
+    audio_fmt, ch, rate = fmt
+    if audio_fmt == 1:
+        a = np.frombuffer(data, dtype="<i2")
+    elif audio_fmt == 7:
+        a = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:
+        a = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     return a.reshape(len(a) // ch, ch), rate
+
+
+def encode_wav_g711(samples, sample_rate: int = 8000, law: str = "mulaw") -> bytes:
+    """Encode int16 samples as an 8-bit G.711 WAV (format 7 mu-law or
+    6 A-law) — the telephony container."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if law == "mulaw":
+        data, code = mulaw_compress(a.reshape(-1)), 7
+    else:
+        # A-law compress via inverting the expand table (exact for
+        # every byte value: build the 256-entry codebook and match)
+        lut = _alaw_expand(np.arange(256, dtype=np.uint8)).astype(np.int32)
+        flat = a.reshape(-1).astype(np.int32)
+        data = np.abs(flat[:, None] - lut[None, :]).argmin(axis=1).astype(
+            np.uint8
+        ).tobytes()
+        code = 6
+    byte_rate = sample_rate * ch
+    fmt = struct.pack("<HHIIHH", code, ch, sample_rate, byte_rate, ch, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def wav_feature_row(payload: bytes) -> tuple:

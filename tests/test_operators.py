@@ -2102,3 +2102,40 @@ def test_gif_codec_and_animated_frame_sampling(spark):
             + 0.114 * anim[r.frame_idx, :, :, 2]
         )
         assert r.luma_mean == pytest.approx(float(y.mean()))
+
+
+def test_g711_wav_support(spark):
+    """G.711 telephony WAVs (format 7 mu-law / 6 A-law) decode through
+    the same decode_wav path: mu-law compress/expand is the standard
+    255-fixpoint byte involution, container round-trips keep the
+    G.711 quantization bound, and the feature extractor consumes a
+    mu-law media table unchanged."""
+    import numpy as np
+
+    bytes_in = np.arange(256, dtype=np.uint8)
+    back = np.frombuffer(
+        multimodal.mulaw_compress(multimodal._mulaw_expand(bytes_in)),
+        dtype=np.uint8,
+    )
+    assert (back == bytes_in).sum() == 255  # 0x7F/0xFF negative-zero pair
+
+    t = np.arange(800) / 8000
+    tone = np.round(12000 * np.sin(2 * np.pi * 300 * t)).astype(np.int16)
+    for law in ("mulaw", "alaw"):
+        dec, rate = multimodal.decode_wav(
+            multimodal.encode_wav_g711(tone, 8000, law=law)
+        )
+        assert rate == 8000 and dec.shape == (800, 1)
+        rel = np.abs(dec[:, 0].astype(int) - tone.astype(int)) / np.maximum(
+            np.abs(tone.astype(int)), 64
+        )
+        assert rel.max() <= 0.13  # half-step G.711 quantization bound
+
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav",
+          multimodal.encode_wav_g711(tone, 8000, law="mulaw"), None, None, 100)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.decode_wav_features(media).collect()
+    assert len(feats) == 1 and feats[0].sample_rate == 8000
+    assert feats[0].n_samples == 800
