@@ -23,11 +23,15 @@ no external library —
           pure numpy) → decode / timestamp frame sampling /
           scene-cut detection; animated GIF frames sample over their
           own delay timeline through the same schema.
-Only compressed-audio/video formats that genuinely require external
-codec libraries (MP3/OGG, H.264/MP4) remain stubbed behind
-``_HAVE_CODECS``: real Spark plumbing (schemas, batching, partition
-flow) with a deterministic fake decode, and a ``NotImplementedError``
-on the true path.  Swap ``_fake_decode_*`` for real codec calls in
+Only compressed-audio/video BITSTREAMS that genuinely require
+external codec libraries (MP3/OGG frames, H.264/MP4 video) remain
+stubbed behind ``_HAVE_CODECS`` — and even those get REAL
+container-level metadata probes (`extract_media_metadata` /
+operators/mediaprobe: MP4 box walk, MP3 frame headers), because
+duration/codec/bitrate gates are what a pipeline needs from them.
+The stubs keep real Spark plumbing (schemas, batching, partition
+flow) with a deterministic fake decode and a ``NotImplementedError``
+on the true path; swap ``_fake_decode_*`` for real codec calls in
 production.
 """
 
@@ -1486,3 +1490,54 @@ def sample_gif_frames(media: DataFrame, every_ms: int = 100) -> DataFrame:
     return media.filter(F.col("mime") == "image/gif").mapInPandas(
         batches, Y4M_FRAME_SCHEMA
     )
+
+
+MEDIA_METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("detail", StringType()),
+    ]
+)
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """Container-metadata extraction for the compressed formats whose
+    bitstreams stay stubbed (H.264-in-MP4, MP3): REAL box/frame-header
+    parsers (`operators/mediaprobe`) pull duration, codec fourccs,
+    bitrate and sample rate — the filter/route/gate metadata a media
+    pipeline needs even without decoding a single frame.  Same
+    Arrow-batched mapInPandas flow as the codec branches."""
+    from sparkplans.operators import mediaprobe
+
+    def probe_one(b: bytes) -> tuple:
+        raw = bytes(b or b"")
+        if len(raw) > 8 and raw[4:8] == b"ftyp":
+            m = mediaprobe.probe_mp4(raw)
+            detail = ",".join(
+                f"{t['handler']}:{t['codec']}" for t in m["tracks"]
+            )
+            return "mp4", m["duration_ms"], detail
+        m = mediaprobe.probe_mp3(raw)
+        return (
+            "mp3",
+            m["est_duration_ms"],
+            f"{m['bitrate_kbps']}kbps:{m['sample_rate']}Hz:{m['channel_mode']}",
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            probed = pdf["payload"].map(probe_one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "container": probed.map(lambda t: t[0]),
+                    "duration_ms": probed.map(lambda t: t[1]).astype("int64"),
+                    "detail": probed.map(lambda t: t[2]),
+                }
+            )
+
+    return media.filter(
+        F.col("mime").isin("video/mp4", "audio/mpeg")
+    ).mapInPandas(batches, MEDIA_METADATA_SCHEMA)

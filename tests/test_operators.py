@@ -2139,3 +2139,26 @@ def test_g711_wav_support(spark):
     feats = multimodal.decode_wav_features(media).collect()
     assert len(feats) == 1 and feats[0].sample_rate == 8000
     assert feats[0].n_samples == 800
+
+
+def test_media_metadata_probes(spark):
+    """Container probes for the stubbed-bitstream formats: MP4 box
+    walk yields duration + track codecs; MP3 frame headers yield
+    bitrate/rate/mode + the CBR duration estimate — through the same
+    mapInPandas flow, no bitstream decode anywhere."""
+    from sparkplans.operators import mediaprobe
+
+    rows = [
+        (1, "video", "video/mp4",
+         mediaprobe.build_minimal_mp4(duration_ms=4200), None, None, 4200),
+        (2, "audio", "audio/mpeg",
+         mediaprobe.build_mp3_header(192, 48000, mono=True, n_frames=50),
+         None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.extract_media_metadata(media).collect()}
+    assert got[1].container == "mp4" and got[1].duration_ms == 4200
+    assert got[1].detail == "vide:avc1,soun:mp4a"
+    assert got[2].container == "mp3"
+    assert got[2].detail.startswith("192kbps:48000Hz:mono")
+    assert got[2].duration_ms > 0
