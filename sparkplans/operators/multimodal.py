@@ -1541,3 +1541,108 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     return media.filter(
         F.col("mime").isin("video/mp4", "audio/mpeg")
     ).mapInPandas(batches, MEDIA_METADATA_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Audio fingerprinting (spectral-peak constellation) + audio near-dup
+# ---------------------------------------------------------------------
+# The audio member of the cross-modal dedup family (text: MinHash /
+# segments, images: dHash): robust landmark hashes over the
+# spectrogram — (anchor frequency, target frequency, frame delta)
+# triples survive re-encoding, G.711 quantization, and level changes,
+# so near-identical recordings share many hashes.  Fingerprint
+# extraction is per-clip numpy in mapInPandas; MATCHING is a plain
+# hash equi-join + group count — JVM-side and shuffle-bounded by the
+# fingerprint table (rows ~ peaks x fanout, not samples).
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fp_hash", LongType()),
+        StructField("t_anchor", IntegerType()),
+    ]
+)
+
+
+def _spectral_peaks(payload: bytes, n_fft: int = 256, hop: int = 128,
+                    peaks_per_frame: int = 3):
+    """Hann-windowed STFT -> per-frame top-k bins above the global
+    median floor; returns [(frame, bin)] sorted."""
+    import numpy as np
+
+    a, rate = decode_wav(payload)
+    mono = a.mean(axis=1).astype(np.float64)
+    if len(mono) < n_fft:
+        mono = np.pad(mono, (0, n_fft - len(mono)))
+    n_frames = 1 + (len(mono) - n_fft) // hop
+    win = np.hanning(n_fft)
+    frames = np.stack(
+        [mono[i * hop : i * hop + n_fft] * win for i in range(n_frames)]
+    )
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    floor = np.median(mag) * 2
+    out = []
+    for t in range(n_frames):
+        row = mag[t]
+        top = np.argsort(row)[-peaks_per_frame:]
+        for b in top:
+            if row[b] > floor:
+                out.append((t, int(b)))
+    return out
+
+
+def audio_fingerprints(
+    media: DataFrame, fanout_frames: int = 4
+) -> DataFrame:
+    """(media_id, fp_hash, t_anchor) landmark hashes: each spectral
+    peak pairs with peaks up to ``fanout_frames`` ahead; the hash
+    packs (f_anchor, f_target, dt)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                peaks = _spectral_peaks(bytes(r["payload"]))
+                by_frame: dict[int, list[int]] = {}
+                for t, b in peaks:
+                    by_frame.setdefault(t, []).append(b)
+                for t, b in peaks:
+                    for dt in range(1, fanout_frames + 1):
+                        for b2 in by_frame.get(t + dt, ()):
+                            h = (b << 20) | (b2 << 8) | dt
+                            rows.append((r["media_id"], h, t))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fp_hash", "t_anchor"]
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, AUDIO_FP_SCHEMA
+    )
+
+
+def audio_near_dups(media: DataFrame, min_matches: int = 20) -> DataFrame:
+    """Audio near-dup pairs: clips sharing >= min_matches DISTINCT
+    landmark hashes with a CONSISTENT time offset (the constellation
+    alignment check: matching hashes from the same recording line up
+    at one anchor-time delta).  Join + group count, all JVM-side."""
+    fp = audio_fingerprints(media)
+    a = fp.select(
+        F.col("media_id").alias("id_a"),
+        "fp_hash",
+        F.col("t_anchor").alias("ta"),
+    )
+    b = fp.select(
+        F.col("media_id").alias("id_b"),
+        "fp_hash",
+        F.col("t_anchor").alias("tb"),
+    )
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dt", F.col("ta") - F.col("tb"))
+        .groupBy("id_a", "id_b", "dt")
+        .agg(F.countDistinct("fp_hash").alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("n_matches").alias("n_matches"))
+    )

@@ -2162,3 +2162,36 @@ def test_media_metadata_probes(spark):
     assert got[2].container == "mp3"
     assert got[2].detail.startswith("192kbps:48000Hz:mono")
     assert got[2].duration_ms > 0
+
+
+def test_audio_near_dups_constellation(spark):
+    """Audio dedup showcase: the same tone sequence re-encoded through
+    G.711 mu-law (lossy) matches its PCM original with many aligned
+    landmark hashes; a different tone sequence does not pair."""
+    import numpy as np
+
+    rate = 8000
+
+    def tone_seq(freqs):
+        segs = []
+        for f in freqs:
+            t = np.arange(rate // 5) / rate  # 200 ms per tone
+            segs.append(np.round(16000 * np.sin(2 * np.pi * f * t)))
+        return np.concatenate(segs).astype(np.int16)
+
+    melody = tone_seq([440, 660, 550, 880, 495, 770])
+    # a genuinely different melody (far-separated bins; a ~5%
+    # detune would share bins through spectral leakage by design —
+    # constellation hashing is deliberately robust to small shifts)
+    other = tone_seq([300, 1200, 700, 1500, 350, 2000])
+    rows = [
+        (1, "audio", "audio/wav", multimodal.encode_wav(melody, rate), None, None, 1200),
+        (2, "audio", "audio/wav",
+         multimodal.encode_wav_g711(melody, rate, law="mulaw"), None, None, 1200),
+        (3, "audio", "audio/wav", multimodal.encode_wav(other, rate), None, None, 1200),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = {(r.id_a, r.id_b): r.n_matches
+             for r in multimodal.audio_near_dups(media, min_matches=50).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 50
+    assert (1, 3) not in pairs and (2, 3) not in pairs
