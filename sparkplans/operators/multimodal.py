@@ -1646,3 +1646,84 @@ def audio_near_dups(media: DataFrame, min_matches: int = 20) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.max("n_matches").alias("n_matches"))
     )
+
+
+VIDEO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def video_frame_dhashes(media: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes for Y4M clips: dHash of each
+    frame's luma plane — the video fingerprint table (8 bytes per
+    frame, ~1/10^5 of raw clip bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames, _fps = decode_y4m(bytes(r["payload"]))
+                for i in range(frames.shape[0]):
+                    rows.append(
+                        (r["media_id"], i, dhash_array(frames[i, :, :, 0]))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "dhash"])
+
+    return media.filter(F.col("mime") == "video/x-yuv4mpeg").mapInPandas(
+        batches, VIDEO_FP_SCHEMA
+    )
+
+
+def video_near_dups(
+    media: DataFrame, max_hamming: int = 6, min_matching_frames: int = 3
+) -> DataFrame:
+    """Video near-dup pairs: clips sharing >= min_matching_frames
+    frames whose luma dHashes are within ``max_hamming`` — the video
+    member of the cross-modal dedup family.  Candidates via the same
+    16-bit band equi-join as image_near_dups (never all-pairs);
+    matching is join + group count over the 8-byte-per-frame
+    fingerprint table, JVM-side."""
+    h = video_frame_dhashes(media)
+    bands = h.select(
+        "media_id",
+        "frame_idx",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftright(F.col("dhash"), 16 * bnd)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for bnd in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "frame_idx", "dhash", "bk.band", "bk.key")
+    a = bands.select(
+        "band", "key",
+        F.col("media_id").alias("id_a"), F.col("frame_idx").alias("fa"),
+        F.col("dhash").alias("ha"),
+    )
+    b = bands.select(
+        "band", "key",
+        F.col("media_id").alias("id_b"), F.col("frame_idx").alias("fb"),
+        F.col("dhash").alias("hb"),
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fa", "fb", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fa").alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )

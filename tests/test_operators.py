@@ -2195,3 +2195,39 @@ def test_audio_near_dups_constellation(spark):
              for r in multimodal.audio_near_dups(media, min_matches=50).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 50
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_video_near_dups_frame_dhash(spark):
+    """Video dedup: a mildly noised re-render of the same clip pairs
+    with the original via per-frame luma dHashes; an unrelated clip
+    does not."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    h, w, n = 32, 48, 6
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.zeros((n, h, w, 3), dtype=np.uint8)
+    for f in range(n):
+        base[f, :, :, 0] = ((xx * 2 + yy + 12 * f) % 200).astype("uint8")
+        base[f, :, :, 1:] = 128
+    noised = base.copy()
+    noised[:, :, :, 0] = np.clip(
+        noised[:, :, :, 0].astype(int) + rng.integers(-2, 3, (n, h, w)), 0, 255
+    ).astype("uint8")
+    other = np.zeros_like(base)
+    for f in range(n):
+        other[f, :, :, 0] = rng.integers(0, 256, (h, w)).astype("uint8")
+        other[f, :, :, 1:] = 128
+    rows = [
+        (i, "video", "video/x-yuv4mpeg", encode, w, h, 600)
+        for i, encode in (
+            (1, multimodal.encode_y4m(base, 10, 1)),
+            (2, multimodal.encode_y4m(noised, 10, 1)),
+            (3, multimodal.encode_y4m(other, 10, 1)),
+        )
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = {(r.id_a, r.id_b): r.n_matching_frames
+             for r in multimodal.video_near_dups(media).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
