@@ -1727,3 +1727,24 @@ def video_near_dups(
         .agg(F.countDistinct("fa").alias("n_matching_frames"))
         .filter(F.col("n_matching_frames") >= min_matching_frames)
     )
+
+
+def media_near_dups(media: DataFrame) -> DataFrame:
+    """Cross-modal near-dup facade: route each media kind to its
+    dedup family — images by dHash banding, audio by constellation
+    fingerprints, video by per-frame dHashes — and return one unified
+    (kind, id_a, id_b, score) frame.  Each branch keeps its own scale
+    shape; the union is just a plan union."""
+    img = image_near_dups(media).select(
+        F.lit("image").alias("kind"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    aud = audio_near_dups(media).select(
+        F.lit("audio").alias("kind"), "id_a", "id_b",
+        F.col("n_matches").cast("double").alias("score"),
+    )
+    vid = video_near_dups(media).select(
+        F.lit("video").alias("kind"), "id_a", "id_b",
+        F.col("n_matching_frames").cast("double").alias("score"),
+    )
+    return img.unionByName(aud).unionByName(vid)

@@ -2231,3 +2231,50 @@ def test_video_near_dups_frame_dhash(spark):
              for r in multimodal.video_near_dups(media).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 3
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_media_near_dups_cross_modal_facade(spark):
+    """One media table with planted dups in every modality; the
+    facade finds exactly the image, audio, and video pairs."""
+    import numpy as np
+
+    from sparkplans.operators import jpeg
+
+    rng = np.random.default_rng(77)
+    # image pair: same picture as PNG and JPEG
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx * yy) % 151], axis=-1
+    ).astype("uint8")
+    # audio pair: melody as PCM and mu-law
+    rate = 8000
+
+    def tone_seq(freqs):
+        return np.concatenate(
+            [np.round(16000 * np.sin(2 * np.pi * f * np.arange(rate // 5) / rate))
+             for f in freqs]
+        ).astype(np.int16)
+
+    mel = tone_seq([440, 660, 550, 880, 495, 770])
+    # video pair: clip and its noised re-render
+    vb = np.zeros((6, h, w, 3), dtype=np.uint8)
+    for f in range(6):
+        vb[f, :, :, 0] = ((xx * 2 + yy + 12 * f) % 200).astype("uint8")
+        vb[f, :, :, 1:] = 128
+    vn = vb.copy()
+    vn[:, :, :, 0] = np.clip(
+        vn[:, :, :, 0].astype(int) + rng.integers(-2, 3, vn.shape[:3]), 0, 255
+    ).astype("uint8")
+    rows = [
+        (1, "image", "image/png", multimodal.encode_png(img), w, h, None),
+        (2, "image", "image/jpeg", jpeg.encode_jpeg(img, quality=90), w, h, None),
+        (3, "audio", "audio/wav", multimodal.encode_wav(mel, rate), None, None, 1200),
+        (4, "audio", "audio/wav",
+         multimodal.encode_wav_g711(mel, rate, law="mulaw"), None, None, 1200),
+        (5, "video", "video/x-yuv4mpeg", multimodal.encode_y4m(vb, 10, 1), w, h, 600),
+        (6, "video", "video/x-yuv4mpeg", multimodal.encode_y4m(vn, 10, 1), w, h, 600),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {(r.kind, r.id_a, r.id_b) for r in multimodal.media_near_dups(media).collect()}
+    assert got == {("image", 1, 2), ("audio", 3, 4), ("video", 5, 6)}
