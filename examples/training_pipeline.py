@@ -109,13 +109,14 @@ def main() -> None:
     print(f"[8] committed curated corpus v{v} at {root}: "
           f"{table.read().count()} docs")
 
-    # multimodal side-car: real codecs + perceptual-hash dedup
+    # multimodal side-car: real codecs + cross-modal perceptual dedup
     media = multimodal.synthetic_png_media(spark, n=12)
     feats = multimodal.extract_image_features_real(media)
     print(f"[9] media featurized: {feats.count()} images "
           f"(real PNG decode, Arrow-batched)")
-    pairs = multimodal.image_near_dups(media, max_hamming=6)
-    print(f"[9] image near-dup pairs: {pairs.count()}")
+    pairs = multimodal.media_near_dups(media)
+    print(f"[9] cross-modal near-dup pairs: {pairs.count()} "
+          f"(image dHash / audio constellation / video frame-dhash)")
 
     spark.stop()
 
