@@ -1895,3 +1895,73 @@ def q_cusum_changepoint(spark, sf_dir):
             .alias("cusum_score"),
         )
     )
+
+
+@register(
+    "daily_trend_slope",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT event_type, y,
+             CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT)
+               AS x
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM idx GROUP BY event_type
+    )
+    SELECT event_type,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope_per_day,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS intercept
+    FROM s
+    """,
+)
+def q_daily_trend_slope(spark, sf_dir):
+    """Per-series OLS trend: daily event counts regressed on the day
+    index — the capacity-planning "is volume growing" number.  Every
+    accumulated quantity (Σx, Σy, Σx², Σxy over integer day indexes
+    and counts) is an exact BIGINT, so slope and intercept come from
+    single divisions of identical integers on both engines — the
+    closed-form normal equations with zero float accumulation.  One
+    (type, day) agg + one type-keyed min-window + one type agg."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("bigint").alias("x"),
+    )
+    s = idx.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / den,
+            6,
+        ).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / den,
+            6,
+        ).alias("intercept"),
+    )

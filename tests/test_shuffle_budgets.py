@@ -241,6 +241,8 @@ BUDGETS = {
     "seasonal_decomposition": 4,
     # daily agg + totals + type-keyed cusum/argmax windows
     "cusum_changepoint": 3,
+    # daily agg + type-keyed min-window/normal-equation agg
+    "daily_trend_slope": 2,
     # pure projection: split is a hash of the scanned id, zero shuffles
     "stratified_split": 0,
     # one source-keyed window + fan_out repartition of the small scan
