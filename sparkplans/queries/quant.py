@@ -1965,3 +1965,64 @@ def q_daily_trend_slope(spark, sf_dir):
             6,
         ).alias("intercept"),
     )
+
+
+@register(
+    "daily_autocorr_lag1",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pairs AS (
+      SELECT event_type, y AS a,
+             lead(y) OVER (PARTITION BY event_type ORDER BY day) AS b
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(a) AS sa, sum(b) AS sb,
+             sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+      FROM pairs WHERE b IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type,
+           round(CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST((n * saa - sa * sa) AS DOUBLE)
+                        * (n * sbb - sb * sb)), 6) AS autocorr_lag1
+    FROM s
+    """,
+)
+def q_daily_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of daily volumes per series — the
+    persistence diagnostic behind forecastability checks.  Pearson r
+    over (y_t, y_{t+1}) pairs with every sum an exact BIGINT; one
+    division and one sqrt at the edge give engine-identical doubles
+    (same discipline as daily_trend_slope)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.col("y").alias("a"),
+        F.lead("y").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return s.select(
+        "event_type", F.round(num / den, 6).alias("autocorr_lag1")
+    )

@@ -243,6 +243,7 @@ BUDGETS = {
     "cusum_changepoint": 3,
     # daily agg + type-keyed min-window/normal-equation agg
     "daily_trend_slope": 2,
+    "daily_autocorr_lag1": 2,
     # pure projection: split is a hash of the scanned id, zero shuffles
     "stratified_split": 0,
     # one source-keyed window + fan_out repartition of the small scan
