@@ -60,6 +60,7 @@ HEADLINE = [
     "stratified_split",
     "curation_pipeline_v2",
     "incremental_dedup_batch",
+    "substring_dedup_docs",
 ]
 
 

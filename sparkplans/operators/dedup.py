@@ -700,3 +700,88 @@ def incremental_near_dedup(
         batch_wide.join(kill, id_col, "left_anti")
     )
     return clean, new_index
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+) -> DataFrame:
+    """Exact-substring deduplication at k-gram granularity: every
+    OVERLAPPING ``k``-word window of every document is a candidate
+    span; for each distinct span the GLOBAL first occurrence (ordered
+    by doc id, then position) survives, and every token covered by a
+    later occurrence is removed before reassembly.
+
+    This is the distributed form of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") ExactSubstr dedup,
+    with the suffix array replaced by a k-gram first-keeper aggregate
+    — the memorization-prone artifact (a verbatim >= k-word span
+    repeated anywhere in the corpus, including boilerplate inside
+    otherwise-unique pages that document-level MinHash cannot see) is
+    removed from all but one site.  Complements
+    :func:`segment_dedup`: segments tile the text (stride = window),
+    spans slide (stride = 1), so a duplicated run is caught at ANY
+    alignment, not only on segment boundaries.
+
+    Returns (id, n_tokens, n_removed, clean_text).
+
+    Scale shape (same skeleton as :func:`segment_dedup`): the window
+    explode is pipelined; the first-keeper is groupBy(span) with
+    min(struct(id, pos)) + count — map-side combined, so a span
+    repeated 10M times contributes one row per map partition; the
+    join-back that finds non-first occurrences is AQE-skew-splittable.
+    Coverage stays array-side: removal starts are collect_set into a
+    per-doc array (bounded by doc length), and token filtering is a
+    JVM lambda over (position, starts) — no per-token shuffle.  Docs
+    shorter than ``k`` words have no spans and pass through intact.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_starts = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    spans = docs.filter(F.size(words) >= k).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(spans_arr).alias("pos", "span"),
+    )
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct("__id", "pos")).alias("__k"),
+        F.count("*").alias("__c"),
+    )
+    dup_starts = (
+        spans.join(firsts, "span")
+        .filter(
+            (F.col("__c") >= 2)
+            & ~(
+                (F.col("__id") == F.col("__k.__id"))
+                & (F.col("pos") == F.col("__k.pos"))
+            )
+        )
+        .groupBy("__id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    covered = lambda j: F.exists(  # noqa: E731 — span start covering token j?
+        F.col("starts"), lambda s: (s <= j) & (j <= s + F.lit(k - 1))
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .join(dup_starts, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.split(F.trim(F.col("__text")), r"\s+").alias("w"),
+            F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+        )
+        .select(
+            id_col,
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter("w", lambda _, j: covered(j))
+            ).cast("bigint").alias("n_removed"),
+            F.concat_ws(
+                " ", F.filter("w", lambda _, j: ~covered(j))
+            ).alias("clean_text"),
+        )
+    )

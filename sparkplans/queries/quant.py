@@ -2026,3 +2026,149 @@ def q_daily_autocorr_lag1(spark, sf_dir):
     return s.select(
         "event_type", F.round(num / den, 6).alias("autocorr_lag1")
     )
+
+
+# ---------------------------------------------------------------------
+# Exact-substring (repeated k-gram span) deduplication
+# ---------------------------------------------------------------------
+
+@register(
+    "substring_dedup_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(range(greatest(len(words) - 5, 0))) AS pos,
+             words
+      FROM w
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(words[pos + 1:pos + 6], ' ') AS span
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY span) AS c
+      FROM grams
+    ),
+    dup_tok AS (
+      SELECT DISTINCT doc_id, tp
+      FROM (SELECT doc_id, pos + unnest(range(6)) AS tp
+            FROM m WHERE c >= 2 AND rn > 1)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(words) AS tok,
+             generate_subscripts(words, 1) - 1 AS tp
+      FROM w
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tp, t.tok
+      FROM toks t
+      LEFT JOIN dup_tok d ON d.doc_id = t.doc_id AND d.tp = t.tp
+      WHERE d.doc_id IS NULL
+    ),
+    reb AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY tp), '') AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.words) AS BIGINT) AS n_tokens,
+           CAST(len(w.words) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM w LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_substring_dedup_docs(spark, sf_dir):
+    """Exact-substring dedup over the corpus
+    (`operators/dedup.remove_repeated_spans`, k=6 words): the
+    distributed form of Lee et al. 2022 ExactSubstr — every token
+    covered by a verbatim 6-word span whose first corpus occurrence
+    is elsewhere is removed, and documents reassemble from surviving
+    tokens.  Fully deterministic, so the whole pipeline (sliding
+    k-grams, global first-keeper, span coverage, reassembly) is
+    hash-checked against the oracle.  ~5% of span starts at sf0.01
+    are non-first duplicates, so the query is non-vacuous."""
+    from sparkplans.operators.dedup import remove_repeated_spans
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    return remove_repeated_spans(d, k=6)
+
+
+@register(
+    "span_contamination_by_source",
+    """
+    WITH w AS (
+      SELECT doc_id, source, str_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(range(greatest(len(words) - 5, 0))) AS pos,
+             words
+      FROM w
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(words[pos + 1:pos + 6], ' ') AS span
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY span) AS c
+      FROM grams
+    ),
+    dup_tok AS (
+      SELECT DISTINCT doc_id, tp
+      FROM (SELECT doc_id, pos + unnest(range(6)) AS tp
+            FROM m WHERE c >= 2 AND rn > 1)
+    ),
+    per_doc AS (
+      SELECT w.doc_id, w.source,
+             len(w.words) AS n_tokens,
+             (SELECT count(*) FROM dup_tok d
+              WHERE d.doc_id = w.doc_id) AS n_removed
+      FROM w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(n_removed) AS BIGINT) AS removed_tokens,
+           round(CAST(sum(n_removed) AS DOUBLE) / sum(n_tokens), 6)
+             AS removed_frac
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_span_contamination_by_source(spark, sf_dir):
+    """Corpus-health rollup of exact-substring contamination: per
+    source, how many token positions sit inside a later occurrence of
+    a repeated 6-word span (the fraction ExactSubstr dedup would cut).
+    The per-doc removal counts come from the same operator as
+    `substring_dedup_docs`; the rollup joins the (doc, source) dim
+    back and aggregates — integer sums, one IEEE divide at the edge.
+
+    Scale: the heavy lifting is the span first-keeper aggregate (map-
+    side combined); the rollup adds one small shuffle on source."""
+    from sparkplans.operators.dedup import remove_repeated_spans
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    per_doc = remove_repeated_spans(d, k=6)
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.sum("n_removed").cast("bigint").alias("removed_tokens"),
+            F.round(
+                F.sum("n_removed").cast("double") / F.sum("n_tokens"), 6
+            ).alias("removed_frac"),
+        )
+    )

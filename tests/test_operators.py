@@ -1611,6 +1611,90 @@ def test_segment_dedup_partial_tail_segment(spark):
     assert out[2].clean_text == ""
 
 
+# -- exact-substring (repeated k-gram span) dedup ---------------------------
+
+
+def test_remove_repeated_spans_planted(spark):
+    """A verbatim 6-word span copied into a later doc is cut from the
+    copy at ANY alignment (sliding windows, unlike segment tiling);
+    the first occurrence and all unique text survive; docs shorter
+    than k pass through untouched."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "intro words then beta gamma delta epsilon zeta eta tail words"),
+        (3, "totally different tokens nothing shared here at all"),
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_repeated_spans(docs, k=6).collect()}
+    assert out[1].clean_text == rows[0][1] and out[1].n_removed == 0
+    # the copied span sits at token offset 3 in doc 2 — mid-segment,
+    # the alignment segment_dedup(window=6) would miss
+    assert out[2].clean_text == "intro words then tail words"
+    assert out[2].n_tokens == 11 and out[2].n_removed == 6
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == "tiny doc" and out[4].n_tokens == 2
+
+
+def test_remove_repeated_spans_within_doc_repeat(spark):
+    """A span repeated WITHIN one document is also cut after its first
+    occurrence (ExactSubstr semantics: >= 2 corpus occurrences, same
+    doc or not)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f a b c d e f")], "doc_id long, text string"
+    )
+    out = dedup.remove_repeated_spans(docs, k=6).collect()[0]
+    assert out.n_tokens == 12 and out.n_removed == 6
+    assert out.clean_text == "a b c d e f"
+
+
+def test_remove_repeated_spans_matches_pure_python_reference(spark):
+    """remove_repeated_spans vs an independent pure-Python
+    implementation of the spec (every token covered by a non-first
+    occurrence of a duplicated k-gram is removed) on randomized
+    heavily-duplicated corpora."""
+    import random
+    from collections import defaultdict
+
+    def reference(docs, k):
+        occ = defaultdict(list)
+        toks = {}
+        for did, text in sorted(docs):
+            w = text.strip().split()
+            toks[did] = w
+            for i in range(len(w) - k + 1):
+                occ[tuple(w[i : i + k])].append((did, i))
+        removed = defaultdict(set)
+        for lst in occ.values():
+            if len(lst) >= 2:
+                for did, i in sorted(lst)[1:]:
+                    removed[did].update(range(i, i + k))
+        return {
+            did: (
+                len(w),
+                len(removed[did] & set(range(len(w)))),
+                " ".join(t for j, t in enumerate(w) if j not in removed[did]),
+            )
+            for did, w in toks.items()
+        }
+
+    for seed in (7, 42):
+        rng = random.Random(seed)
+        vocab = ["x", "y", "z", "w"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+            for i in range(25)
+        ]
+        want = reference(docs, k=3)
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in dedup.remove_repeated_spans(
+                spark.createDataFrame(docs, "doc_id long, text string"), k=3
+            ).collect()
+        }
+        assert got == want, seed
+
+
 # -- baseline JPEG codec (operators/jpeg) -----------------------------------
 
 

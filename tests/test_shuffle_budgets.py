@@ -346,6 +346,12 @@ BUDGETS = {
     "tokenizer_fertility_by_lang": 2,
     # per-user first-seen agg + per-day rollup + day-ordered run
     "cumulative_distinct_users": 3,
+    # same skeleton as segment_dedup: span first-keeper agg, the
+    # two-sided join-back, per-doc collect_set, reassembly join
+    "substring_dedup_docs": 5,
+    # substring_dedup_docs + the (doc -> source) dim join and the
+    # small source rollup
+    "span_contamination_by_source": 7,
 }
 
 
