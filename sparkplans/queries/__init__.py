@@ -1422,6 +1422,79 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+_CLUSTER_REP_ORACLE = f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand_pairs
+      UNION
+      SELECT id_b, id_a FROM cand_pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    j AS (
+      SELECT c.comp, c.node, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    r AS (
+      SELECT comp, node, n_chars,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY n_chars DESC, node) AS rn,
+             count(*) OVER (PARTITION BY comp) AS sz
+      FROM j)
+    SELECT comp AS cluster_id, node AS rep_id,
+           CAST(n_chars AS BIGINT) AS rep_n_chars,
+           CAST(sz AS BIGINT) AS cluster_size
+    FROM r WHERE rn = 1
+"""
+
+
+@register("cluster_representatives", _CLUSTER_REP_ORACLE)
+def q_cluster_representatives(spark, sf_dir):
+    """Keep-best-in-cluster dedup policy: after near-dup clustering
+    (same LSH pipeline as `dedup_clusters`), each cluster elects the
+    LONGEST member (n_chars, doc_id tie-break) as its canonical
+    representative — the curation rule real pipelines use instead of
+    "keep the lowest id" when near-dups differ in completeness
+    (truncated mirrors, paywalled prefixes).
+
+    Scale shape: the cluster labels come from the checkpointed
+    min-label propagation (bounded rounds); the election is a
+    map-side-combined groupBy of max(struct(n_chars, -doc_id)) plus a
+    count — ONE shuffle keyed by cluster, no window over cluster-sized
+    partitions."""
+    from sparkplans.operators import dedup
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    wide = dedup.minhash_wide(d, num_perm=8)
+    pairs = dedup.lsh_candidate_pairs_wide(wide, num_perm=8, bands=4)
+    comp = dedup.connected_components(pairs)
+    j = comp.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    return (
+        j.groupBy("comp")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").cast("bigint").alias("nc"),
+                    (-F.col("node")).alias("nn"),
+                )
+            ).alias("b"),
+        )
+        .select(
+            F.col("comp").alias("cluster_id"),
+            (-F.col("b.nn")).alias("rep_id"),
+            F.col("b.nc").alias("rep_n_chars"),
+            "cluster_size",
+        )
+    )
+
+
 @register(
     "asof_join_events",
     """

@@ -756,3 +756,83 @@ def q_pagerank_invariants(spark, sf_dir):
         ),
         (F.min("rank") > F.lit(0.0)).alias("all_positive"),
     )
+
+
+# ---------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------
+
+@register(
+    "hard_negatives_per_probe",
+    """
+    WITH probes AS (
+      SELECT vec_id AS probe_id, label AS probe_label, embedding AS p
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT pr.probe_id,
+             round(list_dot_product(e.embedding::DOUBLE[], pr.p::DOUBLE[]) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(pr.p::DOUBLE[],
+                                          pr.p::DOUBLE[]))), 6) AS sim,
+             e.vec_id, e.label
+      FROM embeddings e
+      JOIN probes pr ON e.label <> pr.probe_label),
+    r AS (
+      SELECT probe_id, sim, vec_id, label,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored)
+    SELECT probe_id, vec_id AS neg_id, label AS neg_label,
+           sim AS cos_sim
+    FROM r WHERE rn = 1
+    """,
+)
+def q_hard_negatives_per_probe(spark, sf_dir):
+    """Hard-negative mining (contrastive-training data prep): for
+    each probe vector, the single most cosine-similar corpus vector
+    carrying a DIFFERENT label — the negatives that sit closest to
+    the decision boundary.
+
+    Scale shape: probes broadcast (a training batch is KBs of
+    vectors), scoring is one JVM-side pass over the corpus, and the
+    per-probe argmax is a map-side-combined groupBy of
+    max(struct(sim, -vec_id)) — ONE shuffle of n_probes rows, no
+    window over corpus-sized partitions and no all-pairs.  The
+    similarity is rounded to 6 dp BEFORE the argmax on both engines,
+    so ties break identically (then by min vec_id)."""
+    from sparkplans.functions import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("p"),
+    )
+    scored = (
+        e.join(F.broadcast(probes), F.col("label") != F.col("probe_label"))
+        .select(
+            "probe_id",
+            F.round(cosine_similarity("embedding", "p"), 6).alias("sim"),
+            "vec_id",
+            "label",
+        )
+    )
+    return (
+        scored.groupBy("probe_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("vec_id")).alias("nv"),
+                    F.col("label").alias("nl"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "probe_id",
+            (-F.col("b.nv")).alias("neg_id"),
+            F.col("b.nl").alias("neg_label"),
+            F.col("b.sim").alias("cos_sim"),
+        )
+    )

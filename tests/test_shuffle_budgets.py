@@ -352,6 +352,10 @@ BUDGETS = {
     # substring_dedup_docs + the (doc -> source) dim join and the
     # small source rollup
     "span_contamination_by_source": 7,
+    # probes broadcast; ONE map-side-combined argmax shuffle
+    "hard_negatives_per_probe": 1,
+    # checkpointed cluster labels (0) + doc join-back + election agg
+    "cluster_representatives": 2,
 }
 
 
