@@ -6,6 +6,7 @@ the curation operators in their production order:
   1. quality gates + language ID               (functions/text)
   2. exact dedup                               (operators/dedup)
   3. CCNet segment-level dedup                 (operators/dedup)
+  3b. ExactSubstr repeated-span dedup          (operators/dedup)
   4. MinHash-LSH near-dup dedup                (operators/dedup)
   5. n-gram decontamination vs an eval set     (queries recipe)
   6. stable train/val/test split               (md5 hash ranges)
@@ -66,6 +67,17 @@ def main() -> None:
         .select("doc_id", "lang", "source", F.col("clean_text").alias("text"))
     )
     print(f"[3] segment dedup: -> {cleaned.count()} (reassembled)")
+
+    # 3b. exact-substring dedup: cut verbatim >=6-word spans whose
+    # first occurrence is elsewhere (catches any alignment the tiled
+    # segments missed); keep docs that still have >= 3 words
+    spans = dedup.remove_repeated_spans(cleaned, k=6)
+    cleaned = (
+        spans.filter(F.col("n_tokens") - F.col("n_removed") >= 3)
+        .join(cleaned.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", F.col("clean_text").alias("text"))
+    )
+    print(f"[3b] substring dedup: -> {cleaned.count()} (spans removed)")
 
     # 4. near-dup dedup (MinHash-LSH + verify + connected components)
     near = dedup.deduplicate(cleaned, threshold=0.7)
