@@ -2172,3 +2172,96 @@ def q_span_contamination_by_source(spark, sf_dir):
             ).alias("removed_frac"),
         )
     )
+
+
+@register(
+    "curation_pipeline_v3",
+    """
+    WITH w AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(range(greatest(len(words) - 5, 0))) AS pos,
+             words
+      FROM w
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(words[pos + 1:pos + 6], ' ') AS span
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY span) AS c
+      FROM grams
+    ),
+    dup_tok AS (
+      SELECT DISTINCT doc_id, tp
+      FROM (SELECT doc_id, pos + unnest(range(6)) AS tp
+            FROM m WHERE c >= 2 AND rn > 1)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(words) AS tok,
+             generate_subscripts(words, 1) - 1 AS tp
+      FROM w
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tp, t.tok
+      FROM toks t
+      LEFT JOIN dup_tok d ON d.doc_id = t.doc_id AND d.tp = t.tp
+      WHERE d.doc_id IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    split AS (
+      SELECT r.doc_id, d.lang, r.n_kept,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM reb r
+      JOIN documents d USING (doc_id)
+      CROSS JOIN LATERAL (SELECT ('0x' || substr(md5(r.doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b) h
+      WHERE r.n_kept >= 3
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_kept) AS BIGINT) AS total_tokens
+    FROM split GROUP BY lang, split
+    """,
+)
+def q_curation_pipeline_v3(spark, sf_dir):
+    """Curation composite with the ExactSubstr stage: repeated-span
+    removal (k=6 sliding windows, global first occurrence survives)
+    -> drop docs left with < 3 tokens -> stable hash train/val/test
+    split -> per-(lang, split) doc and token totals.  The DuckDB
+    oracle re-derives the whole chain, so span coverage, reassembly
+    counts, split assignment, and the rollup are all hash-checked as
+    ONE composite.
+
+    At 100 TB each stage keeps its standalone scale shape
+    (`substring_dedup_docs`, `stratified_split` rows in SCALE.md);
+    the split is a pure projection, so composing adds only the final
+    small rollup shuffle."""
+    from sparkplans.operators.dedup import remove_repeated_spans
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    spans = remove_repeated_spans(d, k=6)
+    survivors = spans.withColumn(
+        "n_kept_tok", F.col("n_tokens") - F.col("n_removed")
+    ).filter(F.col("n_kept_tok") >= 3)
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") % 100
+    with_split = survivors.join(d.select("doc_id", "lang"), "doc_id").withColumn(
+        "split",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+    )
+    return with_split.groupBy("lang", "split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_kept_tok").cast("bigint").alias("total_tokens"),
+    )

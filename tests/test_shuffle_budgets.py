@@ -354,6 +354,8 @@ BUDGETS = {
     "span_contamination_by_source": 7,
     # probes broadcast; ONE map-side-combined argmax shuffle
     "hard_negatives_per_probe": 1,
+    # substring_dedup_docs chain + lang dim join + final rollup
+    "curation_pipeline_v3": 7,
     # checkpointed cluster labels (0) + doc join-back + election agg
     "cluster_representatives": 2,
 }
