@@ -299,6 +299,39 @@ def main() -> None:
     print(f"incremental dedup: batch1 kept {clean1.count()}, "
           f"batch2 kept {clean2.count()}, index {seen2.count()} fingerprints")
 
+    # ---- 17: ExactSubstr spans, cluster reps, hard negatives, CBO ----
+    section(17, "span dedup, cluster election, hard negatives, CBO stats")
+    spans = dedup.remove_repeated_spans(docs, k=6)
+    cut = spans.agg(F.sum("n_removed"), F.sum("n_tokens")).collect()[0]
+    print(f"ExactSubstr: {cut[0]}/{cut[1]} tokens inside repeated "
+          "6-word spans removed (first occurrence kept)")
+    import sparkplans.queries as Q
+    reps = Q.REGISTRY["cluster_representatives"].fn(spark, sf_dir)
+    print("cluster representatives (longest member wins):",
+          reps.count(), "near-dup clusters")
+    hn = Q.REGISTRY["hard_negatives_per_probe"].fn(spark, sf_dir)
+    print("hard negatives:", hn.count(),
+          "probe -> closest other-label vector pairs")
+    # CBO: stats flip a 3-table join into the selective-dim-first tree
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable("wt_o")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").saveAsTable("wt_c")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").saveAsTable("wt_li")
+    for t in ("wt_o", "wt_c", "wt_li"):
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    plan = spark.sql(
+        "SELECT count(*) FROM wt_li l "
+        "JOIN wt_o o ON l.l_orderkey = o.o_orderkey "
+        "JOIN wt_c c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING'"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    reordered = plan.index("wt_c") < plan.index("wt_li")
+    print("CBO join reorder moved the selective customer dim "
+          f"innermost: {reordered}")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    for t in ("wt_o", "wt_c", "wt_li"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     spark.stop()
 
 

@@ -17,5 +17,6 @@ def test_walkthrough_runs_clean():
     for marker in [
         "sort elision", "pushed filters", "join strategies: ['BroadcastHashJoin']",
         "HashAggregate stages: 2",
+        "CBO join reorder moved the selective customer dim innermost: True",
     ]:
         assert marker in out, f"walkthrough output missing: {marker}"
