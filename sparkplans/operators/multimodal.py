@@ -1748,3 +1748,95 @@ def media_near_dups(media: DataFrame) -> DataFrame:
         F.col("n_matching_frames").cast("double").alias("score"),
     )
     return img.unionByName(aud).unionByName(vid)
+
+
+# ---------------------------------------------------------------------
+# MFCC features (mel filterbank + DCT) — pure numpy, no librosa
+# ---------------------------------------------------------------------
+
+def _hz_to_mel(f):
+    import numpy as np
+
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype="float64") / 700.0)
+
+
+def _mel_to_hz(m):
+    import numpy as np
+
+    return 700.0 * (10.0 ** (np.asarray(m, dtype="float64") / 2595.0) - 1.0)
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, rate: int):
+    """Triangular HTK-style mel filterbank over rfft bins."""
+    import numpy as np
+
+    pts = _mel_to_hz(
+        np.linspace(_hz_to_mel(0.0), _hz_to_mel(rate / 2.0), n_mels + 2)
+    )
+    bins = np.floor((n_fft + 1) * pts / rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        lo, mid, hi = bins[i], bins[i + 1], bins[i + 2]
+        if mid > lo:
+            fb[i, lo:mid] = (np.arange(lo, mid) - lo) / (mid - lo)
+        if hi > mid:
+            fb[i, mid:hi] = (hi - np.arange(mid, hi)) / (hi - mid)
+    return fb
+
+
+def mfcc_row(
+    payload: bytes,
+    n_mfcc: int = 8,
+    n_mels: int = 20,
+    frame: int = 256,
+    hop: int = 128,
+) -> list:
+    """Mean MFCC vector of one WAV clip: Hann-windowed frames ->
+    power rfft -> triangular mel filterbank -> log -> orthonormal
+    DCT-II -> per-coefficient mean over frames.  Deterministic pure
+    numpy (the librosa default recipe minus pre-emphasis/liftering);
+    clips shorter than one frame yield the all-zero vector."""
+    import numpy as np
+
+    a, rate = decode_wav(payload)
+    mono = a.mean(axis=1).astype("float64")
+    if len(mono) < frame:
+        return [0.0] * n_mfcc
+    n_frames = 1 + (len(mono) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1)) ** 2
+    mel = spec @ _mel_filterbank(n_mels, frame, rate).T
+    logmel = np.log(mel + 1e-10)
+    # orthonormal DCT-II on the mel axis
+    k = np.arange(n_mels)
+    basis = np.cos(np.pi * (k[:, None] + 0.5) * k[None, :n_mfcc] / n_mels)
+    scale = np.full(n_mfcc, np.sqrt(2.0 / n_mels))
+    scale[0] = np.sqrt(1.0 / n_mels)
+    mfcc = (logmel @ basis) * scale
+    return [float(x) for x in mfcc.mean(axis=0)]
+
+
+MFCC_SCHEMA = StructType(
+    [StructField("media_id", LongType())]
+    + [StructField(f"mfcc_{i}", DoubleType()) for i in range(8)]
+)
+
+
+def extract_mfcc(media: DataFrame) -> DataFrame:
+    """MFCCs for every audio/wav row — the canonical learned-model
+    audio feature (speech/music classifiers, audio dedup embeddings).
+    Same Arrow-batched mapInPandas flow as every codec branch; output
+    is 8 SCALAR columns (driver-hashable), one row per clip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(mfcc_row)
+            out = {"media_id": pdf["media_id"]}
+            for i in range(8):
+                out[f"mfcc_{i}"] = feats.map(lambda v, i=i: v[i])
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("mime") == "audio/wav").mapInPandas(
+        batches, MFCC_SCHEMA
+    )

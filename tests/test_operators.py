@@ -1457,6 +1457,64 @@ def test_wav_roundtrip_and_real_features(spark):
         )
 
 
+def test_mfcc_matches_naive_reference_and_discriminates(spark):
+    """extract_mfcc vs an independently-coded per-frame loop of the
+    same spec (Hann -> power rfft -> HTK mel triangles -> log ->
+    orthonormal DCT-II -> mean), plus sanity: different tones give
+    different coefficients, identical clips identical ones, and
+    sub-frame clips the zero vector."""
+    import numpy as np
+
+    def naive_mfcc(payload, n_mfcc=8, n_mels=20, frame=256, hop=128):
+        a, rate = multimodal.decode_wav(payload)
+        mono = a.mean(axis=1).astype("float64")
+        if len(mono) < frame:
+            return [0.0] * n_mfcc
+        fb = multimodal._mel_filterbank(n_mels, frame, rate)
+        rows = []
+        for s in range(0, len(mono) - frame + 1, hop):
+            spec = np.abs(np.fft.rfft(mono[s : s + frame] * np.hanning(frame))) ** 2
+            logmel = np.log(fb @ spec + 1e-10)
+            coefs = []
+            for j in range(n_mfcc):
+                c = sum(
+                    logmel[k] * np.cos(np.pi * (k + 0.5) * j / n_mels)
+                    for k in range(n_mels)
+                )
+                c *= np.sqrt((1.0 if j == 0 else 2.0) / n_mels)
+                coefs.append(c)
+            rows.append(coefs)
+        return [float(x) for x in np.mean(rows, axis=0)]
+
+    def tone(hz, n=2048, rate=16000):
+        t = np.arange(n) / rate
+        pcm = (np.sin(2 * np.pi * hz * t) * 20000).astype(np.int16)
+        return multimodal.encode_wav(pcm.reshape(-1, 1), rate)
+
+    rows = [
+        (0, "audio", "audio/wav", bytearray(tone(440)), None, None, 128),
+        (1, "audio", "audio/wav", bytearray(tone(3000)), None, None, 128),
+        (2, "audio", "audio/wav", bytearray(tone(440)), None, None, 128),
+        (3, "audio", "audio/wav",
+         bytearray(multimodal.encode_wav(np.zeros((100, 1), np.int16), 16000)),
+         None, None, 6),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.extract_mfcc(media).collect()}
+    assert len(got) == 4
+    for mid, payload in ((0, tone(440)), (1, tone(3000))):
+        want = naive_mfcc(payload)
+        for i in range(8):
+            assert got[mid][f"mfcc_{i}"] == pytest.approx(want[i], rel=1e-9)
+    assert [got[0][f"mfcc_{i}"] for i in range(8)] == [
+        got[2][f"mfcc_{i}"] for i in range(8)
+    ]
+    assert any(
+        abs(got[0][f"mfcc_{i}"] - got[1][f"mfcc_{i}"]) > 0.5 for i in range(8)
+    )
+    assert all(got[3][f"mfcc_{i}"] == 0.0 for i in range(8))
+
+
 def test_wav_resample_real_linear_interp(spark):
     """Resampled payloads decode to exactly numpy's np.interp of the
     source waveform at the target rate — real DSP, not a digest."""
