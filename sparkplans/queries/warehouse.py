@@ -433,3 +433,137 @@ def q_doc_chunks(spark, sf_dir):
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------
+
+@register(
+    "rfm_segments",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY o_custkey),
+    mx AS (SELECT max(last_order) AS maxd FROM c),
+    r AS (
+      SELECT c.o_custkey, c.freq,
+             CAST(c.mon AS DOUBLE) AS mon_d,
+             date_diff('day', c.last_order, mx.maxd) AS rec
+      FROM c, mx),
+    q AS (
+      SELECT round(quantile_cont(rec,  0.2), 6) AS r20,
+             round(quantile_cont(rec,  0.4), 6) AS r40,
+             round(quantile_cont(rec,  0.6), 6) AS r60,
+             round(quantile_cont(rec,  0.8), 6) AS r80,
+             round(quantile_cont(freq, 0.2), 6) AS f20,
+             round(quantile_cont(freq, 0.4), 6) AS f40,
+             round(quantile_cont(freq, 0.6), 6) AS f60,
+             round(quantile_cont(freq, 0.8), 6) AS f80,
+             round(quantile_cont(mon_d, 0.2), 6) AS m20,
+             round(quantile_cont(mon_d, 0.4), 6) AS m40,
+             round(quantile_cont(mon_d, 0.6), 6) AS m60,
+             round(quantile_cont(mon_d, 0.8), 6) AS m80
+      FROM r),
+    s AS (
+      SELECT r.o_custkey,
+             CAST(r.rec AS BIGINT) AS recency_days,
+             CAST(r.freq AS BIGINT) AS frequency,
+             round(r.mon_d, 2) AS monetary,
+             5 - (CAST(r.rec > q.r20 AS INT) + CAST(r.rec > q.r40 AS INT)
+                + CAST(r.rec > q.r60 AS INT) + CAST(r.rec > q.r80 AS INT))
+               AS r_score,
+             1 + (CAST(r.freq > q.f20 AS INT) + CAST(r.freq > q.f40 AS INT)
+                + CAST(r.freq > q.f60 AS INT) + CAST(r.freq > q.f80 AS INT))
+               AS f_score,
+             1 + (CAST(r.mon_d > q.m20 AS INT) + CAST(r.mon_d > q.m40 AS INT)
+                + CAST(r.mon_d > q.m60 AS INT) + CAST(r.mon_d > q.m80 AS INT))
+               AS m_score
+      FROM r, q)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+                  THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM s
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation — the classic CRM scoring: each customer's
+    recency (days since last order, vs the corpus max date),
+    frequency (order count), monetary (exact DECIMAL spend) bucketed
+    into quintiles, plus the standard champion/at-risk/new/
+    hibernating labels.
+
+    Scale: NO global ntile window (the single-partition rank
+    anti-pattern) — the quintile boundaries are 12 interpolated
+    percentiles collected once as kilobyte model state (the
+    revenue_gini / IVF-centroid recipe) and re-entered as literals,
+    so scoring is a pure projection over the per-customer aggregate:
+    ONE custkey shuffle total.  Boundaries are rounded to 6 dp on
+    both engines before the strict-> comparisons, so bucket edges
+    agree bit-for-bit (the percentile_exact precedent)."""
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    maxd = c.agg(F.max("last_order")).collect()[0][0]
+    r = c.select(
+        "o_custkey",
+        "freq",
+        F.col("mon").cast("double").alias("mon_d"),
+        F.datediff(F.lit(maxd), F.col("last_order")).alias("rec"),
+    ).localCheckpoint(eager=True)
+    qrow = r.agg(
+        *[
+            F.round(F.expr(f"percentile({col}, {p})"), 6).alias(f"{col}_{i}")
+            for col in ("rec", "freq", "mon_d")
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8))
+        ]
+    ).collect()[0]
+
+    def score(col, prefix, invert=False):
+        hits = sum(
+            (F.col(col) > F.lit(float(qrow[f"{col}_{i}"]))).cast("int")
+            for i in range(4)
+        )
+        return (5 - hits) if invert else (1 + hits)
+
+    s = r.select(
+        "o_custkey",
+        F.col("rec").cast("bigint").alias("recency_days"),
+        F.col("freq").cast("bigint").alias("frequency"),
+        F.round("mon_d", 2).alias("monetary"),
+        score("rec", "r", invert=True).cast("int").alias("r_score"),
+        score("freq", "f").cast("int").alias("f_score"),
+        score("mon_d", "m").cast("int").alias("m_score"),
+    )
+    return s.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            "hibernating",
+        )
+        .otherwise("regular"),
+    )

@@ -356,6 +356,10 @@ BUDGETS = {
     "hard_negatives_per_probe": 1,
     # substring_dedup_docs chain + lang dim join + final rollup
     "curation_pipeline_v3": 7,
+    # 0 = returned plan scores the checkpointed per-customer agg with
+    # literal quintile boundaries; the custkey shuffle runs once at
+    # checkpoint construction
+    "rfm_segments": 0,
     # checkpointed cluster labels (0) + doc join-back + election agg
     "cluster_representatives": 2,
 }
