@@ -702,3 +702,73 @@ def test_near_dedup_ingest_kills_cross_batch_clone(spark, tmp_path):
     index = VersionedTable(spark, os.path.join(root, "sig_index"))
     assert sorted(r.doc_id for r in corpus.read().collect()) == [1, 11]
     assert sorted(r.doc_id for r in index.read().select("doc_id").collect()) == [1, 11]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data contract made explicit: once the watermark has
+    advanced past a window, a row arriving for that window in a LATER
+    micro-batch is dropped — its bin never appears in the append-mode
+    output — while in-order bins flush normally.  Watermark state
+    persists across drains via the checkpoint."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "late_stream"
+    src.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        q = (
+            streaming.windowed_counts(stream, window="5 minutes",
+                                      watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: watermark advances to 13:00 - 10min = 12:50
+    spark.createDataFrame(
+        [(t(12, 0), "a", 1.0), (t(13, 0), "a", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    # batch 2: one row 2h LATE (11:00 window closed long ago) + one
+    # fresh row that advances the watermark past 13:00's window
+    spark.createDataFrame(
+        [(t(11, 0), "a", 1.0), (t(13, 30), "a", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    # batch 3: advance watermark far enough to flush everything live
+    spark.createDataFrame(
+        [(t(14, 30), "a", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+
+    bins = {
+        r.bin for r in spark.read.parquet(out).collect()
+    }
+    assert t(12, 0) in bins          # in-order window flushed
+    assert t(13, 0) in bins          # flushed once watermark passed
+    assert t(11, 0) not in bins      # late row dropped, never emitted
