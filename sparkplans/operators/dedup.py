@@ -737,31 +737,50 @@ def remove_repeated_spans(
     JVM lambda over (position, starts) — no per-token shuffle.  Docs
     shorter than ``k`` words have no spans and pass through intact.
     """
+    spans = _doc_spans(docs, id_col, text_col, k)
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct("__id", "pos")).alias("__k"),
+        F.count("*").alias("__c"),
+    )
+    dup_occurrences = spans.join(firsts, "span").filter(
+        (F.col("__c") >= 2)
+        & ~(
+            (F.col("__id") == F.col("__k.__id"))
+            & (F.col("pos") == F.col("__k.pos"))
+        )
+    )
+    return _remove_span_starts(docs, dup_occurrences, id_col, text_col, k)
+
+
+def _doc_spans(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(__id, pos, span) for every overlapping k-word window; docs
+    shorter than k words emit nothing.  Pipelined explode — no shuffle."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_starts = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
     spans_arr = F.transform(
         F.sequence(F.lit(0), n_starts - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
-    spans = docs.filter(F.size(words) >= k).select(
+    return docs.filter(F.size(words) >= k).select(
         F.col(id_col).alias("__id"),
         F.posexplode(spans_arr).alias("pos", "span"),
     )
-    firsts = spans.groupBy("span").agg(
-        F.min(F.struct("__id", "pos")).alias("__k"),
-        F.count("*").alias("__c"),
-    )
-    dup_starts = (
-        spans.join(firsts, "span")
-        .filter(
-            (F.col("__c") >= 2)
-            & ~(
-                (F.col("__id") == F.col("__k.__id"))
-                & (F.col("pos") == F.col("__k.pos"))
-            )
-        )
-        .groupBy("__id")
-        .agg(F.collect_set("pos").alias("starts"))
+
+
+def _remove_span_starts(
+    docs: DataFrame,
+    dup_occurrences: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """Reassemble docs with every token covered by a (__id, pos)
+    removal start cut out.  Coverage stays array-side per doc (state
+    bounded by doc length)."""
+    dup_starts = dup_occurrences.groupBy("__id").agg(
+        F.collect_set("pos").alias("starts")
     )
     covered = lambda j: F.exists(  # noqa: E731 — span start covering token j?
         F.col("starts"), lambda s: (s <= j) & (j <= s + F.lit(k - 1))
@@ -785,3 +804,57 @@ def remove_repeated_spans(
             ).alias("clean_text"),
         )
     )
+
+
+def incremental_substring_dedup(
+    new_docs: DataFrame,
+    span_index: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ExactSubstr — the nightly-batch form of
+    :func:`remove_repeated_spans`: a new batch is cleaned against a
+    persisted INDEX of every k-gram span the corpus has already
+    contributed, so earlier batches' text is never re-read.
+
+    A batch occurrence is cut when its span is in the index (it
+    occurred in an earlier batch) or when it is a non-first occurrence
+    within the batch.  Returns ``(clean, new_index)`` where ``clean``
+    is (id, n_tokens, n_removed, clean_text) and ``new_index`` appends
+    the batch's distinct spans (spans of the RAW batch text — global
+    ExactSubstr compares against original positions, not cleaned
+    ones).  Processing batches in doc-id order reproduces the global
+    operator exactly (equivalence pinned in
+    tests/test_plan_independence.py's incremental twin style).
+
+    Scale shape: the index stores one row per DISTINCT span —
+    boilerplate repeated 10M times is one row — and candidate lookup
+    is a span-keyed semi join (bucketing the index by span makes it
+    shuffle-free on the index side, the incremental_exact_dedup
+    recipe).  Batch-internal dedup reuses the map-side-combined
+    first-keeper."""
+    spans = _doc_spans(new_docs, id_col, text_col, k)
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct("__id", "pos")).alias("__k"),
+        F.count("*").alias("__c"),
+    )
+    dup_in_batch = spans.join(firsts, "span").filter(
+        (F.col("__c") >= 2)
+        & ~(
+            (F.col("__id") == F.col("__k.__id"))
+            & (F.col("pos") == F.col("__k.pos"))
+        )
+    ).select("__id", "pos")
+    batch_spans = spans.select("span").distinct()
+    if span_index is None:
+        dup = dup_in_batch
+        new_index = batch_spans
+    else:
+        seen = spans.join(span_index, "span", "left_semi").select("__id", "pos")
+        dup = dup_in_batch.unionByName(seen).distinct()
+        new_index = span_index.unionByName(
+            batch_spans.join(span_index, "span", "left_anti")
+        )
+    clean = _remove_span_starts(new_docs, dup, id_col, text_col, k)
+    return clean, new_index

@@ -1753,6 +1753,65 @@ def test_remove_repeated_spans_matches_pure_python_reference(spark):
         assert got == want, seed
 
 
+def test_incremental_substring_dedup_cross_batch(spark):
+    """A span whose first occurrence lives in an EARLIER batch is cut
+    from a later batch via the persisted span index alone (the earlier
+    batch's text is never re-read); fresh text passes through."""
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    clean1, idx = dedup.incremental_substring_dedup(b1, None, k=6)
+    idx = idx.localCheckpoint(eager=True)
+    assert clean1.collect()[0].n_removed == 0
+    b2 = spark.createDataFrame(
+        [(2, "intro words then beta gamma delta epsilon zeta eta tail"),
+         (3, "totally fresh unrelated text with seven words here")],
+        "doc_id long, text string",
+    )
+    clean2, idx2 = dedup.incremental_substring_dedup(b2, idx, k=6)
+    out = {r.doc_id: r for r in clean2.collect()}
+    assert out[2].clean_text == "intro words then tail"
+    assert out[2].n_removed == 6
+    assert out[3].n_removed == 0
+    # index accumulates distinct spans only
+    assert idx2.count() == idx2.select("span").distinct().count()
+
+
+def test_incremental_substring_dedup_equals_global(spark):
+    """Sequential batches in doc-id order == the global operator, on
+    randomized heavily-duplicated corpora (the ExactSubstr analog of
+    the incremental-exact equivalence pin)."""
+    import random
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        vocab = ["x", "y", "z", "w"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+            for i in range(24)
+        ]
+        want = {
+            (r.doc_id, r.n_tokens, r.n_removed, r.clean_text)
+            for r in dedup.remove_repeated_spans(
+                spark.createDataFrame(docs, "doc_id long, text string"), k=3
+            ).collect()
+        }
+        got = set()
+        idx = None
+        for lo in range(0, 24, 8):
+            batch = spark.createDataFrame(
+                docs[lo : lo + 8], "doc_id long, text string"
+            )
+            clean, idx = dedup.incremental_substring_dedup(batch, idx, k=3)
+            idx = idx.localCheckpoint(eager=True)
+            got.update(
+                (r.doc_id, r.n_tokens, r.n_removed, r.clean_text)
+                for r in clean.collect()
+            )
+        assert got == want, seed
+
+
 # -- baseline JPEG codec (operators/jpeg) -----------------------------------
 
 
