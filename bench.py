@@ -61,6 +61,8 @@ HEADLINE = [
     "curation_pipeline_v2",
     "incremental_dedup_batch",
     "substring_dedup_docs",
+    "semantic_dedup",
+    "dsir_importance_weights",
 ]
 
 

@@ -596,3 +596,70 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    threshold: float = 0.95,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means clustering of embeddings, then pairwise
+    cosine inside each cluster only.
+
+    Policy (deterministic first-keeper): a vector is KEPT iff no
+    same-cluster vector with a smaller id has rounded cosine >=
+    ``threshold`` to it.  Dropped rows carry ``dup_of`` — the smallest
+    such earlier neighbor — for curation provenance.  The k-means
+    coarse quantizer is exactly the IVF build (driver-held kilobyte
+    centroid model re-entered as literals), so cluster assignment is
+    a broadcast-join projection, and the only corpus-sized shuffles
+    are the assignment argmax and the cluster-keyed self-join.
+
+    Scale: the paper runs ~11k clusters over 100M+ docs precisely so
+    each cluster's pairwise step stays small; ``num_centroids`` is
+    that knob — grow it linearly with the corpus and the per-cluster
+    self-join cost stays flat.  At 100 TB you would persist
+    ``assigned`` bucketed by ``cid`` (the IVF deployment note) making
+    the self-join co-partitioned and shuffle-free.
+
+    Returns the corpus plus ``cid`` (cluster), ``kept`` (boolean) and
+    ``dup_of`` (nullable id of the earlier near-duplicate).
+    """
+    assigned, _ = ivf_build(
+        corpus,
+        num_centroids=num_centroids,
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    # assigned feeds three consumers (both self-join sides + the final
+    # join-back); materialize it once — the stand-in for the persisted
+    # cid-bucketed table a production deployment would read.
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        "cid", F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        "cid", F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb")
+    )
+    # min(id_a) per dropped id collapses map-side (partial min agg),
+    # so the shuffle after the self-join carries one row per dropped
+    # id, not one per near-dup pair.
+    dup_of = (
+        a.join(b, "cid")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(
+            F.round(cosine_similarity("__va", "__vb"), 6) >= threshold
+        )
+        .groupBy(F.col("__id_b").alias(id_col))
+        .agg(F.min("__id_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, id_col, "left")
+        .withColumn("kept", F.col("dup_of").isNull())
+        .select(id_col, "cid", vec_col, "kept", "dup_of")
+    )

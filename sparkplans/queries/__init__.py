@@ -1695,6 +1695,46 @@ def q_ivf_ann_topk(spark, sf_dir):
     return _ann_invariant_wrap(spark, sf_dir, topk, k=10)
 
 
+@register(
+    "semantic_dedup",
+    "SELECT vec_id, TRUE AS policy_ok, TRUE AS dup_of_ok FROM embeddings",
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means clusters over embeddings,
+    pairwise cosine only within a cluster, deterministic first-keeper
+    — the semantic completion of the dedup family (exact md5 →
+    MinHash/LSH token → SimHash → embedding-LSH → k-means semantic).
+
+    Driver contract (the IVF recipe): k-means centroids are driver-fit
+    model state no SQL oracle can re-derive, so the result is a
+    per-vector invariant grid vs the all-true oracle — ``policy_ok``
+    (kept iff no same-cluster smaller-id neighbor at >= threshold,
+    re-derived by an independent join over the operator's own cluster
+    assignment) and ``dup_of_ok`` (the recorded provenance id equals
+    the recomputed minimum qualifying neighbor).  Planted-duplicate
+    recall lives in tests/test_semdedup.py."""
+    from sparkplans.operators import similarity
+
+    thr = 0.35
+    e = _t_cpu(spark, sf_dir, "embeddings")
+    res = similarity.semdedup(e, num_centroids=8, threshold=thr, iters=2)
+    s = res.select(
+        "cid", F.col("vec_id").alias("__id_s"), F.col("embedding").alias("__vs")
+    )
+    m = (
+        res.join(s, "cid")
+        .filter(F.col("__id_s") < F.col("vec_id"))
+        .filter(F.round(cosine_similarity("embedding", "__vs"), 6) >= thr)
+        .groupBy("vec_id")
+        .agg(F.min("__id_s").alias("__m"))
+    )
+    return res.join(m, "vec_id", "left").select(
+        "vec_id",
+        (F.col("kept") == F.col("__m").isNull()).alias("policy_ok"),
+        F.col("dup_of").eqNullSafe(F.col("__m")).alias("dup_of_ok"),
+    )
+
+
 # =====================================================================
 # Subqueries (decorrelation — the reference lists the rules but never
 # fires them: docs/3:103-105; inheritance scope, fully oracle-checked)
@@ -2564,6 +2604,92 @@ def q_unigram_logprob_scores(spark, sf_dir):
                 / F.count("*"),
                 6,
             ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, tok
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(tok)),
+    tb AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(tok), 1, 15))::BIGINT % 64) AS b,
+             count(*) AS c
+      FROM toks GROUP BY doc_id, lang, b),
+    stats AS (
+      SELECT b, sum(c) AS cr,
+             sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct
+      FROM tb GROUP BY b),
+    tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM stats),
+    lam AS (
+      SELECT b,
+             CAST(round(ln((ct + 1) / CAST(tt + 64 AS DOUBLE))
+                        - ln((cr + 1) / CAST(tr + 64 AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lam
+      FROM stats, tot)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(c * lam) AS DOUBLE) AS log_weight
+    FROM tb JOIN lam USING (b)
+    GROUP BY doc_id
+    """,
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
+    importance resampling on hashed n-gram features.  Each document's
+    log importance weight is sum over tokens of
+    ln(p_target[bucket] / p_raw[bucket]) where buckets are 64 hashed
+    unigram bins, the target domain is the ``lang = 'en'`` slice, the
+    raw distribution is the whole corpus, and both use add-one
+    smoothing.  Feed ``exp(log_weight)`` to operators/sampling's A-ES
+    ``weighted_sample`` for the resampling step itself.
+
+    Exactness: the per-bucket log-ratios are rounded to 6 dp and
+    carried as DECIMAL(18,6); a document's weight is then an exact
+    integer-x-decimal sum (order-free), so Spark and DuckDB agree
+    bit-for-bit — ln() is evaluated once per bucket, never per token.
+
+    Scale: one (doc, bucket) shuffle over the tokenized corpus; the
+    64-row bucket table and its 1-row total broadcast back — the same
+    broadcast-LM shape as unigram_logprob_scores, with a fixed-width
+    feature table no matter the vocabulary size (the reason DSIR
+    hashes in the first place)."""
+    B = 64
+    d = _t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint") % B,
+    )
+    dc = toks.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+    dc = dc.localCheckpoint(eager=True)  # feeds stats AND the scoring join
+    stats = dc.groupBy("b").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("ct"),
+    )
+    tot = stats.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    lam = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log((F.col("ct") + 1) / (F.col("tt") + B))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + B)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lam"),
+    )
+    return (
+        dc.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lam")).cast("double").alias("log_weight"),
         )
     )
 

@@ -538,8 +538,17 @@ def q_rfm_segments(spark, sf_dir):
     ).collect()[0]
 
     def score(col, prefix, invert=False):
+        # Empty corpus => percentiles are NULL; any literal works since
+        # the scored frame is empty too — keep the single code path.
         hits = sum(
-            (F.col(col) > F.lit(float(qrow[f"{col}_{i}"]))).cast("int")
+            (
+                F.col(col)
+                > F.lit(
+                    float(qrow[f"{col}_{i}"])
+                    if qrow[f"{col}_{i}"] is not None
+                    else 0.0
+                )
+            ).cast("int")
             for i in range(4)
         )
         return (5 - hits) if invert else (1 + hits)

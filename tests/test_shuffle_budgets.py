@@ -47,6 +47,13 @@ BUDGETS = {
     # shuffles happen during construction (bounded: 3/round x diameter)
     "dedup_clusters": 0,
     "dedup_exact": 1,
+    # checkpointed assignment + cid self-join + min-agg + join-back,
+    # PLUS the query's independent policy re-derivation (its own
+    # cid join + min-agg) — the operator alone is 5
+    "semantic_dedup": 7,
+    # (doc,bucket) count shuffle; 64-row stats/total/lambda stay small
+    # and broadcast back; final per-doc agg
+    "dsir_importance_weights": 4,
     "distinct_agg": 2,
     "doc_fingerprints": 0,
     "embedding_near_dups": 2,
