@@ -3112,3 +3112,7 @@ from sparkplans.queries import temporal  # noqa: E402,F401
 # Batch-7 (OHLC bars / streaks / weighted median / Benford /
 # association rules) likewise.
 from sparkplans.queries import quant  # noqa: E402,F401
+
+# Batch-8 (quality classifier inference / temperature mixture /
+# bigram LM scoring / exact distributed ROC-AUC) likewise.
+from sparkplans.queries import mlprep  # noqa: E402,F401

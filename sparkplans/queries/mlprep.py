@@ -1,0 +1,431 @@
+"""Batch-8 queries: ML-data-prep model inference and evaluation at
+corpus scale — a hashed-ngram linear quality classifier (fastText-style
+inference), temperature-scaled source mixture weights, an interpolated
+bigram language model scorer, and an exact distributed ROC-AUC.
+
+Same contract as the main registry (every entry DuckDB-oracled) and the
+same numeric discipline: integer/DECIMAL-exact accumulation everywhere
+order could matter, transcendental functions evaluated once per *type*
+(bucket / bigram), never per token, and rounded to 6 dp before any
+exact arithmetic continues.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkplans.functions import cosine_similarity
+from sparkplans.queries import _t, _t_cpu, register
+
+
+# ---------------------------------------------------------------------
+# Linear quality classifier over hashed unigram features
+# ---------------------------------------------------------------------
+
+@register(
+    "quality_classifier_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(tok)),
+    feats AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             sum(((('0x' || substr(md5(tok), 1, 15))::BIGINT % 32) * 37) % 21
+                 - 10) AS swc
+      FROM toks GROUP BY doc_id),
+    z AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             -0.2 + swc / (100.0 * n_tokens) AS logit
+      FROM feats)
+    SELECT doc_id, n_tokens,
+           round(logit, 6) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           CAST(round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS INT) AS keep
+    FROM z
+    """,
+)
+def q_quality_classifier_scores(spark, sf_dir):
+    """FastText-style linear quality classifier *inference* at corpus
+    scale: each token hashes into one of 32 feature buckets (the same
+    portable md5 trick as dsir_importance_weights), the "pre-trained"
+    model is an integer weight per bucket (w_b = (b*37 mod 21) - 10,
+    i.e. kilobytes of literal model state — in production these come
+    from a trained fastText/logreg model file), and a document's logit
+    is bias + (sum of its tokens' weights) / (100 * n_tokens).  The
+    sigmoid of the logit is the keep-probability; `keep` is the 0.5
+    threshold decision used by quality-filtering pipelines
+    (GPT-3/LLaMA-style classifier filtering).
+
+    Exactness: the per-document weight sum is pure BIGINT (order-free);
+    logit, exp and sigmoid are then single IEEE expressions over
+    identical inputs on both engines, rounded at the edge.
+
+    Scale: tokenize -> ONE groupBy(doc_id) shuffle -> per-row sigmoid.
+    No joins, no model broadcast needed (the weight function inlines
+    into the scan projection); the classic classifier-inference pass is
+    embarrassingly parallel and this plan keeps it that way."""
+    B = 32
+    d = _t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    b = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint") % B
+    w = (b * 37) % 21 - 10
+    feats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum(w).alias("swc")
+    )
+    logit = F.lit(-0.2) + F.col("swc") / (F.lit(100.0) * F.col("n_tokens"))
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return feats.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        prob.alias("prob"),
+        (prob >= 0.5).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Temperature-scaled source mixture weights
+# ---------------------------------------------------------------------
+
+@register(
+    "temperature_mixture_weights",
+    """
+    WITH pc AS (
+      SELECT source,
+             sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+               AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(round(power(n_tokens, 0.5), 6) AS DECIMAL(18,6)) AS tw
+      FROM pc),
+    tot AS (SELECT sum(tw) AS tt, sum(n_tokens) AS tn FROM w)
+    SELECT source, n_tokens,
+           CAST(tw AS DOUBLE) AS temp_weight,
+           round(CAST(tw AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS temp_share,
+           round(CAST(n_tokens AS DOUBLE) / tn, 6) AS nat_share
+    FROM w CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def q_temperature_mixture_weights(spark, sf_dir):
+    """Temperature-scaled sampling weights per source (the multinomial
+    alpha-sampling of multilingual/multi-domain LM training — XLM-R,
+    LLaMA data mixing): source s gets weight n_s^alpha (alpha = 0.5),
+    renormalized, which up-samples small sources relative to their
+    natural share.  Emitted beside the natural share so the query IS
+    the mixing table a sampler consumes.
+
+    Exactness: token counts are exact integers computed as size(split)
+    per document (no explode — counting does not need token rows);
+    n^0.5 is one IEEE pow rounded to 6 dp and carried as DECIMAL so the
+    20-source normalizing sum is order-free; the two shares are single
+    double divisions of identical operands.
+
+    Scale: one groupBy(source) over per-document counts (map-side
+    combined), a 20-row mixing table crossJoined with its own 1-row
+    total — driver-model-state sized, like every mixture table here."""
+    d = _t(spark, sf_dir, "documents")
+    pc = (
+        d.select(
+            "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+        # the mixing table and its total both derive from this 20-row
+        # frame; materialize it once so the corpus is scanned once,
+        # not once per consumer
+        .localCheckpoint(eager=True)
+    )
+    w = pc.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.pow(F.col("n_tokens"), 0.5), 6)
+        .cast("decimal(18,6)")
+        .alias("tw"),
+    )
+    tot = w.agg(F.sum("tw").alias("tt"), F.sum("n_tokens").alias("tn"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.col("tw").cast("double").alias("temp_weight"),
+            F.round(
+                F.col("tw").cast("double") / F.col("tt").cast("double"), 6
+            ).alias("temp_share"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tn"), 6
+            ).alias("nat_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------
+# Interpolated bigram language-model scoring
+# ---------------------------------------------------------------------
+
+@register(
+    "bigram_lm_scores",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents),
+    toks AS (
+      SELECT doc_id, arr[u.pos + 1] AS cur,
+             CASE WHEN u.pos > 0 THEN arr[u.pos] END AS prev
+      FROM d, unnest(range(0, len(arr))) AS u(pos)),
+    uni AS (SELECT cur AS tok, count(*) AS c1 FROM toks GROUP BY cur),
+    tot AS (SELECT sum(c1) AS t FROM uni),
+    bg AS (
+      SELECT prev, cur, count(*) AS c2
+      FROM toks WHERE prev IS NOT NULL GROUP BY prev, cur),
+    lp AS (
+      SELECT bg.prev, bg.cur,
+             CAST(round(ln(0.75 * c2 / up.c1 + 0.25 * uc.c1 / t), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM bg
+      JOIN uni up ON bg.prev = up.tok
+      JOIN uni uc ON bg.cur = uc.tok
+      CROSS JOIN tot),
+    db AS (
+      SELECT doc_id, prev, cur, count(*) AS c
+      FROM toks WHERE prev IS NOT NULL GROUP BY doc_id, prev, cur)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_transitions,
+           round(CAST(sum(c * lp) AS DOUBLE) / sum(c), 6) AS avg_logprob
+    FROM db JOIN lp ON db.prev = lp.prev AND db.cur = lp.cur
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_scores(spark, sf_dir):
+    """Interpolated bigram language-model scoring — the step up from
+    unigram_logprob_scores on the KenLM-style quality-filter ladder
+    (CCNet / LLaMA data prep): p(cur|prev) = 0.75 * c(prev,cur)/c(prev)
+    + 0.25 * c(cur)/T, and a document's score is its mean transition
+    log-probability.  Low scores flag disfluent or boilerplate text
+    that unigram frequency alone cannot see.
+
+    Exactness: ln() is evaluated once per DISTINCT bigram over integer
+    count ratios (identical IEEE expressions both engines), rounded to
+    6 dp and carried as DECIMAL(18,6); each document's total is then an
+    exact int x DECIMAL sum, so only the final mean divides in floating
+    point.
+
+    Scale: positional tokenize (posexplode, zero shuffle) ->
+    groupBy(bigram) and groupBy(doc,bigram) count shuffles -> shuffled
+    hash joins on the bigram key.  The bigram table is corpus-bounded
+    (<= one row per corpus token), so it joins rather than broadcasts;
+    the unigram LM and the 1-row total broadcast.  The tokenized frame
+    is checkpointed once and feeds all three counting passes."""
+    d = _t_cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("arr"),
+    )
+    toks = d.select(
+        "doc_id", F.posexplode("arr").alias("pos", "cur"), "arr"
+    ).select(
+        "doc_id",
+        "cur",
+        # element_at is 1-indexed while posexplode's pos is 0-indexed,
+        # so element_at(arr, pos) IS the previous token
+        F.when(F.col("pos") > 0, F.element_at("arr", F.col("pos"))).alias(
+            "prev"
+        ),
+    )
+    toks = toks.localCheckpoint(eager=True)  # feeds uni, bg and db
+    uni = (
+        toks.groupBy(F.col("cur").alias("tok"))
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)  # feeds both prob joins and tot
+    )
+    tot = uni.agg(F.sum("c1").alias("t"))
+    db = (
+        toks.filter(F.col("prev").isNotNull())
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # feeds corpus bigram counts AND scoring
+    )
+    # corpus bigram counts roll up from the per-doc counts — one pass
+    # over the tokenized frame instead of two
+    bg = db.groupBy("prev", "cur").agg(F.sum("c").alias("c2"))
+    lp = (
+        bg.join(
+            F.broadcast(uni.select(F.col("tok").alias("prev"), F.col("c1").alias("c1p"))),
+            "prev",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("cur"), F.col("c1").alias("c1c"))),
+            "cur",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log(
+                    F.lit(0.75) * F.col("c2") / F.col("c1p")
+                    + F.lit(0.25) * F.col("c1c") / F.col("t")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        db.join(lp, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_transitions"),
+            F.round(
+                F.sum(F.col("c") * F.col("lp")).cast("double") / F.sum("c"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Exact distributed ROC-AUC (Mann-Whitney rank form)
+# ---------------------------------------------------------------------
+
+@register(
+    "roc_auc_cosine",
+    """
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             round(list_dot_product(e.embedding::DOUBLE[], p.p::DOUBLE[]) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(p.p::DOUBLE[], p.p::DOUBLE[]))),
+                   6) AS score
+      FROM embeddings e CROSS JOIN probe p
+      WHERE e.vec_id <> 0),
+    g AS (
+      SELECT score, sum(y) AS np_s, sum(1 - y) AS nn_s
+      FROM s GROUP BY score),
+    w AS (
+      SELECT np_s, nn_s,
+             COALESCE(sum(nn_s) OVER (ORDER BY score
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cum_nn
+      FROM g),
+    t AS (
+      SELECT sum(np_s) AS npos, sum(nn_s) AS nneg,
+             sum(2 * np_s * cum_nn + np_s * nn_s) AS u2
+      FROM w)
+    SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           CAST(u2 AS BIGINT) AS u2,
+           round(CAST(u2 AS DOUBLE) / (2.0 * npos * nneg), 6) AS auc
+    FROM t
+    """,
+)
+def q_roc_auc_cosine(spark, sf_dir):
+    """Exact distributed ROC-AUC of a retrieval scorer (cosine to a
+    probe vector) against binary relevance labels (label < 5) — the
+    evaluation step after classifier/ranker training.  AUC is computed
+    in the tie-aware Mann-Whitney rank form: grouping rows by distinct
+    score, AUC = sum over scores of (pos_s * neg_below + pos_s*neg_s/2)
+    / (npos * nneg); carried as 2U so every accumulation stays integer.
+
+    Exactness: scores are rounded to 6 dp first (the same cosine
+    expression knn_brute_force hash-matches), all counts and U terms
+    are BIGINT, and the single final division is IEEE over identical
+    operands.
+
+    Scale: the cumulative negatives-below-score prefix uses the
+    distributed two-pass rank scaffold from revenue_gini — NO
+    single-partition window: approxQuantile score bounds (kilobyte
+    driver model state, re-entered as literals) bucket the distinct
+    scores, per-bucket negative totals fold back as literal offsets,
+    and the in-bucket prefix sum runs under a *partitioned* window.
+    One groupBy(score) shuffle + one bucket exchange, regardless of
+    corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(
+            F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+            F.round(cosine_similarity("embedding", "p"), 6).alias("score"),
+        )
+    )
+    g = (
+        scored.groupBy("score")
+        .agg(
+            F.sum("y").alias("np_s"),
+            F.sum(F.lit(1) - F.col("y")).alias("nn_s"),
+        )
+        .localCheckpoint(eager=True)  # feeds quantiles, offsets, final
+    )
+    n_buckets = max(spark.sparkContext.defaultParallelism, 2)
+    bounds = sorted(
+        set(
+            g.approxQuantile(
+                "score", [i / n_buckets for i in range(1, n_buckets)], 0.01
+            )
+        )
+    )
+    bucket = reduce(
+        lambda acc, b: acc + F.when(F.col("score") > F.lit(b), 1).otherwise(0),
+        bounds,
+        F.lit(0),
+    )
+    # negatives below each bucket: <= n_buckets rows of model state,
+    # folded back as literal prefix offsets (the revenue_gini pattern)
+    bstats = sorted(
+        (r["bucket"], r["bn"])
+        for r in g.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.sum("nn_s").alias("bn"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for bk, bn in bstats:
+        offsets[bk] = acc
+        acc += bn
+    off_expr = reduce(
+        lambda expr, kv: expr.when(F.col("bucket") == kv[0], F.lit(kv[1])),
+        offsets.items(),
+        F.when(F.lit(False), 0),
+    ).otherwise(0)
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = (
+        g.withColumn("bucket", bucket)
+        .withColumn(
+            "cum_nn",
+            F.coalesce(F.sum("nn_s").over(win), F.lit(0)) + off_expr,
+        )
+    )
+    t = w.agg(
+        F.sum("np_s").alias("npos"),
+        F.sum("nn_s").alias("nneg"),
+        F.sum(
+            2 * F.col("np_s") * F.col("cum_nn") + F.col("np_s") * F.col("nn_s")
+        ).alias("u2"),
+    )
+    return t.select(
+        F.col("npos").cast("bigint").alias("n_pos"),
+        F.col("nneg").cast("bigint").alias("n_neg"),
+        F.col("u2").cast("bigint").alias("u2"),
+        F.round(
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )

@@ -371,6 +371,16 @@ BUDGETS = {
     "rfm_segments": 0,
     # checkpointed cluster labels (0) + doc join-back + election agg
     "cluster_representatives": 2,
+    # batch-8 (mlprep): fan_out exchange + one groupBy(doc_id)
+    "quality_classifier_scores": 2,
+    # checkpointed 20-row mixing table: 1-row total agg + final sort
+    "temperature_mixture_weights": 2,
+    # bigram rollup from checkpointed per-doc counts + scoring join
+    # re-shuffle + final per-doc agg (LM tables broadcast)
+    "bigram_lm_scores": 3,
+    # groupBy(distinct score) + bucket-partitioned prefix window;
+    # final 1-row agg folds into the window exchange
+    "roc_auc_cosine": 2,
 }
 
 
