@@ -63,6 +63,9 @@ HEADLINE = [
     "substring_dedup_docs",
     "semantic_dedup",
     "dsir_importance_weights",
+    "quality_classifier_scores",
+    "bigram_lm_scores",
+    "roc_auc_cosine",
 ]
 
 
