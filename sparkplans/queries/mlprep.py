@@ -429,3 +429,284 @@ def q_roc_auc_cosine(spark, sf_dir):
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------
+# Semantic decontamination against a benchmark embedding set
+# ---------------------------------------------------------------------
+
+@register(
+    "semantic_decontamination",
+    """
+    WITH probe AS (
+      SELECT vec_id AS bid, embedding AS p FROM embeddings WHERE label = 9),
+    sims AS (
+      SELECT e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], p.p::DOUBLE[]) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(p.p::DOUBLE[], p.p::DOUBLE[]))),
+                   6) AS s
+      FROM embeddings e CROSS JOIN probe p WHERE e.label <> 9)
+    SELECT vec_id, max(s) AS max_sim,
+           CAST(max(s) >= 0.35 AS INT) AS contaminated
+    FROM sims GROUP BY vec_id
+    """,
+)
+def q_semantic_decontamination(spark, sf_dir):
+    """Embedding-space decontamination: flag training vectors whose
+    cosine to ANY benchmark/eval vector (here: the label = 9 slice
+    stands in for the eval set) reaches 0.35 — the semantic
+    complement of decontamination_ngrams' exact 13-gram overlap
+    (eval-set paraphrases share no n-grams but sit close in embedding
+    space).
+
+    Exactness: per-pair cosines are rounded to 6 dp (the
+    knn_brute_force expression), and max() over an identical rounded
+    set is order-free, so both engines agree bit-for-bit.
+
+    Scale: eval sets are small by nature, so the probe side BROADCASTS
+    and the corpus is scanned once with a map-side partial max — one
+    groupBy(vec_id) shuffle of (id, sim) pairs, no corpus self-join.
+    At very large eval sets, swap the broadcast for the LSH-bucketed
+    candidate path (embedding_near_dups)."""
+    e = _t_cpu(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("label") == 9).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("p")
+    )
+    corpus = e.filter(F.col("label") != 9)
+    sims = corpus.join(F.broadcast(probes)).select(
+        "vec_id",
+        F.round(cosine_similarity("embedding", "p"), 6).alias("s"),
+    )
+    return sims.groupBy("vec_id").agg(
+        F.max("s").alias("max_sim"),
+        (F.max("s") >= 0.35).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------
+
+@register(
+    "ccnet_perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, tok
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(tok)),
+    dt AS (
+      SELECT doc_id, lang, tok, count(*) AS c
+      FROM toks GROUP BY doc_id, lang, tok),
+    freq AS (SELECT tok, sum(c) AS cnt FROM dt GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS t FROM freq),
+    lp AS (
+      SELECT tok,
+             CAST(round(ln(cnt / CAST(t AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS lp
+      FROM freq CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             round(CAST(sum(c * lp) AS DOUBLE) / sum(c), 6) AS s
+      FROM dt JOIN lp USING (tok)
+      GROUP BY doc_id, lang)
+    SELECT lang,
+           CASE WHEN s >= -3.4 THEN 'head'
+                WHEN s >= -3.404 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM scored
+    GROUP BY lang, CASE WHEN s >= -3.4 THEN 'head'
+                        WHEN s >= -3.404 THEN 'middle'
+                        ELSE 'tail' END
+    """,
+)
+def q_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score each
+    document with a language-model log-probability, cut the corpus
+    into quality buckets at fixed score thresholds, and report
+    per-(lang, bucket) document and token counts — the table a
+    curation pipeline uses to keep `head`, sample `middle`, drop
+    `tail`.  The cutoffs (-3.4 / -3.404) are literal model state, as
+    in CCNet itself (its percentile cutoffs come from a reference LM
+    pass, not from the corpus being scored).
+
+    Exactness: unlike a naive avg(log(p)) — a float sum whose result
+    depends on add order — the per-token-type log-prob is rounded to
+    6 dp once and carried as DECIMAL(18,6); each document's numerator
+    is then an exact int x DECIMAL sum, one IEEE division and one
+    rounding produce the score, and bucket comparison happens on the
+    rounded value.  Both engines agree exactly, even at the cutoffs.
+
+    Scale: groupBy(doc, tok) -> vocabulary rollup (broadcast back with
+    its 1-row total) -> per-doc score -> tiny (lang, bucket) agg.  The
+    corpus is tokenized once (the doc-token frame is checkpointed and
+    feeds both the vocabulary and the scoring pass)."""
+    d = _t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    dt = (
+        toks.groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # feeds vocabulary AND scoring
+    )
+    freq = dt.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("t"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("t").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    scored = (
+        dt.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("lp")).cast("double") / F.sum("c"), 6
+            ).alias("s"),
+        )
+    )
+    bucket = (
+        F.when(F.col("s") >= -3.4, "head")
+        .when(F.col("s") >= -3.404, "middle")
+        .otherwise("tail")
+    )
+    return scored.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Data-constrained epoch allocation (water-filling under a 4-epoch cap)
+# ---------------------------------------------------------------------
+
+@register(
+    "token_budget_epochs",
+    """
+    WITH pc AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                  AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    caps AS (SELECT source, n, 4 * n AS cap FROM pc),
+    tot AS (
+      SELECT CAST((7 * sum(n) - (7 * sum(n)) % 2) / 2 AS BIGINT) AS b,
+             count(*) AS m
+      FROM caps),
+    ord AS (
+      SELECT source, n, cap, b, m,
+             sum(cap) OVER (ORDER BY cap, source
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumcap,
+             row_number() OVER (ORDER BY cap, source) AS i
+      FROM caps CROSS JOIN tot),
+    flagged AS (
+      SELECT *, CASE WHEN cap * (m - i) + cumcap <= b THEN 1 ELSE 0 END
+                  AS capped
+      FROM ord),
+    lvl AS (
+      SELECT sum(capped) AS k, sum(cap * capped) AS cumcap_k
+      FROM flagged),
+    alloc AS (
+      SELECT f.source, f.n, f.cap,
+             CASE WHEN f.capped = 1 THEN f.cap
+                  ELSE CAST(((f.b - l.cumcap_k)
+                             - (f.b - l.cumcap_k) % (f.m - l.k))
+                            / (f.m - l.k) AS BIGINT)
+             END AS alloc_tokens
+      FROM flagged f CROSS JOIN lvl l)
+    SELECT source, n AS n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           round(CAST(alloc_tokens AS DOUBLE) / n, 4) AS epochs
+    FROM alloc
+    ORDER BY source
+    """,
+)
+def q_token_budget_epochs(spark, sf_dir):
+    """Data-constrained epoch allocation (Muennighoff et al. 2022,
+    arXiv:2305.16264 regime): given a token budget B larger than the
+    corpus (here B = 3.5x total tokens), assign each source an equal
+    share of B capped at 4 epochs of its own data, water-filling the
+    surplus from capped (small) sources into the rest.  The closed
+    form avoids iteration: sort sources by capacity; the capped set is
+    the longest prefix where cap_i*(m-i) + cumcap_i <= B (an exact
+    integer test), and everyone else gets the integer level
+    (B - cumcap_k) div (m - k).
+
+    Exactness: every quantity is BIGINT — budget, prefix sums, the
+    cap test, and the allocation level via (x - x % d)/d integer
+    division; only the final epochs ratio divides in floating point,
+    rounded to 4 dp.
+
+    Scale: one groupBy(source) over per-document token counts; the
+    water-fill itself runs on the <= #sources-row mixing table (an
+    unpartitioned window above an aggregate — bounded cardinality,
+    the window-lint-sanctioned shape)."""
+    d = _t(spark, sf_dir, "documents")
+    pc = (
+        d.select(
+            "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # 20-row frame feeding 3 consumers
+    )
+    caps = pc.select("source", "n", (F.lit(4) * F.col("n")).alias("cap"))
+    tot = caps.agg(
+        (
+            (7 * F.sum("n") - (7 * F.sum("n")) % 2) / 2
+        ).cast("bigint").alias("b"),
+        F.count("*").alias("m"),
+    )
+    w = (
+        Window.orderBy("cap", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordd = (
+        caps.crossJoin(F.broadcast(tot))
+        .withColumn("cumcap", F.sum("cap").over(w))
+        .withColumn("i", F.row_number().over(Window.orderBy("cap", "source")))
+    )
+    flagged = ordd.withColumn(
+        "capped",
+        F.when(
+            F.col("cap") * (F.col("m") - F.col("i")) + F.col("cumcap")
+            <= F.col("b"),
+            1,
+        ).otherwise(0),
+    )
+    lvl = flagged.agg(
+        F.sum("capped").alias("k"),
+        F.sum(F.col("cap") * F.col("capped")).alias("cumcap_k"),
+    )
+    rem = F.col("b") - F.col("cumcap_k")
+    level = ((rem - rem % (F.col("m") - F.col("k"))) / (F.col("m") - F.col("k"))).cast(
+        "bigint"
+    )
+    alloc = flagged.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        "n",
+        "cap",
+        F.when(F.col("capped") == 1, F.col("cap")).otherwise(level).alias(
+            "alloc_tokens"
+        ),
+    )
+    return alloc.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("cap").cast("bigint").alias("cap_tokens"),
+        F.col("alloc_tokens").cast("bigint").alias("alloc_tokens"),
+        F.round(F.col("alloc_tokens").cast("double") / F.col("n"), 4).alias(
+            "epochs"
+        ),
+    ).orderBy("source")

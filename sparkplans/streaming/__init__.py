@@ -312,6 +312,29 @@ def stream_stream_join(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    profiles: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a batch
+    dimension (per-user profile, feature table, allow/deny list).  The
+    static side is re-planned per micro-batch — it reads the CURRENT
+    table state each trigger, so a nightly-refreshed profile table
+    flows in without restarting the query — and needs no watermark:
+    only the stream side holds state, and with an equi-join there is
+    no state at all (each batch is a plain join).
+
+    Scale: Spark broadcasts the static side when it fits (the usual
+    dimension pattern); a huge static side falls back to a per-batch
+    shuffled join, which is still bounded by the micro-batch size.
+    ``how='left'`` keeps unmatched events (cold-start users) with null
+    profile columns — the streaming-safe outer direction; static-side
+    outer joins are not supported by the engine."""
+    return events.join(profiles, on=key, how=how)
+
+
 def _us_ts(us: int):
     return pd.Timestamp(us, unit="us")
 

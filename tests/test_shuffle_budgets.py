@@ -381,6 +381,14 @@ BUDGETS = {
     # groupBy(distinct score) + bucket-partitioned prefix window;
     # final 1-row agg folds into the window exchange
     "roc_auc_cosine": 2,
+    # fan_out + broadcast-probe scan + groupBy(vec_id) partial max
+    "semantic_decontamination": 3,
+    # doc-token shuffle feeds vocab rollup + per-doc scoring + final
+    # (lang,bucket) rollup; LM table broadcasts back
+    "ccnet_perplexity_buckets": 5,
+    # checkpointed per-source counts: 1-row budget agg, bounded
+    # water-fill window, level agg, final sort
+    "token_budget_epochs": 4,
 }
 
 

@@ -772,3 +772,35 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert t(12, 0) in bins          # in-order window flushed
     assert t(13, 0) in bins          # flushed once watermark passed
     assert t(11, 0) not in bins      # late row dropped, never emitted
+
+
+def test_enrich_stream_matches_batch_join(spark, events_dir):
+    """Stream-static join drains to exactly the batch join result, and
+    unmatched stream rows survive with null profile columns."""
+    ev_batch = load_table(spark, SF_DIR, "events")
+    # static dim: per-user historical profile, minus some users so the
+    # left-outer cold-start path is exercised
+    profiles = (
+        ev_batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("hist_events"),
+            F.max("value").alias("hist_max_value"),
+        )
+        .filter(F.col("user_id") % 7 != 0)
+    )
+    profiles.localCheckpoint(eager=True).createOrReplaceTempView("profiles_v")
+    stream = streaming.stream_events(spark, events_dir)
+    joined = streaming.enrich_stream(stream, spark.table("profiles_v"))
+    assert joined.isStreaming
+    streaming.run_available_now(joined, "enriched", output_mode="append")
+    got = {
+        (r.event_id): (r.hist_events, r.hist_max_value)
+        for r in spark.table("enriched").collect()
+    }
+    want = {
+        (r.event_id): (r.hist_events, r.hist_max_value)
+        for r in streaming.enrich_stream(ev_batch, spark.table("profiles_v")).collect()
+    }
+    assert got == want
+    # cold-start users came through with nulls, not dropped
+    assert any(v == (None, None) for v in got.values())
