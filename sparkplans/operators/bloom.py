@@ -1,0 +1,136 @@
+"""Distributed Bloom filter: build via aggregation, probe map-side.
+
+The 100 TB prefilter pattern the exact-join family (decontamination,
+incremental dedup) needs to stop shuffling the whole corpus:
+
+- **Build** is one pass over the reference set: every value hashes to
+  ``num_hashes`` bit positions (Kirsch-Mitzenmacher double hashing on
+  ``xxhash64``), positions fold into 64-bit words with a partial
+  ``bit_or`` aggregation — the shuffle carries at most one row per
+  *word*, never per value, so filter construction costs O(bits/64)
+  network regardless of corpus size.
+- **State** is the dense word array — ``num_bits/8`` bytes (a 2^20-bit
+  filter is 128 KiB).  Model state, like the IVF centroids: it leaves
+  the cluster once, comes back as ONE array literal in the plan, and
+  reaches every executor with the plan broadcast itself.
+- **Probe** is a pure projection (``element_at`` + ``bitwiseAND``) —
+  zero shuffle, evaluated inside whole-stage codegen next to the
+  scan.  The corpus is filtered map-side; only the (true hits + FP
+  rate) sliver ever reaches an exact-verify join.
+
+Guarantee: NO false negatives (every inserted value probes true), so
+``bloom prefilter -> exact verify`` is *exactly* equivalent to the
+direct exact join — the oracle for prefilter queries is the plain
+exact SQL.  False positives only cost work (they are eliminated by
+the verify step), bounded by the standard ``(1-e^{-kn/m})^k``.
+
+Spark's own runtime bloom (``spark.sql.optimizer.runtime.bloomFilter``)
+covers join pruning inside one query; this operator is the *cross-
+query* filter — built once over a reference corpus, reused by every
+later batch (the production decontamination deployment).
+
+Reference parity: the reference's dynamic filters prune scans with
+build-side keys (docs/8_cli_read_plans_join.md:126-178); this is the
+same idea lifted to a persistent, user-managed filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["bloom_build", "bloom_member", "bloom_fp_rate"]
+
+_DEFAULT_BITS = 1 << 18
+_DEFAULT_HASHES = 5
+
+
+def _positions(col: Column, num_bits: int, num_hashes: int, seed: int):
+    """The ``num_hashes`` bit positions of a value: double hashing
+    ``pos_i = (h1 + i*h2) mod m`` (Kirsch & Mitzenmacher 2006 — two
+    real hashes simulate k with no independence loss).  Both hashes
+    are reduced mod m BEFORE the combine, so every intermediate fits
+    a long under ANSI arithmetic (no overflow, no wrap dependence) and
+    build/probe agree by construction."""
+    m = F.lit(num_bits)
+    h1 = F.pmod(F.xxhash64(col, F.lit(seed)), m)
+    h2 = F.pmod(F.xxhash64(col, F.lit(seed + 1)), m)
+    return [
+        F.pmod(h1 + F.lit(i) * h2, m) for i in range(num_hashes)
+    ]
+
+
+def _word_mask(pos: Column):
+    """(word index, single-bit mask) of a bit position."""
+    word = F.shiftright(pos, 6)
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(64)).cast("int")
+    )
+    return word, mask
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    num_bits: int = _DEFAULT_BITS,
+    num_hashes: int = _DEFAULT_HASHES,
+    seed: int = 7,
+) -> list[int]:
+    """Build the filter over ``df[col]``; returns the dense word list
+    (``num_bits // 64`` longs — the model state to pass to
+    :func:`bloom_member`).
+
+    One distributed pass: explode each value to its k (word, mask)
+    pairs, ``bit_or`` by word.  Partial aggregation ORs masks map-side,
+    so the shuffle is bounded by the word-array size, not the data.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pairs = [
+        F.struct(*(lambda w_m: (w_m[0].alias("w"), w_m[1].alias("m")))(
+            _word_mask(p)
+        ))
+        for p in _positions(F.col(col), num_bits, num_hashes, seed)
+    ]
+    sparse = (
+        df.select(F.explode(F.array(*pairs)).alias("p"))
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or("p.m").alias("word"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in sparse:
+        words[int(r["w"])] = int(r["word"])
+    return words
+
+
+def bloom_member(
+    col: Column | str,
+    words: list[int],
+    num_hashes: int = _DEFAULT_HASHES,
+    seed: int = 7,
+) -> Column:
+    """Boolean membership column: true iff all k bits are set.
+
+    ``words`` enters the plan as ONE array literal (not 2^n expression
+    nodes), so the probe is a broadcast-with-the-plan lookup — pure
+    codegen projection, zero exchanges, no join."""
+    c = F.col(col) if isinstance(col, str) else col
+    num_bits = len(words) * 64
+    arr = F.lit(words)
+    checks = []
+    for pos in _positions(c, num_bits, num_hashes, seed):
+        word, mask = _word_mask(pos)
+        stored = F.element_at(arr, (word + 1).cast("int"))
+        checks.append(stored.bitwiseAND(mask) == mask)
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out & chk
+    return out
+
+
+def bloom_fp_rate(n_items: int, num_bits: int, num_hashes: int) -> float:
+    """Expected false-positive rate ``(1 - e^{-kn/m})^k`` — the sizing
+    formula callers use to pick ``num_bits`` for a target FP budget."""
+    import math
+
+    return (1.0 - math.exp(-num_hashes * n_items / num_bits)) ** num_hashes

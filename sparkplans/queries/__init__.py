@@ -90,6 +90,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _rowcount(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet footer metadata — the same
+    statistic ANALYZE TABLE records and the CBO reads.  Zero Spark
+    jobs: footers are kilobytes regardless of data size, so sizing a
+    knob (e.g. SemDeDup's cluster count) off this is free even at
+    100 TB, where a count() job would scan-schedule every file."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(sf_dir, f"{name}.parquet")
+    if _os.path.isdir(path):
+        return sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(_os.path.join(path, "*.parquet"))
+        )
+    return _pq.ParquetFile(path).metadata.num_rows
+
+
 def _t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a table for a CPU-heavy per-row stage (shingling, hashing,
     vector math): fans a narrow small-file scan out to the session's
@@ -1719,10 +1739,10 @@ def q_semantic_dedup(spark, sf_dir):
     thr = 0.35
     e = _t_cpu(spark, sf_dir, "embeddings")
     # The paper's cost dial: cells grow linearly with the corpus so the
-    # per-cell pairwise step stays ~500² regardless of N (count() is a
-    # metadata-only parquet job).  The invariant grid is policy-relative
-    # — any cell count yields an all-true result.
-    k = max(8, min(256, e.count() // 200))
+    # per-cell pairwise step stays ~500² regardless of N.  Sized from
+    # parquet footer stats (no Spark job).  The invariant grid is
+    # policy-relative — any cell count yields an all-true result.
+    k = max(8, min(256, _rowcount(sf_dir, "embeddings") // 200))
     # iters=0: sampled-anchor quantizer (nearest md5-sampled point, no
     # Lloyd refinement).  Near-identical vectors co-locate under any
     # anchor set, the policy contract is assignment-relative, and each

@@ -710,3 +710,153 @@ def q_token_budget_epochs(spark, sf_dir):
             "epochs"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter prefilters: broadcast membership before exact joins
+# ---------------------------------------------------------------------
+
+@register(
+    "bloom_prefilter_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ),
+    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1),
+    firsts AS (
+      SELECT fingerprint, min(doc_id) AS doc_id
+      FROM batch GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.fingerprint
+    FROM firsts f LEFT JOIN seen s USING (fingerprint)
+    WHERE s.fingerprint IS NULL
+    """,
+)
+def q_bloom_prefilter_dedup(spark, sf_dir):
+    """Incremental exact dedup with a Bloom prefilter
+    (`operators/bloom`) — the 100 TB refinement of
+    `incremental_dedup_batch`: the seen-corpus fingerprint index is
+    folded into a broadcast Bloom filter, each new document probes it
+    MAP-SIDE, and only probable hits (true dups + the ~0.1% FP sliver)
+    enter the exact anti-join.  Definite misses skip the index join
+    entirely, so the join shuffle carries the duplicate fraction, not
+    the batch.
+
+    Because the filter has no false negatives, prefilter + exact
+    verify is provably identical to the direct anti-join — the oracle
+    IS the plain exact SQL (same text as incremental_dedup_batch), and
+    a hash match proves the equivalence end-to-end."""
+    from sparkplans.functions.text import doc_fingerprint
+    from sparkplans.operators.bloom import bloom_build, bloom_member
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    seen = fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint").distinct()
+    # Size from footer stats (no Spark job): ~n/2 seen rows, 16 bits
+    # per item with k=5 -> expected FP ~0.1%.
+    from sparkplans.queries import _rowcount
+
+    n_est = max(64, _rowcount(sf_dir, "documents") // 2)
+    num_bits = ((n_est * 16 + 63) // 64) * 64
+    words = bloom_build(seen, "fingerprint", num_bits=num_bits)
+
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+    firsts = batch.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    probed = firsts.withColumn(
+        "__maybe", bloom_member("fingerprint", words)
+    )
+    definite_new = probed.filter(~F.col("__maybe")).drop("__maybe")
+    verified_new = (
+        probed.filter(F.col("__maybe"))
+        .drop("__maybe")
+        .join(seen, "fingerprint", "left_anti")
+    )
+    return definite_new.unionByName(verified_new).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "bloom_decontamination",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, split,
+             unnest(CASE WHEN len(toks) >= 8
+                    THEN list_transform(range(0, len(toks) - 7),
+                         i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+                    ELSE []::VARCHAR[] END) AS gram
+      FROM base)
+    SELECT a.doc_id, count(DISTINCT a.gram) AS n_shared_grams,
+           TRUE AS fn_ok
+    FROM g a
+    JOIN (SELECT DISTINCT gram FROM g WHERE split = 'train') b
+      ON a.gram = b.gram
+    WHERE a.split = 'test'
+    GROUP BY a.doc_id
+    """,
+)
+def q_bloom_decontamination(spark, sf_dir):
+    """Train/test 8-gram decontamination through a broadcast Bloom
+    filter of the training grams — how the exact-join recipe
+    (`decontamination_ngrams`) actually deploys at 100 TB: the train
+    side is distilled ONCE into a fixed-size bit array; every held-out
+    gram probes it in the scan projection, and only flagged grams need
+    any exact confirmation.
+
+    Driver contract (tolerance-encoded, the approx_distinct recipe):
+    Bloom bits are hash-model state no SQL oracle reproduces, so the
+    result carries the EXACT per-doc shared-gram count (computed
+    beside the probe, same rows as decontamination_ngrams) plus
+    ``fn_ok`` — min over the doc's exactly-shared grams of the Bloom
+    verdict, true iff the filter flagged every true hit.  The no-
+    false-negative guarantee makes the all-true grid the oracle;
+    the FP-rate bound is gated in tests/test_bloom.py."""
+    from sparkplans.operators.bloom import bloom_build, bloom_member
+    from sparkplans.queries import _rowcount
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    base = d.select(
+        "doc_id",
+        F.when(h % 100 < 90, F.lit("train")).otherwise(F.lit("test")).alias(
+            "split"
+        ),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    grams_expr = (
+        "CASE WHEN size(toks) >= 8 THEN "
+        "transform(sequence(0, size(toks) - 8), "
+        "i -> md5(concat_ws(' ', slice(toks, i + 1, 8)))) "
+        "ELSE array() END"
+    )
+    g = base.select(
+        "doc_id", "split", F.explode(F.expr(grams_expr)).alias("gram")
+    )
+    train_grams = g.filter(F.col("split") == "train").select("gram").distinct()
+    # ~128 distinct grams per doc at 16 bits/item, sized from footers.
+    n_est = max(1024, _rowcount(sf_dir, "documents") * 128)
+    num_bits = ((n_est * 16 + 63) // 64) * 64
+    words = bloom_build(train_grams, "gram", num_bits=num_bits)
+    probed = g.filter(F.col("split") == "test").withColumn(
+        "bloom_hit", bloom_member("gram", words)
+    )
+    return (
+        probed.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.min("bloom_hit").alias("fn_ok"),
+        )
+    )

@@ -389,6 +389,11 @@ BUDGETS = {
     # checkpointed per-source counts: 1-row budget agg, bounded
     # water-fill window, level agg, final sort
     "token_budget_epochs": 4,
+    # firsts agg + (bloom-hit sliver) anti-join + union branch; the
+    # bloom probe itself is a zero-exchange projection
+    "bloom_prefilter_dedup": 3,
+    # same shape as decontamination_ngrams — the probe adds no exchange
+    "bloom_decontamination": 5,
 }
 
 
