@@ -66,6 +66,7 @@ HEADLINE = [
     "quality_classifier_scores",
     "bigram_lm_scores",
     "roc_auc_cosine",
+    "bloom_prefilter_dedup",
 ]
 
 

@@ -5,18 +5,21 @@ incremental dedup) needs to stop shuffling the whole corpus:
 
 - **Build** is one pass over the reference set: every value hashes to
   ``num_hashes`` bit positions (Kirsch-Mitzenmacher double hashing on
-  ``xxhash64``), positions fold into 64-bit words with a partial
+  ``xxhash64``), positions fold into per-byte masks with a partial
   ``bit_or`` aggregation — the shuffle carries at most one row per
-  *word*, never per value, so filter construction costs O(bits/64)
+  *byte*, never per value, so filter construction costs O(bits/8)
   network regardless of corpus size.
-- **State** is the dense word array — ``num_bits/8`` bytes (a 2^20-bit
+- **State** is a dense byte string — ``num_bits/8`` bytes (a 2^20-bit
   filter is 128 KiB).  Model state, like the IVF centroids: it leaves
-  the cluster once, comes back as ONE array literal in the plan, and
-  reaches every executor with the plan broadcast itself.
-- **Probe** is a pure projection (``element_at`` + ``bitwiseAND``) —
-  zero shuffle, evaluated inside whole-stage codegen next to the
-  scan.  The corpus is filtered map-side; only the (true hits + FP
-  rate) sliver ever reaches an exact-verify join.
+  the cluster once and comes back as ONE compact ``BinaryType``
+  literal, reaching every executor with the plan broadcast itself.
+  (One literal, NOT an array-of-longs literal: a 10M-bit filter as an
+  array expression is 160k codegen children — minutes of JVM compile —
+  while a binary literal is a single constant reference.)
+- **Probe** is a pure projection (``substring`` byte lookup + bit
+  test) — zero shuffle, evaluated inside whole-stage codegen next to
+  the scan.  The corpus is filtered map-side; only the (true hits +
+  FP rate) sliver ever reaches an exact-verify join.
 
 Guarantee: NO false negatives (every inserted value probes true), so
 ``bloom prefilter -> exact verify`` is *exactly* equivalent to the
@@ -59,13 +62,13 @@ def _positions(col: Column, num_bits: int, num_hashes: int, seed: int):
     ]
 
 
-def _word_mask(pos: Column):
-    """(word index, single-bit mask) of a bit position."""
-    word = F.shiftright(pos, 6)
+def _byte_mask(pos: Column):
+    """(byte index, single-bit mask within the byte) of a position."""
+    byte = F.shiftright(pos, 3)
     mask = F.call_function(
-        "shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(64)).cast("int")
+        "shiftleft", F.lit(1), F.pmod(pos, F.lit(8)).cast("int")
     )
-    return word, mask
+    return byte, mask
 
 
 def bloom_build(
@@ -74,54 +77,57 @@ def bloom_build(
     num_bits: int = _DEFAULT_BITS,
     num_hashes: int = _DEFAULT_HASHES,
     seed: int = 7,
-) -> list[int]:
-    """Build the filter over ``df[col]``; returns the dense word list
-    (``num_bits // 64`` longs — the model state to pass to
+) -> bytes:
+    """Build the filter over ``df[col]``; returns the dense byte string
+    (``num_bits // 8`` bytes — the model state to pass to
     :func:`bloom_member`).
 
-    One distributed pass: explode each value to its k (word, mask)
-    pairs, ``bit_or`` by word.  Partial aggregation ORs masks map-side,
-    so the shuffle is bounded by the word-array size, not the data.
+    One distributed pass: explode each value to its k (byte, mask)
+    pairs, ``bit_or`` by byte.  Partial aggregation ORs masks map-side,
+    so the shuffle is bounded by the filter size, not the data.
     """
-    if num_bits % 64:
-        raise ValueError("num_bits must be a multiple of 64")
+    if num_bits % 8:
+        raise ValueError("num_bits must be a multiple of 8")
     pairs = [
-        F.struct(*(lambda w_m: (w_m[0].alias("w"), w_m[1].alias("m")))(
-            _word_mask(p)
+        F.struct(*(lambda b_m: (b_m[0].alias("b"), b_m[1].alias("m")))(
+            _byte_mask(p)
         ))
         for p in _positions(F.col(col), num_bits, num_hashes, seed)
     ]
     sparse = (
         df.select(F.explode(F.array(*pairs)).alias("p"))
-        .groupBy(F.col("p.w").alias("w"))
-        .agg(F.bit_or("p.m").alias("word"))
+        .groupBy(F.col("p.b").alias("b"))
+        .agg(F.bit_or("p.m").alias("mask"))
         .collect()
     )
-    words = [0] * (num_bits // 64)
+    buf = bytearray(num_bits // 8)
     for r in sparse:
-        words[int(r["w"])] = int(r["word"])
-    return words
+        buf[int(r["b"])] = int(r["mask"])
+    return bytes(buf)
 
 
 def bloom_member(
     col: Column | str,
-    words: list[int],
+    filter_bytes: bytes,
     num_hashes: int = _DEFAULT_HASHES,
     seed: int = 7,
 ) -> Column:
     """Boolean membership column: true iff all k bits are set.
 
-    ``words`` enters the plan as ONE array literal (not 2^n expression
-    nodes), so the probe is a broadcast-with-the-plan lookup — pure
-    codegen projection, zero exchanges, no join."""
+    ``filter_bytes`` enters the plan as ONE binary literal, so the
+    probe is a broadcast-with-the-plan lookup — pure codegen
+    projection, zero exchanges, no join.  Each hash costs a substring
+    byte fetch + hex/conv int decode + one bit test."""
     c = F.col(col) if isinstance(col, str) else col
-    num_bits = len(words) * 64
-    arr = F.lit(words)
+    num_bits = len(filter_bytes) * 8
+    blit = F.lit(filter_bytes)
     checks = []
     for pos in _positions(c, num_bits, num_hashes, seed):
-        word, mask = _word_mask(pos)
-        stored = F.element_at(arr, (word + 1).cast("int"))
-        checks.append(stored.bitwiseAND(mask) == mask)
+        byte, mask = _byte_mask(pos)
+        val = F.conv(
+            F.hex(F.substring(blit, (byte + 1).cast("int"), 1)), 16, 10
+        ).cast("int")
+        checks.append(val.bitwiseAND(mask) == mask)
     out = checks[0]
     for chk in checks[1:]:
         out = out & chk

@@ -844,7 +844,16 @@ def q_bloom_decontamination(spark, sf_dir):
     g = base.select(
         "doc_id", "split", F.explode(F.expr(grams_expr)).alias("gram")
     )
-    train_grams = g.filter(F.col("split") == "train").select("gram").distinct()
+    # Two consumers (filter build + the exact verify join): materialize
+    # the distinct train grams once — tokenize/shingle/distinct run one
+    # time, the stand-in for the persisted gram index a production
+    # decontamination deployment maintains.
+    train_grams = (
+        g.filter(F.col("split") == "train")
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # ~128 distinct grams per doc at 16 bits/item, sized from footers.
     n_est = max(1024, _rowcount(sf_dir, "documents") * 128)
     num_bits = ((n_est * 16 + 63) // 64) * 64

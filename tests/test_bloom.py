@@ -44,7 +44,7 @@ def test_build_deterministic_and_dense(spark):
     w1 = bloom_build(_values(spark, 0, 500), "v", num_bits=1 << 12)
     w2 = bloom_build(_values(spark, 0, 500), "v", num_bits=1 << 12)
     assert w1 == w2
-    assert len(w1) == (1 << 12) // 64
+    assert len(w1) == (1 << 12) // 8
     assert any(w != 0 for w in w1)
 
 
