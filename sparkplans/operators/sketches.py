@@ -196,3 +196,87 @@ def kmv_distinct_estimate(sketch_rows: list, k: int) -> float:
         return float(len(sketch_rows))  # exact: sketch holds everything
     hk = max(r.h for r in sketch_rows)
     return (k - 1) / (hk / float(1 << 60))
+
+
+# ---------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 11,
+) -> DataFrame:
+    """Count-Min Sketch as a DataFrame: the d×w counter table
+    ``(row, bucket, cnt)`` — frequency estimation with O(d·w) state
+    for any number of distinct items.
+
+    Build is ONE two-phase aggregation: each value explodes to its
+    ``depth`` (row, bucket) cells (``xxhash64`` per row seed), counts
+    combine map-side, and the shuffle carries at most d·w rows — the
+    sketch, never the corpus.  Two sketches with the same (depth,
+    width, seed) merge by unioning tables and summing ``cnt`` —
+    mergeability is the point: per-partition/per-day sketches roll up
+    without re-scanning raw data (same deployment note as hll_rollup).
+
+    Guarantees (fixed seeds => deterministic): estimates never
+    UNDER-count; over-count ≤ e·N/width with probability 1-e^{-depth}
+    per query (Markov over independent rows).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame,
+    col: str,
+    cms: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 11,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: join each
+    item's d cells against the (broadcast — d·w rows, KBs) sketch
+    table and take the min over rows.  Absent cells count 0 only if a
+    bucket row is genuinely missing from the sketch (possible for
+    sparse sketches) — coalesced accordingly.  Adds one small-keyed
+    aggregation; the sketch side never shuffles."""
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(seed + i)),
+                            F.lit(width),
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+    )

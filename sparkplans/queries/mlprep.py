@@ -869,3 +869,61 @@ def q_bloom_decontamination(spark, sf_dir):
             F.min("bloom_hit").alias("fn_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Count-Min Sketch frequency estimates for the heavy-hitter tokens
+# ---------------------------------------------------------------------
+
+@register(
+    "cms_token_counts",
+    """
+    SELECT tok, cnt, TRUE AS overest_ok
+    FROM (
+      SELECT tok, count(*) AS cnt
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(tok)
+      GROUP BY tok
+      ORDER BY cnt DESC, tok
+      LIMIT 20
+    )
+    """,
+)
+def q_cms_token_counts(spark, sf_dir):
+    """Count-Min Sketch (`operators/sketches.cms_build`) point queries
+    for the corpus top-20 tokens — the fixed-state frequency sketch
+    beside the exact heavy-hitter pipeline: d×w counters regardless of
+    vocabulary size, mergeable across partitions/days by cell-wise sum.
+
+    Driver contract (tolerance-encoded, the approx_distinct recipe):
+    sketch cells are hash-model state no SQL oracle reproduces, so the
+    result carries the EXACT counts plus ``overest_ok`` — CMS can only
+    over-count, so ``estimate >= exact`` must hold for every token;
+    the e·N/width over-count bound is gated in tests (fixed seeds make
+    it deterministic).  Row set / values hash-match the exact top-20."""
+    from sparkplans.operators.sketches import cms_build, cms_estimate
+
+    d = _t_cpu(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    # One tokenize pass feeds both the sketch build and the exact
+    # top-20 (the sketch is the scale artifact; the exact side is the
+    # oracle's half of the tolerance contract).
+    toks = toks.localCheckpoint(eager=True)
+    cms = cms_build(toks, "tok", depth=4, width=4096)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(top.select("tok"), "tok", cms, depth=4, width=4096)
+    return (
+        top.join(F.broadcast(est), "tok")
+        .select(
+            "tok",
+            "cnt",
+            (F.col("cms_estimate") >= F.col("cnt")).alias("overest_ok"),
+        )
+    )

@@ -394,6 +394,9 @@ BUDGETS = {
     "bloom_prefilter_dedup": 3,
     # same shape as decontamination_ngrams — the probe adds no exchange
     "bloom_decontamination": 5,
+    # sketch build agg + exact top-20 agg (one checkpointed tokenize
+    # pass feeds both); estimate side is broadcast-joined
+    "cms_token_counts": 3,
 }
 
 
