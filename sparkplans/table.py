@@ -37,6 +37,38 @@ class CommitConflict(RuntimeError):
     pass
 
 
+class SchemaEvolutionError(ValueError):
+    """A write's schema conflicts with the table's (same column name,
+    different type) — evolution is widening-only, never casting."""
+
+
+def _merge_schemas(old, new):
+    """Union schema: ``old``'s fields in order (made nullable — older
+    files must null-fill columns they predate), then ``new``'s unseen
+    fields.  Same-name different-type raises; this is the ADD COLUMN /
+    missing-column half of lakehouse schema evolution, with no
+    implicit type changes."""
+    from pyspark.sql.types import StructField, StructType
+
+    if old is None:
+        return new
+    by_name = {f.name: f for f in new.fields}
+    fields = []
+    for f in old.fields:
+        g = by_name.get(f.name)
+        if g is not None and g.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: table has {f.dataType.simpleString()}, "
+                f"write has {g.dataType.simpleString()}"
+            )
+        fields.append(StructField(f.name, f.dataType, nullable=True))
+    seen = {f.name for f in old.fields}
+    for g in new.fields:
+        if g.name not in seen:
+            fields.append(StructField(g.name, g.dataType, nullable=True))
+    return StructType(fields)
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -97,11 +129,28 @@ class VersionedTable:
             if f.endswith(".parquet")
         )
 
+    def _evolved_schema(self, df: DataFrame):
+        """Schema the table has AFTER committing ``df``: the current
+        schema with ``df``'s new columns appended (widening only —
+        same-name different-type is rejected, no implicit casts).
+        Resolved from the LOG, never from data-file footers: at 100 TB
+        a ``mergeSchema`` read sweeps every footer; the log answers in
+        constant time."""
+        tip = self.latest_version()
+        prev = self._schema_at(tip) if tip is not None else None
+        return _merge_schemas(prev, df.schema)
+
     def append(self, df: DataFrame) -> int:
-        """Commit the rows as a new version on top of the current tip."""
+        """Commit the rows as a new version on top of the current tip.
+
+        Schema evolution: a batch may ADD columns (older files read
+        back null-filled) or OMIT columns (the new files read back
+        null-filled) — the union schema rides in the log entry and
+        pins every subsequent read.  Type conflicts raise."""
+        schema = self._evolved_schema(df)
         files = self._stage(df)
         return self._commit(
-            {"op": "append", "files": files, "schema": df.schema.json()}
+            {"op": "append", "files": files, "schema": schema.json()}
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -147,6 +196,13 @@ class VersionedTable:
             if schema is None:
                 raise FileNotFoundError(f"version {v} has no data files")
             return self.spark.createDataFrame([], schema)
+        schema = self._schema_at(v)
+        if schema is not None:
+            # Pin the read to the schema recorded AT THAT VERSION:
+            # files written before a column existed null-fill it, files
+            # written with since-dropped writers' narrow schemas widen,
+            # and time travel to an old version shows the old schema.
+            return self.spark.read.schema(schema).parquet(*files)
         return self.spark.read.parquet(*files)
 
     def _schema_at(self, version: int):
@@ -177,10 +233,13 @@ class VersionedTable:
         the read version at commit time and retry; the log carries
         enough (version numbers) to add that."""
         current = self.read()
+        # schema evolution applies to MERGE too: updates may carry new
+        # columns (survivors null-fill them) or omit existing ones
+        _merge_schemas(current.schema, updates.schema)  # type-conflict gate
         survivors = current.join(
             updates.select(key).distinct(), key, "left_anti"
         )
-        merged = survivors.unionByName(updates)
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
         files = self._stage(merged)
         return self._commit(
             {
@@ -205,13 +264,14 @@ class VersionedTable:
                 "committed_batch_ids", []
             ):
                 return None  # replay after restart — already committed
+        schema = self._evolved_schema(batch_df)
         files = self._stage(batch_df)
         return self._commit(
             {
                 "op": "append",
                 "batch_id": batch_id,
                 "files": files,
-                "schema": batch_df.schema.json(),
+                "schema": schema.json(),
             }
         )
 

@@ -267,3 +267,87 @@ def test_vacuum_sweeps_orphaned_stage_dirs(spark, nation, tmp_path):
     t.vacuum(keep_versions=1, orphan_age_seconds=0)
     assert not os.path.exists(orphan_dir)
     assert t.read().count() == 3
+
+
+def test_schema_evolution_add_column(spark, nation, tmp_path):
+    """Append with a NEW column: old files null-fill it, new rows keep
+    it, and the evolved schema pins every later read."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation.limit(3).select("n_nationkey", "n_name"))
+    t.append(
+        nation.limit(2).select(
+            "n_nationkey", "n_name", F.lit("extra").alias("note")
+        )
+    )
+    got = t.read()
+    assert got.columns == ["n_nationkey", "n_name", "note"]
+    assert got.count() == 5
+    assert got.filter(F.col("note").isNull()).count() == 3
+    assert got.filter(F.col("note") == "extra").count() == 2
+
+
+def test_schema_evolution_missing_column_null_fills(spark, nation, tmp_path):
+    """Append that OMITS an existing column: the new files read back
+    null-filled — writers with narrower frames stay compatible."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation.limit(3).select("n_nationkey", "n_name"))
+    t.append(nation.limit(2).select("n_nationkey"))
+    got = t.read()
+    assert got.columns == ["n_nationkey", "n_name"]
+    assert got.filter(F.col("n_name").isNull()).count() == 2
+
+
+def test_schema_evolution_type_conflict_rejected(spark, nation, tmp_path):
+    """Same column name, different type: refused before staging — no
+    implicit casts, no partial commit."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from sparkplans.table import SchemaEvolutionError
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation.limit(3).select("n_nationkey", "n_name"))
+    bad = nation.limit(1).select(
+        "n_nationkey", F.col("n_regionkey").cast("double").alias("n_name")
+    )
+    with _pytest.raises(SchemaEvolutionError):
+        t.append(bad)
+    assert t.latest_version() == 0  # nothing committed
+
+
+def test_schema_evolution_time_travel_shows_old_schema(spark, nation, tmp_path):
+    """Time travel to a pre-evolution version reads the OLD schema —
+    the log records schema per version, not one global schema."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v0 = t.append(nation.limit(3).select("n_nationkey", "n_name"))
+    t.append(
+        nation.limit(2).select("n_nationkey", F.lit(1).alias("flag"), "n_name")
+    )
+    assert t.read(version=v0).columns == ["n_nationkey", "n_name"]
+    assert t.read().columns == ["n_nationkey", "n_name", "flag"]
+
+
+def test_schema_evolution_through_merge(spark, nation, tmp_path):
+    """MERGE with updates carrying a new column: survivors null-fill
+    it; same-key rows are replaced with the wider rows."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation.limit(5).select("n_nationkey", "n_name"))
+    upd = nation.limit(2).select(
+        "n_nationkey",
+        F.lit("upd").alias("n_name"),
+        F.lit(9).alias("score"),
+    )
+    t.merge(upd, key="n_nationkey")
+    got = t.read()
+    assert set(got.columns) == {"n_nationkey", "n_name", "score"}
+    assert got.count() == 5
+    assert got.filter(F.col("score") == 9).count() == 2
+    assert got.filter(F.col("score").isNull()).count() == 3
