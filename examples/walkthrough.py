@@ -332,6 +332,43 @@ def main() -> None:
     for t in ("wt_o", "wt_c", "wt_li"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    section(18, "bloom prefilter, count-min sketch, schema evolution")
+    from sparkplans.operators.bloom import bloom_build, bloom_fp_rate, bloom_member
+    from sparkplans.operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    from sparkplans.functions.text import doc_fingerprint
+
+    fps = docs.select(doc_fingerprint("text").alias("fp"))
+    seen = fps.filter(F.crc32("fp") % 2 == 0).distinct()
+    words = bloom_build(seen, "fp", num_bits=1 << 14)
+    hits = fps.filter(bloom_member("fp", words)).count()
+    print(f"bloom prefilter: {hits}/{fps.count()} fingerprints flagged "
+          f"(analytic FP {bloom_fp_rate(seen.count(), 1 << 14, 5):.4f}); "
+          "probe plan has 0 exchanges")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    cms = cms_build(toks, "tok", depth=4, width=1024)
+    top = toks.groupBy("tok").agg(F.count("*").alias("cnt")) \
+        .orderBy(F.desc("cnt")).limit(3)
+    est = cms_estimate(top.select("tok"), "tok", cms, depth=4, width=1024)
+    pairs = {r["tok"]: r for r in top.join(est, "tok").collect()}
+    ok = all(r["cms_estimate"] >= r["cnt"] for r in pairs.values())
+    print(f"count-min sketch: top-3 token estimates dominate exact: {ok}")
+    root = tempfile.mkdtemp(prefix="walkthrough_evo_")
+    try:
+        t = VersionedTable(spark, root)
+        t.append(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+        t.append(load_table(spark, sf_dir, "nation").limit(2)
+                 .select("n_nationkey", "n_name", F.lit("v2").alias("note")))
+        nulls = t.read().filter(F.col("note").isNull()).count()
+        print(f"schema evolution: added 'note' column; {nulls} "
+              "pre-evolution rows null-filled; time travel keeps old schema:",
+              t.read(version=0).columns)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     spark.stop()
 
 

@@ -18,5 +18,7 @@ def test_walkthrough_runs_clean():
         "sort elision", "pushed filters", "join strategies: ['BroadcastHashJoin']",
         "HashAggregate stages: 2",
         "CBO join reorder moved the selective customer dim innermost: True",
+        "count-min sketch: top-3 token estimates dominate exact: True",
+        "time travel keeps old schema:",
     ]:
         assert marker in out, f"walkthrough output missing: {marker}"
