@@ -129,6 +129,42 @@ class VersionedTable:
             if f.endswith(".parquet")
         )
 
+    @staticmethod
+    def _collect_file_stats(files: list[str], cols: list[str]) -> dict:
+        """Per-file row count and [min, max] per requested column, read
+        from the parquet footers of the JUST-WRITTEN files — the Delta
+        recipe: stats are paid once at commit time and recorded in the
+        log, so later reads prune files from metadata alone (the
+        catalog's ``file_stats`` footer sweep, amortized to zero).
+        Only JSON-stable scalar types (int/float/str) are recorded;
+        anything else is conservatively left out (file never prunes)."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            entry: dict = {"rows": md.num_rows, "cols": {}}
+            names = md.schema.names
+            for c in cols:
+                if c not in names:
+                    continue
+                idx = names.index(c)
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if ok and isinstance(mn, (int, float, str)) and isinstance(
+                    mx, (int, float, str)
+                ):
+                    entry["cols"][c] = [mn, mx]
+            out[f] = entry
+        return out
+
     def _evolved_schema(self, df: DataFrame):
         """Schema the table has AFTER committing ``df``: the current
         schema with ``df``'s new columns appended (widening only —
@@ -140,28 +176,35 @@ class VersionedTable:
         prev = self._schema_at(tip) if tip is not None else None
         return _merge_schemas(prev, df.schema)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
         """Commit the rows as a new version on top of the current tip.
 
         Schema evolution: a batch may ADD columns (older files read
         back null-filled) or OMIT columns (the new files read back
         null-filled) — the union schema rides in the log entry and
-        pins every subsequent read.  Type conflicts raise."""
+        pins every subsequent read.  Type conflicts raise.
+
+        ``stats_cols``: record per-file [min, max] for these columns in
+        the log entry — fuel for :meth:`read_pruned` data skipping."""
         schema = self._evolved_schema(df)
         files = self._stage(df)
-        return self._commit(
-            {"op": "append", "files": files, "schema": schema.json()}
-        )
+        entry = {"op": "append", "files": files, "schema": schema.json()}
+        if stats_cols:
+            entry["file_stats"] = self._collect_file_stats(files, stats_cols)
+        return self._commit(entry)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> int:
         """Commit a version that replaces the table contents.  Old
         versions remain readable (time travel) until vacuum().  The
         schema rides in the log entry so a legitimately-empty version
         (overwrite with 0 rows) stays readable."""
         files = self._stage(df)
-        return self._commit(
-            {"op": "overwrite", "files": files, "schema": df.schema.json()}
-        )
+        entry = {"op": "overwrite", "files": files, "schema": df.schema.json()}
+        if stats_cols:
+            entry["file_stats"] = self._collect_file_stats(files, stats_cols)
+        return self._commit(entry)
 
     # -- reads ----------------------------------------------------------
 
@@ -204,6 +247,78 @@ class VersionedTable:
             # and time travel to an old version shows the old schema.
             return self.spark.read.schema(schema).parquet(*files)
         return self.spark.read.parquet(*files)
+
+    def _stats_at(self, version: int) -> dict:
+        """file -> recorded stats, for every entry at or below
+        ``version`` (stats ride with the file path; membership is
+        governed by the file list)."""
+        stats: dict = {}
+        for v in self.versions():
+            if v > version:
+                break
+            stats.update(self._read_entry(v).get("file_stats", {}))
+        return stats
+
+    def pruned_files(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> list[str]:
+        """Files of the snapshot that may contain ``col`` values in
+        ``[lo, hi]`` (either bound None = unbounded), decided from the
+        LOG's recorded stats — zero footer reads, zero data reads.
+        Conservative: files without recorded stats are always kept;
+        pruning only skips files PROVEN disjoint (the reference's
+        ``pruning_predicate`` over min/max, docs/5:97-108, at the
+        lakehouse-log level)."""
+        v = self.latest_version() if version is None else version
+        stats = self._stats_at(v)
+        keep = []
+        for f in self._files_at(v):
+            s = stats.get(f)
+            if s is None:
+                keep.append(f)
+                continue
+            if s.get("rows") == 0:
+                continue
+            rng = s.get("cols", {}).get(col)
+            if rng is None:
+                keep.append(f)
+                continue
+            mn, mx = rng
+            if lo is not None and mx < lo:
+                continue
+            if hi is not None and mn > hi:
+                continue
+            keep.append(f)
+        return keep
+
+    def read_pruned(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Range read with log-stats data skipping: schedule only the
+        files that may intersect the predicate, then apply the real
+        filter for row-level correctness.  At 100 TB a time-range query
+        over an append-ordered table touches just the matching files —
+        and unlike footer-based pruning, deciding WHICH files costs one
+        driver-side log read, not a million-footer sweep."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed versions at {self.root}")
+        files = self.pruned_files(col, lo, hi, version=v)
+        schema = self._schema_at(v)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = (
+            self.spark.read.schema(schema).parquet(*files)
+            if schema is not None
+            else self.spark.read.parquet(*files)
+        )
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
 
     def _schema_at(self, version: int):
         """Schema of the table at ``version``: the most recent log
@@ -362,11 +477,22 @@ class VersionedTable:
             rewritten = {
                 k: v
                 for k, v in base_entry.items()
-                if k not in ("op", "files", "version", "committed_batch_ids")
+                if k
+                not in ("op", "files", "version", "committed_batch_ids",
+                        "file_stats")
             }
             rewritten.update(
                 {"op": "overwrite", "files": resolved, "version": base}
             )
+            # fold the recorded stats of every surviving file into the
+            # rewritten base (they were spread over the removed appends)
+            folded_stats = {
+                f: s
+                for f, s in self._stats_at(base).items()
+                if f in set(resolved)
+            }
+            if folded_stats:
+                rewritten["file_stats"] = folded_stats
             folded = sorted(
                 set(
                     removed_batch_ids

@@ -351,3 +351,65 @@ def test_schema_evolution_through_merge(spark, nation, tmp_path):
     assert got.count() == 5
     assert got.filter(F.col("score") == 9).count() == 2
     assert got.filter(F.col("score").isNull()).count() == 3
+
+
+def test_log_stats_data_skipping(spark, nation, tmp_path):
+    """Per-file [min,max] recorded at commit prune disjoint files at
+    read — from the log alone, no footer sweep — and the pruned read
+    equals the full-scan filter."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    # three appends with disjoint key ranges, one file each
+    for lo, hi in [(0, 8), (9, 16), (17, 24)]:
+        t.append(
+            nation.filter(F.col("n_nationkey").between(lo, hi)).coalesce(1),
+            stats_cols=["n_nationkey"],
+        )
+    all_files = t._files_at(t.latest_version())
+    assert len(all_files) == 3
+    kept = t.pruned_files("n_nationkey", lo=10, hi=12)
+    assert len(kept) == 1  # only the middle file may intersect
+    got = t.read_pruned("n_nationkey", lo=10, hi=12)
+    want = t.read().filter(F.col("n_nationkey").between(10, 12))
+    assert sorted(r["n_nationkey"] for r in got.collect()) == sorted(
+        r["n_nationkey"] for r in want.collect()
+    )
+    # everything prunes -> empty frame, right schema
+    assert t.read_pruned("n_nationkey", lo=1000).count() == 0
+    assert t.read_pruned("n_nationkey", lo=1000).columns == nation.columns
+
+
+def test_log_stats_conservative_without_stats(spark, nation, tmp_path):
+    """Files committed WITHOUT stats never prune (correctness first):
+    a mixed table still returns exact results."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(
+        nation.filter(F.col("n_nationkey") < 10).coalesce(1),
+        stats_cols=["n_nationkey"],
+    )
+    t.append(nation.filter(F.col("n_nationkey") >= 10).coalesce(1))  # no stats
+    kept = t.pruned_files("n_nationkey", lo=20)
+    assert len(kept) == 1  # stats file pruned, stats-less file kept
+    got = t.read_pruned("n_nationkey", lo=20)
+    assert got.count() == nation.filter(F.col("n_nationkey") >= 20).count()
+
+
+def test_log_stats_survive_vacuum(spark, nation, tmp_path):
+    """vacuum's base rewrite folds the removed appends' stats into the
+    kept entry — pruning keeps working on the compacted log."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for lo, hi in [(0, 8), (9, 16), (17, 24)]:
+        t.append(
+            nation.filter(F.col("n_nationkey").between(lo, hi)).coalesce(1),
+            stats_cols=["n_nationkey"],
+        )
+    t.vacuum(keep_versions=1, orphan_age_seconds=0)
+    assert len(t.versions()) == 1
+    kept = t.pruned_files("n_nationkey", lo=10, hi=12)
+    assert len(kept) == 1
+    assert t.read_pruned("n_nationkey", lo=10, hi=12).count() == 3
