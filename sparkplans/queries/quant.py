@@ -1191,7 +1191,8 @@ def q_copurchase_rules(spark, sf_dir):
     shuffle runs once, not three times (the triangle-census pattern).
     All counts are integers; the two ratios are single IEEE
     expressions with the same promotion/op order on both engines,
-    rounded 6dp.  n_orders is one scalar — model state, a literal.
+    rounded 6dp.  n_orders stays in the plan as a broadcast 1-row
+    aggregate (no separate driver count job).
     At 100 TB the basket self-join is the canonical skew risk: a
     mega-order fans out quadratically — AQE skew-split handles
     moderate cases, and a per-order item cap (drop baskets > K items,
@@ -1202,7 +1203,11 @@ def q_copurchase_rules(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_orders = b.select("l_orderkey").distinct().count()
+    # n_orders stays IN the plan as a broadcast 1-row aggregate — no
+    # separate driver count() job, one fewer synchronization point
+    n_orders_df = b.agg(
+        F.countDistinct("l_orderkey").alias("__n_orders")
+    )
     item = b.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
     a = b.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
@@ -1222,6 +1227,7 @@ def q_copurchase_rules(spark, sf_dir):
     return (
         pair.join(ia, "part_a")
         .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders_df))
         .select(
             "part_a",
             "part_b",
@@ -1232,7 +1238,7 @@ def q_copurchase_rules(spark, sf_dir):
                 "confidence_ab"
             ),
             F.round(
-                (F.col("n_ab").cast("double") * F.lit(n_orders))
+                (F.col("n_ab").cast("double") * F.col("__n_orders"))
                 / (F.col("n_a").cast("double") * F.col("n_b")),
                 6,
             ).alias("lift"),
