@@ -575,9 +575,11 @@ def q_approx_topk_tokens(spark, sf_dir):
     sketch = misra_gries_topk(toks, "tok", capacity=capacity)
 
     exact = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    n = toks.count()  # scalar
-    bound = n / (capacity + 1)
-    heavy = exact.filter(F.col("c") > F.lit(bound))
+    # the stream length n stays IN the plan (broadcast 1-row sum of the
+    # per-token counts — no extra tokenize pass, no driver count job)
+    tot = exact.agg(F.sum("c").alias("__n"))
+    bound = F.col("__n") / (capacity + 1)
+    heavy = exact.crossJoin(F.broadcast(tot)).filter(F.col("c") > bound)
     joined = heavy.join(
         F.broadcast(sketch.withColumnRenamed("item", "tok")), "tok", "left"
     )
@@ -585,7 +587,7 @@ def q_approx_topk_tokens(spark, sf_dir):
         "tok",
         F.col("est_count").isNotNull().alias("present"),
         (F.col("est_count") <= F.col("c")).alias("lower_bound_ok"),
-        ((F.col("c") - F.col("est_count")) <= F.lit(bound)).alias(
+        ((F.col("c") - F.col("est_count")) <= bound).alias(
             "error_bound_ok"
         ),
     )
