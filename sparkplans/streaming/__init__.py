@@ -717,3 +717,87 @@ def near_dedup_ingest_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def bloom_dedup_ingest_sink(
+    stream_docs: DataFrame,
+    corpus_root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 17,
+):
+    """`dedup_ingest_sink` with a BLOOM PREFILTER on the cross-batch
+    check — the ingest shape that stays cheap as the corpus index
+    grows: each micro-batch probes a persisted Bloom filter of every
+    committed fingerprint MAP-SIDE, and only probable hits (true dups
+    + the FP sliver) join the exact index; definite misses skip the
+    index entirely.
+
+    Crash-safety invariant: **bloom ⊇ committed index, always.**  The
+    batch's bits are OR-ed into the filter and fsynced BEFORE the data
+    commits — a crash in between leaves extra bits (harmless: extra
+    exact-join work), never missing bits (which would admit dups).
+    Bloom union is idempotent, so a replayed batch re-ORs the same
+    bits; `streaming_append_batch`'s batch-id dedup keeps the data
+    commits exactly-once.  Probing uses the PRE-batch filter state —
+    after a replay the batch's own bits are present, so every row
+    routes through the exact join and the result is unchanged.
+
+    State: ``corpus_root/bloom.bin`` (num_bits/8 bytes, atomic
+    tmp+rename updates) beside the same ``corpus`` / ``fp_index``
+    versioned tables as the exact sink.
+    """
+    from sparkplans.functions.text import doc_fingerprint
+    from sparkplans.operators.bloom import bloom_build, bloom_member
+    from sparkplans.table import VersionedTable
+
+    spark = stream_docs.sparkSession
+    corpus = VersionedTable(spark, os.path.join(corpus_root, "corpus"))
+    index = VersionedTable(spark, os.path.join(corpus_root, "fp_index"))
+    bloom_path = os.path.join(corpus_root, "bloom.bin")
+
+    def _load_bloom() -> bytes:
+        if os.path.exists(bloom_path):
+            with open(bloom_path, "rb") as f:
+                return f.read()
+        return bytes(num_bits // 8)
+
+    def _store_bloom(b: bytes) -> None:
+        tmp = bloom_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(b)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, bloom_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fp = batch_df.withColumn("fingerprint", doc_fingerprint(text_col))
+        keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        firsts = fp.join(keep, ["fingerprint", id_col]).localCheckpoint()
+        pre = _load_bloom()
+        batch_bits = bloom_build(
+            firsts.select("fingerprint"), "fingerprint", num_bits=num_bits
+        )
+        # OR in the batch BEFORE committing: bloom ⊇ index survives any
+        # crash point (idempotent on replay)
+        _store_bloom(bytes(a | b for a, b in zip(pre, batch_bits)))
+        maybe = firsts.withColumn(
+            "__maybe", bloom_member("fingerprint", pre)
+        )
+        definite_new = maybe.filter(~F.col("__maybe")).drop("__maybe")
+        flagged = maybe.filter(F.col("__maybe")).drop("__maybe")
+        try:
+            seen = index.read().select("fingerprint")
+            verified_new = flagged.join(seen, "fingerprint", "left_anti")
+        except FileNotFoundError:
+            verified_new = flagged
+        clean = definite_new.unionByName(verified_new).localCheckpoint()
+        corpus.streaming_append_batch(clean, batch_id)
+        index.streaming_append_batch(clean.select("fingerprint"), batch_id)
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

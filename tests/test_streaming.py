@@ -804,3 +804,62 @@ def test_enrich_stream_matches_batch_join(spark, events_dir):
     assert got == want
     # cold-start users came through with nulls, not dropped
     assert any(v == (None, None) for v in got.values())
+
+
+def test_bloom_dedup_ingest_matches_exact_sink(spark, tmp_path):
+    """The bloom-prefiltered ingest admits exactly the same documents
+    as the exact sink (no false negatives end to end), keeps the
+    bloom ⊇ index invariant on disk, and re-draining commits nothing."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkplans.operators.bloom import bloom_member
+    from sparkplans.table import VersionedTable
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "doc_stream_b"
+    root = str(tmp_path / "corpus_root_b")
+    ckpt = str(tmp_path / "ckpt_b")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming.bloom_dedup_ingest_sink(stream, root, ckpt).start()
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA   beta")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    corpus = VersionedTable(spark, os.path.join(root, "corpus"))
+    index = VersionedTable(spark, os.path.join(root, "fp_index"))
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [1, 2]
+
+    # cross-batch dup of doc 1 (hits the bloom, dies in the exact
+    # verify) + a fresh doc (skips the index join entirely)
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "fresh text")], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [1, 2, 11]
+    assert index.read().count() == 3
+
+    # bloom ⊇ index: every committed fingerprint probes true
+    with open(os.path.join(root, "bloom.bin"), "rb") as f:
+        bloom = f.read()
+    n_member = (
+        index.read().filter(bloom_member("fingerprint", bloom)).count()
+    )
+    assert n_member == 3
+
+    # idle re-drain: no new versions
+    v_corpus, v_index = corpus.latest_version(), index.latest_version()
+    drain()
+    assert corpus.latest_version() == v_corpus
+    assert index.latest_version() == v_index
