@@ -1105,6 +1105,47 @@ def q_pii_redaction_stats(spark, sf_dir):
 
 
 @register(
+    "k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS grp_n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (SELECT count(*) AS n FROM customer)
+    SELECT c_nationkey, c_mktsegment, grp_n,
+           CAST(grp_n < 5 AS INT) AS below_k,
+           round(CAST(grp_n AS DOUBLE) / n, 6) AS pop_share
+    FROM qi CROSS JOIN tot
+    """,
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers — the privacy
+    complement of the PII redaction stage: any (nationkey, mktsegment)
+    equivalence class with fewer than k=5 members re-identifies its
+    members and must be suppressed or generalized before release
+    (Sweeney 2002).  Emits every class with its size, the below-k
+    flag a suppression pass consumes, and its population share.
+
+    Scale: ONE two-phase groupBy on the quasi-identifier tuple — the
+    audit costs the same as any aggregate; the 1-row total broadcasts
+    back.  Exact oracle."""
+    c = _t(spark, sf_dir, "customer")
+    qi = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("grp_n")
+    )
+    tot = c.agg(F.count("*").alias("n"))
+    return qi.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "grp_n",
+        (F.col("grp_n") < 5).cast("int").alias("below_k"),
+        F.round(F.col("grp_n").cast("double") / F.col("n"), 6).alias(
+            "pop_share"
+        ),
+    )
+
+
+@register(
     "train_test_split",
     "SELECT lang, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
     "% 100 < 90 THEN 'train' ELSE 'test' END AS split, count(*) AS n_docs "

@@ -405,6 +405,8 @@ BUDGETS = {
     # sketch build agg + exact top-20 agg (one checkpointed tokenize
     # pass feeds both); estimate side is broadcast-joined
     "cms_token_counts": 3,
+    # quasi-identifier groupBy + 1-row total agg (broadcast back)
+    "k_anonymity_audit": 2,
 }
 
 
