@@ -238,8 +238,90 @@ def window_query(draw):
     )
 
 
+@st.composite
+def rollup_query(draw):
+    """GROUP BY ROLLUP over two keys with GROUPING() disambiguation —
+    sweeps the grouping-set expansion both engines implement."""
+    t = draw(st.sampled_from(sorted(TABLES)))
+    meta = TABLES[t]
+    cols = meta["strs"] + meta["ints"]
+    g1 = draw(st.sampled_from(cols))
+    g2 = draw(st.sampled_from([c for c in cols if c != g1]))
+    pred = draw(predicate(t))
+    # fuzzer finding: on EMPTY input the engines genuinely diverge —
+    # DuckDB (SQL standard) emits the ()-grouping-set grand-total row
+    # with count 0, Spark (expand+groupBy implementation) emits no
+    # rows.  HAVING count(*) > 0 is the identity on any non-empty
+    # input and aligns the empty case, so the sweep still covers the
+    # full rollup expansion without tripping on that known delta.
+    return (
+        f"SELECT {g1}, {g2}, CAST(GROUPING({g1}) AS INT) AS gr1, "
+        f"CAST(GROUPING({g2}) AS INT) AS gr2, "
+        f"CAST(count(*) AS BIGINT) AS c_cnt "
+        f"FROM {t} WHERE {pred} GROUP BY ROLLUP ({g1}, {g2}) "
+        f"HAVING count(*) > 0"
+    )
+
+
+@st.composite
+def case_query(draw):
+    """CASE WHEN in the aggregate (conditional aggregation) and in the
+    group key — the pivot-ish shapes hand queries underuse."""
+    t = draw(st.sampled_from(sorted(TABLES)))
+    meta = TABLES[t]
+    c = draw(st.sampled_from(meta["ints"]))
+    cut = draw(st.integers(1, 1500))
+    pred = draw(predicate(t))
+    bucket = (
+        f"CASE WHEN {c} < {cut} THEN 'lo' "
+        f"WHEN {c} < {cut * 2} THEN 'mid' ELSE 'hi' END"
+    )
+    return (
+        f"SELECT {bucket} AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS c_cnt, "
+        f"CAST(sum(CASE WHEN {c} % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS evens "
+        f"FROM {t} WHERE {pred} GROUP BY {bucket}"
+    )
+
+
+@st.composite
+def distinct_query(draw):
+    t = draw(st.sampled_from(sorted(TABLES)))
+    meta = TABLES[t]
+    c1 = draw(st.sampled_from(meta["strs"] + meta["ints"]))
+    pred = draw(predicate(t))
+    return f"SELECT DISTINCT {c1} FROM {t} WHERE {pred}"
+
+
+@st.composite
+def subquery_query(draw):
+    """Scalar-subquery threshold or FK IN-subquery — decorrelation on
+    the Spark side, hash-joined semi on DuckDB's."""
+    kind = draw(st.sampled_from(["scalar", "in"]))
+    if kind == "scalar":
+        t = draw(st.sampled_from(["customer", "supplier", "orders", "part"]))
+        meta = TABLES[t]
+        c = meta["nums"][0] if meta["nums"] else meta["ints"][0]
+        frac = draw(st.sampled_from(["0.5", "1.0", "1.5"]))
+        return (
+            f"SELECT {meta['key']} FROM {t} "
+            f"WHERE {c} > (SELECT avg({c}) * {frac} FROM {t}) "
+            f"ORDER BY {meta['key']} LIMIT 200"
+        )
+    pred = draw(predicate("customer"))
+    neg = draw(st.sampled_from(["", "NOT "]))
+    return (
+        f"SELECT o_orderkey FROM orders "
+        f"WHERE o_custkey {neg}IN "
+        f"(SELECT c_custkey FROM customer WHERE {pred}) "
+        f"ORDER BY o_orderkey LIMIT 300"
+    )
+
+
 ANY_QUERY = st.one_of(scan_query(), agg_query(), join_query(),
-                      setop_query(), window_query())
+                      setop_query(), window_query(), rollup_query(),
+                      case_query(), distinct_query(), subquery_query())
 
 
 def _check(spark, duck, sql):
