@@ -86,9 +86,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name].fn
-        # min of 2 runs: steady-state throughput, not JVM codegen warmup
+        # min of 3 runs: steady-state throughput, not JVM codegen
+        # warmup or GC noise (run-to-run variance measured ~25%)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -98,6 +98,11 @@ def run_sql(engine, sql: str, out=sys.stdout) -> None:
         print(f"Error: {first[0] if first else ex}", file=out)
         return
     elapsed = time.perf_counter() - t0
+    if df.columns == ["plan"] and len(rows) == 1:
+        # EXPLAIN output: print the plan tree raw, as the reference's
+        # CLI does, instead of boxing a multi-line cell
+        print(rows[0][0], file=out)
+        return
     print(format_table(df.columns, [list(r) for r in rows]), file=out)
     n = len(rows)
     if getattr(engine, "_cli_timing", False):
