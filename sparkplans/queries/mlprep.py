@@ -927,3 +927,68 @@ def q_cms_token_counts(spark, sf_dir):
             (F.col("cms_estimate") >= F.col("cnt")).alias("overest_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Equi-depth feature binning (QuantileDiscretizer, the two-pass way)
+# ---------------------------------------------------------------------
+
+@register(
+    "equi_depth_bins",
+    """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.50), 6) AS q2,
+             round(quantile_cont(value, 0.75), 6) AS q3
+      FROM events GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN e.value <= b.q1 THEN 0
+                  WHEN e.value <= b.q2 THEN 1
+                  WHEN e.value <= b.q3 THEN 2
+                  ELSE 3 END AS bin,
+             b.q1, b.q2, b.q3
+      FROM events e JOIN b USING (event_type))
+    SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+           min(q1) AS q1, min(q2) AS q2, min(q3) AS q3
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def q_equi_depth_bins(spark, sf_dir):
+    """Equi-depth (quantile) feature binning — Spark MLlib's
+    QuantileDiscretizer re-expressed as the exact two-pass plan a
+    100 TB feature pipeline uses: pass 1 computes per-type quartile
+    boundaries (one two-phase aggregate; the boundary table is
+    #types×3 doubles — model state), pass 2 broadcasts them back and
+    bins every row in a pure projection, then counts per (type, bin).
+    Nothing corpus-sized is ever windowed or sorted — contrast with
+    the naive global-ntile formulation, which funnels the corpus
+    through one unpartitioned window.
+
+    Exactness: boundaries are Spark ``percentile`` == DuckDB
+    ``quantile_cont`` (identical linear interpolation on the same
+    sorted doubles — the percentile_exact precedent), rounded 6dp
+    BEFORE binning on both engines so boundary comparisons agree
+    bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    binned = e.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "q1", "q2", "q3",
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n"),
+        F.min("q1").alias("q1"),
+        F.min("q2").alias("q2"),
+        F.min("q3").alias("q3"),
+    )

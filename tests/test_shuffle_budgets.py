@@ -407,6 +407,9 @@ BUDGETS = {
     "cms_token_counts": 3,
     # quasi-identifier groupBy + 1-row total agg (broadcast back)
     "k_anonymity_audit": 2,
+    # boundary agg + final (type,bin) agg; binning is a broadcast-join
+    # projection
+    "equi_depth_bins": 2,
 }
 
 
