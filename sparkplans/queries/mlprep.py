@@ -992,3 +992,68 @@ def q_equi_depth_bins(spark, sf_dir):
         F.min("q2").alias("q2"),
         F.min("q3").alias("q3"),
     )
+
+
+# ---------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------
+
+@register(
+    "target_encoding_loo",
+    """
+    WITH oc AS (
+      SELECT o_orderkey, o_totalprice, c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    s AS (
+      SELECT c_mktsegment,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+             count(*) AS n
+      FROM oc GROUP BY c_mktsegment)
+    SELECT o_orderkey, c_mktsegment,
+           CAST(n AS BIGINT) AS seg_n,
+           round(CASE WHEN n > 1
+                 THEN CAST(tot - CAST(o_totalprice AS DECIMAL(18,2))
+                           AS DOUBLE) / (n - 1) END, 6) AS loo_mean
+    FROM oc JOIN s USING (c_mktsegment)
+    """,
+)
+def q_target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding of a categorical feature — the
+    leakage-safe mean encoding every tabular-ML pipeline ships: each
+    order's segment is encoded as the mean target (o_totalprice) of
+    the OTHER orders in its segment, (sum - own) / (n - 1), so a row
+    never sees its own label.
+
+    Exactness: segment sums accumulate in DECIMAL(18,2) (order-free),
+    the per-row subtraction stays DECIMAL, and only the final division
+    is IEEE — identical operands and op order on both engines, 6dp.
+
+    Scale: the per-segment stats table is #segments rows (model
+    state), broadcast back; the encode is a projection.  One fact
+    shuffle for the dim join + one two-phase agg — no per-row
+    windows, no self-joins."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    oc = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select("o_orderkey", "o_totalprice", "c_mktsegment")
+    s = oc.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot"),
+        F.count("*").alias("n"),
+    )
+    return oc.join(F.broadcast(s), "c_mktsegment").select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("seg_n"),
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                (
+                    F.col("tot") - F.col("o_totalprice").cast("decimal(18,2)")
+                ).cast("double")
+                / (F.col("n") - 1),
+            ),
+            6,
+        ).alias("loo_mean"),
+    )

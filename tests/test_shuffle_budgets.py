@@ -410,6 +410,8 @@ BUDGETS = {
     # boundary agg + final (type,bin) agg; binning is a broadcast-join
     # projection
     "equi_depth_bins": 2,
+    # segment-stats agg; dim join + encode join-back both broadcast
+    "target_encoding_loo": 1,
 }
 
 
