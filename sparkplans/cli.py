@@ -11,6 +11,8 @@ and everything Spark SQL accepts):
 
 - ``\\d``            — list registered tables (information_schema view)
 - ``\\d <table>``    — describe one table's columns
+- ``\\analyze <sql>`` — EXPLAIN ANALYZE: execute and show per-operator
+  runtime SQLMetrics (the reference's docs/3:69-80)
 - ``\\timing``       — toggle per-query wall-clock reporting
 - ``\\q``            — quit
 
@@ -79,6 +81,20 @@ def run_command(engine, line: str, out=sys.stdout) -> bool:
             ),
             file=out,
         )
+    elif cmd == "\\analyze":
+        # the reference's EXPLAIN ANALYZE (docs/3:69-80): execute and
+        # show per-operator SQLMetrics
+        sql = line.strip()[len("\\analyze"):].strip().rstrip(";")
+        if not sql:
+            print("usage: \\analyze <sql>", file=out)
+            return True
+        from sparkplans import plans as _plans
+
+        try:
+            print(_plans.explain_analyze(engine.sql(sql)), file=out)
+        except Exception as ex:
+            first = str(ex).strip().splitlines()
+            print(f"Error: {first[0] if first else ex}", file=out)
     elif cmd == "\\timing":
         engine._cli_timing = not getattr(engine, "_cli_timing", False)
         state = "on" if engine._cli_timing else "off"

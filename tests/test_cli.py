@@ -30,6 +30,7 @@ def test_cli_session_end_to_end():
         "SELECT count(*) AS n FROM region;\n"
         "SELECT bogus FROM nation;\n"
         "SELECT 1 AS still_alive;\n"
+        "\\analyze SELECT count(*) AS n FROM region;\n"
         "\\q\n"
     )
     proc = subprocess.run(
@@ -45,3 +46,4 @@ def test_cli_session_end_to_end():
     assert "row(s) in" in out           # timing line
     assert "Error:" in out              # bad query reported...
     assert "| still_alive |" in out     # ...and the session survived
+    assert "numOutputRows=" in out      # \analyze shows SQLMetrics
