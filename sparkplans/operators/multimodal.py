@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -1839,4 +1840,51 @@ def extract_mfcc(media: DataFrame) -> DataFrame:
 
     return media.filter(F.col("mime") == "audio/wav").mapInPandas(
         batches, MFCC_SCHEMA
+    )
+
+
+SHOT_BOUNDARY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("luma_delta", DoubleType()),
+        StructField("is_boundary", BooleanType()),
+    ]
+)
+
+
+def detect_shot_boundaries(
+    media: DataFrame, threshold: float = 10.0
+) -> DataFrame:
+    """Shot-boundary detection over Y4M clips — the keyframe/segment
+    step of a video training-data pipeline: decode, compute the mean
+    absolute luma difference between consecutive frames, and flag
+    frames whose delta exceeds ``threshold`` as cut points.  One row
+    per frame transition (frame_idx = the LATER frame).
+
+    Arrow-batched mapInPandas like every codec stage: per-partition
+    CPU, zero shuffles — at 100 TB this runs wherever the clip bytes
+    already sit.  Histogram-based detectors drop in by swapping the
+    delta expression; the plumbing (decode → pairwise frame walk →
+    per-transition rows) is the invariant part."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames, _fps = decode_y4m(bytes(r["payload"]))
+                y = frames[:, :, :, 0].astype("float64")
+                for i in range(1, y.shape[0]):
+                    delta = float(np.abs(y[i] - y[i - 1]).mean())
+                    rows.append(
+                        (r["media_id"], i, delta, delta > threshold)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "luma_delta", "is_boundary"],
+            )
+
+    return media.filter(F.col("mime") == "video/x-yuv4mpeg").mapInPandas(
+        batches, SHOT_BOUNDARY_SCHEMA
     )

@@ -2273,3 +2273,60 @@ def q_curation_pipeline_v3(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_kept_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "video_shot_boundaries",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 4 AS INT) AS frame_idx,
+           round(CAST(20 + doc_id % 30 AS DOUBLE), 6) AS luma_delta
+    FROM documents
+    """,
+)
+def q_video_shot_boundaries(spark, sf_dir):
+    """Driver-checked SHOT-BOUNDARY round trip: each document becomes
+    a real two-shot Y4M clip — frames 0..k-1 at luma A, frames k..5 at
+    luma A+d, with ``k = 1 + doc_id % 4`` and ``d = 20 + doc_id % 30``
+    — encoded, decoded, and scanned by the production detector
+    (`operators/multimodal.detect_shot_boundaries`, threshold 10).
+    Exactly one transition exceeds the threshold, at frame k with mean
+    |Δluma| exactly d (constant-luma shots make the mean exact in
+    binary), so the oracle predicts every row in closed form.  A bug
+    in encode, decode, the pairwise frame walk, or the thresholding
+    breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkplans.operators import multimodal as mm
+
+    d = _t_cpu(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = 1 + did % 4
+                a = did * 7 % 200
+                delta = 20 + did % 30
+                frames = np.zeros((6, 8, 8, 3), dtype="uint8")
+                frames[:, :, :, 1] = 128
+                frames[:, :, :, 2] = 128
+                frames[:k, :, :, 0] = a
+                frames[k:, :, :, 0] = a + delta
+                rows.append(
+                    (did, "video", "video/x-yuv4mpeg",
+                     mm.encode_y4m(frames, 10, 1), 8, 8, 600)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in mm.MEDIA_SCHEMA.fields]
+            )
+
+    media = d.mapInPandas(make, mm.MEDIA_SCHEMA)
+    cuts = mm.detect_shot_boundaries(media, threshold=10.0)
+    return cuts.filter(F.col("is_boundary")).select(
+        F.col("media_id").alias("doc_id"),
+        "frame_idx",
+        F.round("luma_delta", 6).alias("luma_delta"),
+    )

@@ -147,6 +147,7 @@ def test_no_python_in_any_query_hot_path(spark):
         "multimodal_ppm_features",
         "multimodal_wav_features",
         "multimodal_video_frames",
+        "video_shot_boundaries",
     }
     offenders = []
     for name, spec in sorted(Q.REGISTRY.items()):
