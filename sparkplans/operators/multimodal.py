@@ -1888,3 +1888,67 @@ def detect_shot_boundaries(
     return media.filter(F.col("mime") == "video/x-yuv4mpeg").mapInPandas(
         batches, SHOT_BOUNDARY_SCHEMA
     )
+
+
+VAD_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("seg_start_frame", IntegerType()),
+        StructField("seg_n_frames", IntegerType()),
+        StructField("peak_rms", DoubleType()),
+    ]
+)
+
+
+def detect_voice_segments(
+    media: DataFrame, frame_samples: int = 16, threshold: float = 100.0
+) -> DataFrame:
+    """Energy-threshold voice-activity detection over WAV payloads —
+    the segmentation step of a speech training-data pipeline: frame
+    the signal, mark frames whose RMS exceeds ``threshold`` active,
+    and emit one row per CONTIGUOUS active run (start frame, length,
+    peak frame RMS).  The audio sibling of
+    :func:`detect_shot_boundaries` — same Arrow-batched zero-shuffle
+    plumbing; production VADs swap the energy rule for a model, the
+    framing/run-length scan is the invariant part."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples, _rate = decode_wav(bytes(r["payload"]))
+                mono = samples[:, 0].astype("float64")
+                n_frames = len(mono) // frame_samples
+                if n_frames == 0:
+                    continue
+                framed = mono[: n_frames * frame_samples].reshape(
+                    n_frames, frame_samples
+                )
+                rms = np.sqrt((framed * framed).mean(axis=1))
+                active = rms > threshold
+                start = None
+                for i in range(n_frames + 1):
+                    on = i < n_frames and active[i]
+                    if on and start is None:
+                        start = i
+                    elif not on and start is not None:
+                        rows.append(
+                            (
+                                r["media_id"],
+                                start,
+                                i - start,
+                                float(rms[start:i].max()),
+                            )
+                        )
+                        start = None
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "seg_start_frame", "seg_n_frames", "peak_rms",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, VAD_SEGMENT_SCHEMA
+    )

@@ -2330,3 +2330,61 @@ def q_video_shot_boundaries(spark, sf_dir):
         "frame_idx",
         F.round("luma_delta", 6).alias("luma_delta"),
     )
+
+
+@register(
+    "audio_vad_segments",
+    """
+    SELECT doc_id,
+           CAST(2 + doc_id % 3 AS INT) AS seg_start_frame,
+           CAST(3 + doc_id % 2 AS INT) AS seg_n_frames,
+           round(CAST(500 + doc_id % 100 AS DOUBLE), 6) AS peak_rms
+    FROM documents
+    """,
+)
+def q_audio_vad_segments(spark, sf_dir):
+    """Driver-checked VOICE-ACTIVITY round trip (the shot-boundary
+    query's audio twin): each document becomes a real PCM16 WAV of
+    silence | square-wave tone | silence, with the tone spanning
+    frames ``a = 2 + doc_id % 3`` .. ``a + 3 + doc_id % 2 - 1`` (16
+    samples/frame) at amplitude ``500 + doc_id % 100``.  The
+    production VAD (`operators/multimodal.detect_voice_segments`)
+    must recover exactly one segment per clip, at exactly those frame
+    coordinates, with peak RMS exactly the amplitude (|±amp|
+    square-wave RMS is amp, exact in binary) — all predicted in
+    closed form by the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkplans.operators import multimodal as mm
+
+    FR = 16
+    d = _t_cpu(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = 2 + did % 3
+                n = 3 + did % 2
+                amp = 500 + did % 100
+                sig = np.zeros(160, dtype="<i2")
+                tone = np.tile([amp, -amp], FR // 2 * n)[: n * FR]
+                sig[a * FR : (a + n) * FR] = tone
+                rows.append(
+                    (did, "audio", "audio/wav",
+                     mm.encode_wav(sig, 8000), None, None, 20)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in mm.MEDIA_SCHEMA.fields]
+            )
+
+    media = d.mapInPandas(make, mm.MEDIA_SCHEMA)
+    segs = mm.detect_voice_segments(media, frame_samples=FR, threshold=100.0)
+    return segs.select(
+        F.col("media_id").alias("doc_id"),
+        "seg_start_frame",
+        "seg_n_frames",
+        F.round("peak_rms", 6).alias("peak_rms"),
+    )

@@ -148,6 +148,7 @@ def test_no_python_in_any_query_hot_path(spark):
         "multimodal_wav_features",
         "multimodal_video_frames",
         "video_shot_boundaries",
+        "audio_vad_segments",
     }
     offenders = []
     for name, spec in sorted(Q.REGISTRY.items()):

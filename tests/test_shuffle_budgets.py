@@ -267,6 +267,7 @@ BUDGETS = {
     "multimodal_wav_features": 1,
     "multimodal_video_frames": 1,
     "video_shot_boundaries": 1,
+    "audio_vad_segments": 1,
     # TakeOrdered + bounded 100-row rank: no full-corpus exchange
     "training_order_shuffle": 0,
     # single-row theorem agg over checkpointed ranks
