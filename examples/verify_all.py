@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Full oracle sweep at any scale factor — the driver's correctness
+gate, runnable standalone::
+
+    python examples/verify_all.py [sf_dir]          # default sf0.01
+
+Simulates the external driver exactly: a bare SparkSession (no engine
+confs — ``__spark_entry__`` must self-configure), every ``queries()``
+entry executed and compared against its ``oracle_sql()`` twin in
+DuckDB (row count + schema + order-insensitive value hash).  Prints
+one line per failure and a final tally; exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+sys.path.insert(0, os.path.join(repo, "tests"))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as E
+    from oracle_harness import compare, duck_connection
+
+    assert E.entry(spark).count() > 0, "entry() smoke check failed"
+    qs, oracles = E.queries(), E.oracle_sql()
+    con = duck_connection(sf_dir)
+    t0 = time.time()
+    failures = []
+    for name in sorted(oracles):
+        try:
+            r = compare(spark, con, qs[name], oracles[name], sf_dir)
+            if not (r["rows_match"] and r["schema_match"] and r["hash_match"]):
+                failures.append(name)
+                print(f"FAIL {name}: {r}")
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            failures.append(name)
+            print(f"ERR  {name}: {ex!r}"[:300])
+    rows_only = sorted(set(qs) - set(oracles))
+    for name in rows_only:
+        try:
+            n = qs[name](spark, sf_dir).count()
+            print(f"rows-only {name}: {n} rows")
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"ERR  {name}: {ex!r}"[:300])
+    print(
+        f"checked {len(oracles)} oracled + {len(rows_only)} rows-only "
+        f"queries at {sf_dir} in {time.time() - t0:.1f}s; "
+        f"failures: {len(failures)}"
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -413,3 +413,31 @@ def test_log_stats_survive_vacuum(spark, nation, tmp_path):
     kept = t.pruned_files("n_nationkey", lo=10, hi=12)
     assert len(kept) == 1
     assert t.read_pruned("n_nationkey", lo=10, hi=12).count() == 3
+
+
+def test_concurrent_appends_all_win_distinct_versions(spark, nation, tmp_path):
+    """N threads race appends through the os.link commit protocol:
+    every writer lands, on a distinct version, and the final snapshot
+    holds all rows — the optimistic-concurrency claim, exercised with
+    real concurrency rather than a staged retry."""
+    import threading
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation.limit(1))
+    errors = []
+
+    def writer(k):
+        try:
+            t.append(nation.limit(k + 1))
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert t.versions() == [0, 1, 2, 3, 4]  # five distinct commits
+    # every batch's rows are present: 1 + (1+2+3+4)
+    assert t.read().count() == 11
