@@ -40,7 +40,13 @@ def main() -> int:
     con = duck_connection(sf_dir)
     t0 = time.time()
     failures = []
-    for name in sorted(oracles):
+    for i, name in enumerate(sorted(oracles)):
+        if i and i % 40 == 0:
+            # a 200+-query session accumulates dead checkpoint/broadcast
+            # refs; nudge the JVM so GCLocker contention doesn't fail a
+            # late heavy query (observed with iterative pagerank)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
         try:
             r = compare(spark, con, qs[name], oracles[name], sf_dir)
             if not (r["rows_match"] and r["schema_match"] and r["hash_match"]):

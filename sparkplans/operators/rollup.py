@@ -113,8 +113,13 @@ def timeseries_rollup(
 
 def finalize(level: DataFrame) -> DataFrame:
     """Read-time finalization: decimal accumulators -> double, plus
-    the derived average (sum/count — the reason avg is never stored)."""
+    the derived average (sum/count — the reason avg is never stored).
+    The division runs in IEEE doubles on the exact decimal sum —
+    engines disagree on DECIMAL-division scale/rounding rules (found
+    at sf0.1: Spark HALF_UP at its result scale vs DuckDB's), but a
+    single double division of identical operands is bit-exact
+    everywhere."""
     return level.select(
         "*",
-        (F.col("sum_value") / F.col("cnt")).cast("double").alias("avg_value"),
+        (F.col("sum_value").cast("double") / F.col("cnt")).alias("avg_value"),
     ).withColumn("sum_value", F.col("sum_value").cast("double"))

@@ -674,7 +674,7 @@ def q_approx_value_quantiles(spark, sf_dir):
     "count(*) AS cnt, "
     "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
     "min(value) AS min_value, max(value) AS max_value, "
-    "CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DOUBLE) AS avg_value "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value "
     "FROM events GROUP BY bin, event_type",
 )
 def q_hypertable_rollup(spark, sf_dir):
