@@ -67,6 +67,10 @@ HEADLINE = [
     "bigram_lm_scores",
     "roc_auc_cosine",
     "bloom_prefilter_dedup",
+    "cms_token_counts",
+    "equi_depth_bins",
+    "target_encoding_loo",
+    "video_shot_boundaries",
 ]
 
 

@@ -83,6 +83,38 @@ def main() -> None:
     near = dedup.deduplicate(cleaned, threshold=0.7)
     print(f"[4] near-dup dedup: -> {near.count()}")
 
+    # 4b. decontamination vs a held-out eval set: broadcast Bloom of
+    # the eval 8-grams probed map-side; only flagged grams reach the
+    # exact verify join (no false negatives => identical to the plain
+    # exact join, at a fraction of the shuffle)
+    from sparkplans.operators.bloom import bloom_build, bloom_member
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams_expr = (
+        "CASE WHEN size(toks) >= 8 THEN "
+        "transform(sequence(0, size(toks) - 8), "
+        "i -> md5(concat_ws(' ', slice(toks, i + 1, 8)))) "
+        "ELSE array() END"
+    )
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(toks.alias("toks"))
+        .select(F.explode(F.expr(grams_expr)).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    words = bloom_build(eval_grams, "gram", num_bits=1 << 18)
+    doc_grams = near.select(
+        "doc_id", toks.alias("toks")
+    ).select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
+    flagged = doc_grams.filter(bloom_member("gram", words))
+    contaminated = (
+        flagged.join(eval_grams, "gram").select("doc_id").distinct()
+    )
+    near = near.join(contaminated, "doc_id", "left_anti")
+    print(f"[4b] bloom decontamination: -> {near.count()} "
+          f"({contaminated.count()} eval-overlapping docs dropped)")
+
     # 5. split (stable md5 hash ranges — re-runs never migrate docs)
     b = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
