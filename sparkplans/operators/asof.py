@@ -124,10 +124,14 @@ def range_join(
         & (F.unix_timestamp("_rts") <= F.unix_timestamp("_lts") + upper_seconds)
     )
     joined = l.join(r, "_bucket").filter(cond)
+    # No dedup needed: the right row lives in exactly ONE bucket and
+    # the left side enumerates consecutive buckets, so a matching pair
+    # joins exactly once.  (A trailing distinct() would cost a full-
+    # width exchange AND collapse legitimately duplicate input rows.)
     return joined.select(
         *[F.col("_l")[c].alias(c) for c in left.columns],
         *[F.col("_r")[c].alias(f"right_{c}") for c in right.columns],
-    ).distinct()
+    )
 
 
 def salted_join(

@@ -2479,3 +2479,25 @@ def test_media_near_dups_cross_modal_facade(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = {(r.kind, r.id_a, r.id_b) for r in multimodal.media_near_dups(media).collect()}
     assert got == {("image", 1, 2), ("audio", 3, 4), ("video", 5, 6)}
+
+
+def test_range_join_preserves_duplicates_no_dedup_shuffle(spark):
+    """Multiset semantics: duplicate left rows each match (the old
+    trailing distinct() collapsed them); and the banded join plans
+    without a post-join dedup exchange."""
+    from sparkplans import plans
+
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:00")]
+    a = spark.createDataFrame(rows, "id int, ts string").select(
+        "id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    b = spark.createDataFrame(
+        [(7, "2024-01-01 00:30:00")], "eb int, tsb string"
+    ).select("eb", F.col("tsb").cast("timestamp").alias("tsb"))
+    got = asof.range_join(a, b, "ts", "tsb", 0, 3600)
+    assert got.count() == 2  # one match per duplicate left row
+    # bucket equi-join shuffles only; no dedup exchange afterwards
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    ev2 = ev.select(F.col("event_id").alias("eb"), F.col("ts").alias("tsb"))
+    big = asof.range_join(ev, ev2, "ts", "tsb", 0, 3600)
+    assert plans.num_exchanges(big) <= 2, plans.physical_plan_str(big)
