@@ -58,11 +58,22 @@ def format_table(headers: list[str], rows: list[list], max_rows: int = 40) -> st
 
 
 def run_command(engine, line: str, out=sys.stdout) -> bool:
-    """One backslash command; returns False on \\q."""
+    """One backslash command; returns False on \\q.  Errors are
+    reported, never propagated — the session must survive a typo'd
+    table name."""
     parts = line.strip().split()
     cmd = parts[0]
     if cmd == "\\q":
         return False
+    try:
+        return _run_command_inner(engine, line, parts, cmd, out)
+    except Exception as ex:  # noqa: BLE001
+        first = str(ex).strip().splitlines()
+        print(f"Error: {first[0] if first else ex}", file=out)
+        return True
+
+
+def _run_command_inner(engine, line, parts, cmd, out) -> bool:
     if cmd == "\\d" and len(parts) == 1:
         tables = engine.catalog.show_tables()
         print(
