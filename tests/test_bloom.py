@@ -83,3 +83,21 @@ def test_decontamination_no_false_negatives(spark):
         for r in Q.REGISTRY["decontamination_ngrams"].fn(spark, SF_DIR).collect()
     }
     assert {(r["doc_id"], r["n_shared_grams"]) for r in res} == exact
+
+
+def test_no_false_negatives_property(spark):
+    """Hypothesis sweep: ANY inserted string set probes all-true —
+    unicode, empties, near-collisions included."""
+    from hypothesis import HealthCheck, given, settings
+    import hypothesis.strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck), derandomize=True)
+    @given(vals=st.sets(st.text(min_size=0, max_size=40),
+                        min_size=1, max_size=60))
+    def check(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        words = bloom_build(df, "v", num_bits=1 << 12)
+        assert df.filter(bloom_member("v", words)).count() == len(vals)
+
+    check()

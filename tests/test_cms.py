@@ -79,3 +79,26 @@ def test_cms_query_estimates_match_exact_top20(spark):
     res = Q.REGISTRY["cms_token_counts"].fn(spark, SF_DIR).collect()
     assert len(res) == 20
     assert all(r["overest_ok"] for r in res)
+
+
+def test_cms_never_undercounts_property(spark):
+    """Hypothesis sweep: estimates dominate exact counts for ANY
+    generated multiset (duplicates, unicode, empty strings)."""
+    from hypothesis import HealthCheck, given, settings
+    import hypothesis.strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck), derandomize=True)
+    @given(vals=st.lists(st.text(min_size=0, max_size=20),
+                         min_size=1, max_size=80))
+    def check(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        cms = cms_build(df, "v", depth=3, width=64)
+        exact = df.groupBy("v").agg(F.count("*").alias("exact"))
+        est = cms_estimate(exact.select("v"), "v", cms, depth=3, width=64)
+        bad = exact.join(est, "v").filter(
+            F.col("cms_estimate") < F.col("exact")
+        )
+        assert bad.count() == 0
+
+    check()
