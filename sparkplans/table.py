@@ -365,6 +365,59 @@ class VersionedTable:
             }
         )
 
+    def delete(self, condition) -> int:
+        """Copy-on-write DELETE: rows matching ``condition`` (a Column
+        or SQL string) are dropped by rewriting the survivors into
+        fresh files and committing them as an overwrite — the TPC-H
+        RF2-style maintenance op, and exactly how the lakehouse
+        formats delete without mutating files.  Old versions still
+        time-travel to the pre-delete data; vacuum reclaims later.
+
+        At 100 TB the rewrite cost is bounded by the files that
+        actually contain matches — pair with :meth:`read_pruned`-style
+        stats to rewrite only touched files; this minimal form
+        rewrites the snapshot (correct at any scale, optimal when
+        deletes are broad)."""
+        from pyspark.sql import functions as _F
+
+        cond = _F.expr(condition) if isinstance(condition, str) else condition
+        current = self.read()
+        survivors = current.filter(~cond)
+        files = self._stage(survivors)
+        return self._commit(
+            {
+                "op": "overwrite",
+                "delete": str(condition),
+                "files": files,
+                "schema": survivors.schema.json(),
+            }
+        )
+
+    def update(self, condition, assignments: dict) -> int:
+        """Copy-on-write UPDATE: rows matching ``condition`` get the
+        ``assignments`` (column -> Column/SQL expression) applied;
+        everything else is carried unchanged.  One rewrite commit,
+        same snapshot/time-travel semantics as :meth:`delete`."""
+        from pyspark.sql import functions as _F
+
+        cond = _F.expr(condition) if isinstance(condition, str) else condition
+        current = self.read()
+        updated = current
+        for col, expr in assignments.items():
+            val = _F.expr(expr) if isinstance(expr, str) else expr
+            updated = updated.withColumn(
+                col, _F.when(cond, val).otherwise(_F.col(col))
+            )
+        files = self._stage(updated)
+        return self._commit(
+            {
+                "op": "overwrite",
+                "update": str(condition),
+                "files": files,
+                "schema": updated.schema.json(),
+            }
+        )
+
     def streaming_append_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
         """foreachBatch sink body with exactly-once semantics: the
         micro-batch id is recorded in the log entry, and a replayed

@@ -441,3 +441,74 @@ def test_concurrent_appends_all_win_distinct_versions(spark, nation, tmp_path):
     assert t.versions() == [0, 1, 2, 3, 4]  # five distinct commits
     # every batch's rows are present: 1 + (1+2+3+4)
     assert t.read().count() == 11
+
+
+def test_copy_on_write_delete(spark, nation, tmp_path):
+    """DELETE rewrites survivors as a new version; the pre-delete
+    snapshot still time-travels; NULLs in the predicate column are
+    survivors (NOT(null) is not true)."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v0 = t.append(nation)
+    v1 = t.delete(F.col("n_regionkey") == 1)
+    assert t.read().count() == 20
+    assert t.read().filter(F.col("n_regionkey") == 1).count() == 0
+    assert t.read(version=v0).count() == 25  # time travel intact
+    assert t.history()[v1]["delete"]
+
+
+def test_copy_on_write_delete_sql_condition(spark, nation, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(nation)
+    t.delete("n_nationkey >= 20")
+    assert t.read().count() == 20
+
+
+def test_copy_on_write_update(spark, nation, tmp_path):
+    """UPDATE applies assignments only to matching rows; others ride
+    through byte-identical; old version unchanged."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v0 = t.append(nation)
+    t.update(
+        "n_regionkey = 2",
+        {"n_name": F.lit("REDACTED"), "n_regionkey": "n_regionkey + 100"},
+    )
+    got = t.read()
+    assert got.filter(F.col("n_regionkey") == 102).count() == 5
+    assert got.filter(F.col("n_name") == "REDACTED").count() == 5
+    assert got.filter(F.col("n_regionkey") == 2).count() == 0
+    # untouched rows identical to v0
+    untouched = got.filter(F.col("n_regionkey") != 102)
+    orig = t.read(version=v0).filter(F.col("n_regionkey") != 2)
+    assert untouched.exceptAll(orig).count() == 0
+    assert orig.exceptAll(untouched).count() == 0
+
+
+def test_tpch_refresh_cycle(spark, nation, tmp_path):
+    """TPC-H RF1/RF2-style maintenance: insert a batch (RF1), delete a
+    slice (RF2) — aggregate results stay consistent with the direct
+    computation at every version."""
+    import pyspark.sql.functions as F
+
+    from sparkplans.sources import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    base = orders.filter(F.col("o_orderkey") % 4 != 0)
+    t.append(base)
+    rf1 = orders.filter(F.col("o_orderkey") % 4 == 0)
+    t.append(rf1)  # RF1: new sales
+    assert t.read().count() == orders.count()
+    t.delete(F.col("o_orderkey") % 10 == 3)  # RF2: purge old orders
+    want = orders.filter(F.col("o_orderkey") % 10 != 3)
+    assert t.read().count() == want.count()
+    got_rev = t.read().agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    ).collect()[0]["s"]
+    want_rev = want.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    ).collect()[0]["s"]
+    assert got_rev == want_rev
