@@ -222,6 +222,43 @@ class Engine:
     # -- SQL -------------------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:
+        """Spark SQL, plus DML dispatch for versioned tables: ``DELETE
+        FROM <vt> WHERE ...`` and ``UPDATE <vt> SET c = expr[, ...]
+        [WHERE ...]`` route to the table's copy-on-write commits
+        (Spark itself rejects DML on file tables).  Returns a 1-row
+        (version, rows) frame for DML; everything else passes through
+        untouched."""
+        import re as _re
+
+        m = _re.match(
+            r"\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
+            query, _re.IGNORECASE | _re.DOTALL,
+        )
+        if m and m.group(1) in getattr(self, "_versioned", {}):
+            vt = self._versioned[m.group(1)]
+            v = vt.delete(m.group(2))
+            self.table_at(m.group(1))  # refresh the registered view
+            n = vt.read().count()
+            return self.spark.createDataFrame(
+                [(v, n)], "version int, rows bigint"
+            )
+        m = _re.match(
+            r"\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            query, _re.IGNORECASE | _re.DOTALL,
+        )
+        if m and m.group(1) in getattr(self, "_versioned", {}):
+            vt = self._versioned[m.group(1)]
+            assigns = {}
+            for part in _split_top_level_commas(m.group(2)):
+                col, expr = part.split("=", 1)
+                assigns[col.strip()] = expr.strip()
+            cond = m.group(3) if m.group(3) else "true"
+            v = vt.update(cond, assigns)
+            self.table_at(m.group(1))
+            n = vt.read().count()
+            return self.spark.createDataFrame(
+                [(v, n)], "version int, rows bigint"
+            )
         return self.spark.sql(query)
 
     def set(self, key: str, value) -> None:
@@ -272,3 +309,31 @@ class Engine:
 
     def stop(self) -> None:
         self.spark.stop()
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split a SET clause on commas outside parentheses/quotes."""
+    parts, depth, buf, q = [], 0, [], None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return parts

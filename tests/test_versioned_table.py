@@ -512,3 +512,34 @@ def test_tpch_refresh_cycle(spark, nation, tmp_path):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
     ).collect()[0]["s"]
     assert got_rev == want_rev
+
+
+def test_sql_dml_on_versioned_table(spark, nation, tmp_path):
+    """DELETE FROM / UPDATE ... SET SQL routes to the versioned
+    table's copy-on-write commits through Engine.sql — including
+    multi-assignment SET with nested commas — and refreshes the
+    registered view."""
+    from sparkplans.engine import Engine
+
+    eng = Engine(spark=spark)
+    t = eng.create_versioned_table("vt_dml", str(tmp_path / "t"))
+    t.append(nation)
+    eng.table_at("vt_dml")  # register the view
+
+    res = eng.sql("DELETE FROM vt_dml WHERE n_regionkey = 0").collect()[0]
+    assert res["rows"] == 20
+    assert spark.sql("SELECT count(*) c FROM vt_dml").collect()[0]["c"] == 20
+
+    eng.sql(
+        "UPDATE vt_dml SET n_name = concat(n_name, '!'), "
+        "n_regionkey = n_regionkey + 10 WHERE n_regionkey = 1"
+    )
+    got = spark.sql(
+        "SELECT count(*) c FROM vt_dml WHERE n_regionkey = 11 "
+        "AND n_name LIKE '%!'"
+    ).collect()[0]["c"]
+    assert got == 5
+    # time travel still sees the original
+    assert t.read(version=0).count() == 25
+    # non-versioned queries pass through untouched
+    assert eng.sql("SELECT 1 AS x").collect()[0]["x"] == 1
