@@ -63,3 +63,39 @@ def salted_join(
         ),
     )
     return f.join(d, on + ["__salt"], how).drop("__salt")
+
+
+def skew_report(df, key: str):
+    """One-row skew diagnostic for a prospective shuffle key — the
+    decision input for :func:`salted_join` / salted aggregation: total
+    rows, distinct keys, the heaviest key's count and share, the mean
+    rows-per-key, and how many keys exceed 100x the mean (the
+    classic needs-salting signal).  One two-phase count per key, then
+    a single-row rollup of the slim (key, cnt) frame — the report
+    costs one aggregate however large the input."""
+    from pyspark.sql import functions as F
+
+    # three consumers (totals, top, hot-key census) share the slim
+    # (key, cnt) frame — materialize it once, so the corpus is scanned
+    # and shuffled exactly one time
+    counts = (
+        df.groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    return counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "top_cnt",
+        F.round(F.col("top_cnt") / F.col("n_rows"), 6).alias("top_share"),
+        F.round(F.col("n_rows") / F.col("n_keys"), 6).alias("mean_per_key"),
+    ).crossJoin(
+        counts.select(F.sum("cnt").alias("__t"), F.count("*").alias("__k"))
+        .crossJoin(counts.select(F.col("cnt").alias("__c")))
+        .filter(F.col("__c") > 100 * F.col("__t") / F.col("__k"))
+        .agg(F.count("*").cast("bigint").alias("hot_keys_100x"))
+    )

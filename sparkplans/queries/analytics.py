@@ -836,3 +836,33 @@ def q_hard_negatives_per_probe(spark, sf_dir):
             F.col("b.sim").alias("cos_sim"),
         )
     )
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(cnt) AS BIGINT) AS top_cnt
+          FROM c),
+    h AS (SELECT CAST(count(*) AS BIGINT) AS hot_keys_100x
+          FROM c, t WHERE cnt > 100.0 * n_rows / n_keys)
+    SELECT n_rows, n_keys, top_cnt,
+           round(CAST(top_cnt AS DOUBLE) / n_rows, 6) AS top_share,
+           round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS mean_per_key,
+           hot_keys_100x
+    FROM t CROSS JOIN h
+    """,
+)
+def q_key_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic (`operators/skew.skew_report`) —
+    the decision input that precedes salting at 100 TB: row/key
+    totals, the heaviest key's share, mean rows-per-key, and the
+    count of keys over 100x the mean.  The per-key count frame is
+    checkpointed once and rolled up three ways; the report costs ONE
+    corpus shuffle regardless of input size.  Exact oracle."""
+    from sparkplans.operators.skew import skew_report
+
+    e = _t(spark, sf_dir, "events")
+    return skew_report(e, "user_id")
