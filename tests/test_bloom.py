@@ -101,3 +101,30 @@ def test_no_false_negatives_property(spark):
         assert df.filter(bloom_member("v", words)).count() == len(vals)
 
     check()
+
+
+def test_prefilter_shrinks_join_input(spark):
+    """The scale claim, measured: of the batch fingerprints, only the
+    (true-dup + FP) sliver probes true — the exact anti-join's input
+    shrinks to a fraction of the batch."""
+    from sparkplans.functions.text import doc_fingerprint
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fp = d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    seen = (
+        fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint").distinct()
+    )
+    batch = (
+        fp.filter(F.col("doc_id") % 2 == 1).select("fingerprint").distinct()
+    )
+    n_seen = seen.count()
+    words = bloom_build(seen, "fingerprint", num_bits=max(64, n_seen * 16))
+    n_batch = batch.count()
+    n_flagged = batch.filter(bloom_member("fingerprint", words)).count()
+    n_true_dups = batch.join(seen, "fingerprint").count()
+    # no false negatives...
+    assert n_flagged >= n_true_dups
+    # ...and the sliver is small: true dups + <=5% FP of the batch
+    assert n_flagged <= n_true_dups + max(2, int(0.05 * n_batch)), (
+        n_flagged, n_true_dups, n_batch
+    )
