@@ -259,6 +259,33 @@ class Engine:
             return self.spark.createDataFrame(
                 [(v, n)], "version int, rows bigint"
             )
+        m = _re.match(
+            r"\s*(VACUUM|OPTIMIZE)\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
+        )
+        if m and m.group(2) in getattr(self, "_versioned", {}):
+            vt = self._versioned[m.group(2)]
+            if m.group(1).upper() == "VACUUM":
+                dead = vt.vacuum(keep_versions=1, orphan_age_seconds=0)
+                return self.spark.createDataFrame(
+                    [(len(dead),)], "files_removed int"
+                )
+            v = vt.compact(target_files=1)
+            self.table_at(m.group(2))
+            return self.spark.createDataFrame([(v,)], "version int")
+        # time travel: FROM <vt> VERSION AS OF <n> registers a pinned
+        # snapshot view and rewrites the query to read it
+        for name, ver in _re.findall(
+            r"(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", query, _re.IGNORECASE
+        ):
+            if name in getattr(self, "_versioned", {}):
+                view = f"{name}__v{ver}"
+                self._versioned[name].read(
+                    version=int(ver)
+                ).createOrReplaceTempView(view)
+                query = _re.sub(
+                    rf"{name}\s+VERSION\s+AS\s+OF\s+{ver}",
+                    view, query, flags=_re.IGNORECASE,
+                )
         return self.spark.sql(query)
 
     def set(self, key: str, value) -> None:

@@ -543,3 +543,33 @@ def test_sql_dml_on_versioned_table(spark, nation, tmp_path):
     assert t.read(version=0).count() == 25
     # non-versioned queries pass through untouched
     assert eng.sql("SELECT 1 AS x").collect()[0]["x"] == 1
+
+
+def test_sql_time_travel_vacuum_optimize(spark, nation, tmp_path):
+    """`VERSION AS OF` time travel, OPTIMIZE (compact) and VACUUM all
+    work through Engine.sql — the lakehouse maintenance surface as
+    plain SQL."""
+    from sparkplans.engine import Engine
+
+    eng = Engine(spark=spark)
+    t = eng.create_versioned_table("vt_tt", str(tmp_path / "t"))
+    t.append(nation)
+    eng.table_at("vt_tt")
+    eng.sql("DELETE FROM vt_tt WHERE n_regionkey = 0")
+
+    n_old = eng.sql(
+        "SELECT count(*) AS c FROM vt_tt VERSION AS OF 0"
+    ).collect()[0]["c"]
+    n_now = eng.sql("SELECT count(*) AS c FROM vt_tt").collect()[0]["c"]
+    assert (n_old, n_now) == (25, 20)
+    # join current against the pinned snapshot in ONE statement
+    gone = eng.sql(
+        "SELECT count(*) AS c FROM vt_tt VERSION AS OF 0 o "
+        "LEFT ANTI JOIN vt_tt n ON o.n_nationkey = n.n_nationkey"
+    ).collect()[0]["c"]
+    assert gone == 5
+
+    assert eng.sql("OPTIMIZE vt_tt").collect()[0]["version"] == 2
+    removed = eng.sql("VACUUM vt_tt").collect()[0]["files_removed"]
+    assert removed > 0
+    assert eng.sql("SELECT count(*) AS c FROM vt_tt").collect()[0]["c"] == 20
