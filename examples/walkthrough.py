@@ -369,6 +369,36 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    section(19, "SQL DML on versioned tables; key-skew diagnostic")
+    from sparkplans.engine import Engine
+
+    eng = Engine(spark=spark)
+    root = tempfile.mkdtemp(prefix="walkthrough_dml_")
+    try:
+        vt = eng.create_versioned_table("wt_vt", root)
+        vt.append(load_table(spark, sf_dir, "nation"))
+        eng.table_at("wt_vt")
+        eng.sql("DELETE FROM wt_vt WHERE n_regionkey = 4")
+        eng.sql("UPDATE wt_vt SET n_name = lower(n_name) "
+                "WHERE n_regionkey = 1")
+        now = eng.sql("SELECT count(*) AS c FROM wt_vt").collect()[0]["c"]
+        v0 = eng.sql(
+            "SELECT count(*) AS c FROM wt_vt VERSION AS OF 0"
+        ).collect()[0]["c"]
+        print(f"SQL DML: DELETE+UPDATE -> {now} rows now, "
+              f"{v0} at VERSION AS OF 0 (time travel intact)")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    from sparkplans.operators.skew import skew_report
+
+    rep = skew_report(
+        load_table(spark, sf_dir, "events"), "user_id"
+    ).collect()[0]
+    print(f"key-skew report on events.user_id: {rep['n_rows']} rows / "
+          f"{rep['n_keys']} keys, top share {rep['top_share']}, "
+          f"{rep['hot_keys_100x']} keys over 100x mean -> salting "
+          f"{'recommended' if rep['hot_keys_100x'] else 'not needed'}")
+
     spark.stop()
 
 
