@@ -370,8 +370,6 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
     section(19, "SQL DML on versioned tables; key-skew diagnostic")
-    from sparkplans.engine import Engine
-
     eng = Engine(spark=spark)
     root = tempfile.mkdtemp(prefix="walkthrough_dml_")
     try:
