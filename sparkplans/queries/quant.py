@@ -950,6 +950,49 @@ def q_bpe_merge_table(spark, sf_dir):
     )
 
 
+@register(
+    "bpe_invariants",
+    """
+    SELECT CAST(r AS INT) AS rank, TRUE AS rank_dense,
+           TRUE AS merged_is_concat, TRUE AS weight_positive,
+           TRUE AS weight_monotone
+    FROM (SELECT unnest(generate_series(1, 6)) AS r) t
+    """,
+)
+def q_bpe_invariants(spark, sf_dir):
+    """Oracled companion to the rows-only ``bpe_merge_table`` (the
+    pagerank_invariants recipe): the trainer's merge table is a pure
+    function of the corpus but not SQL-recomputable, so its THEOREMS
+    are checked instead — ranks are dense 1..N, ``merged`` is the
+    concatenation of its parts, weights are positive, and weights are
+    non-increasing in rank (each merge step picks the argmax pair, and
+    merging can only shrink other pairs' counts, so the chosen maximum
+    never rises).  One boolean row per merge vs the oracle's all-true
+    grid; exact merge order stays pinned against the hand-computed
+    Sennrich corpus in tests/test_operators.py."""
+    from pyspark.sql import Window as W
+
+    m = q_bpe_merge_table(spark, sf_dir)
+    # 6-row local relation: the unpartitioned window is over a bounded
+    # driver-side frame, never a scan
+    w = W.orderBy("rank")
+    prev_rank = F.lag("rank").over(w)
+    prev_weight = F.lag("weight").over(w)
+    return m.select(
+        "rank",
+        F.coalesce(F.col("rank") - prev_rank == 1, F.col("rank") == 1).alias(
+            "rank_dense"
+        ),
+        (F.col("merged") == F.concat("left", "right")).alias(
+            "merged_is_concat"
+        ),
+        (F.col("weight") > 0).alias("weight_positive"),
+        F.coalesce(F.col("weight") <= prev_weight, F.lit(True)).alias(
+            "weight_monotone"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 # Gap filling with linear interpolation (TimescaleDB `interpolate`)
 # ---------------------------------------------------------------------

@@ -325,6 +325,9 @@ BUDGETS = {
     # training iterations run at call time (word-count shuffle + tiny
     # vocab aggs); the returned merge table is driver model state
     "bpe_merge_table": 0,
+    # the lag() window over the 6-row driver-local merge table costs a
+    # single-partition exchange of 6 rows — bounded by num_merges
+    "bpe_invariants": 1,
     # both explicit frames share one user-keyed shuffle
     "window_frame_values": 1,
     # (source, tok) dedup checkpointed once; visible plan: token
