@@ -35,18 +35,47 @@ from pyspark.sql import DataFrame, functions as F
 from sparkplans.ordering import normalize_sort_keys, sort_columns
 
 
+def bloom_filter_options(bloom_filters: dict[str, int]) -> dict[str, str]:
+    """Per-column parquet bloom-filter write options
+    (``parquet.bloom.filter.enabled#col`` +
+    ``parquet.bloom.filter.expected.ndv#col``), keyed by expected
+    distinct count.
+
+    The 100 TB rationale: row-group min/max stats only skip data on
+    columns the layout is sorted or clustered by; a point lookup on a
+    high-cardinality UNSORTED column (a doc fingerprint, a user id)
+    scans everything.  A parquet bloom filter answers "is this value
+    possibly in this row group" from the footer, so a selective
+    ``col = literal`` predicate skips non-matching row groups without
+    reading a page — at ~10 bits/value it is the cheap complement to
+    Z-order for exact-match columns.  Readers need no code change:
+    parquet-mr consults the filter whenever the predicate is pushed
+    (asserted by the plan's PushedFilters)."""
+    opts: dict[str, str] = {}
+    for col, ndv in bloom_filters.items():
+        opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(int(ndv))
+    return opts
+
+
 def copy_to(
     df: DataFrame,
     path: str,
     format: str = "parquet",
     mode: str = "overwrite",
     single_file: bool = False,
+    bloom_filters: dict[str, int] | None = None,
     **options: str,
 ) -> None:
     """Export a result to files (parquet/csv/json).  CSV gets headers
     by default.  ``single_file=True`` coalesces to one output file —
-    driver-friendly for small exports, never for big ones."""
+    driver-friendly for small exports, never for big ones.
+    ``bloom_filters={col: expected_ndv}`` writes parquet bloom filters
+    for point-lookup row-group skipping (see
+    :func:`bloom_filter_options`)."""
     fmt = format.lower()
+    if bloom_filters:
+        options.update(bloom_filter_options(bloom_filters))
     if fmt == "csv" and "header" not in options:
         options["header"] = "true"
     out = df.coalesce(1) if single_file else df
@@ -221,6 +250,7 @@ def write_sorted(
     mode: str = "overwrite",
     catalog=None,
     register_as: str | None = None,
+    bloom_filters: dict[str, int] | None = None,
     **options: str,
 ):
     """Write files that are each internally sorted on ``order_by`` and
@@ -231,7 +261,12 @@ def write_sorted(
     range-split, per-file fully-sorted output — the layout the
     reference's ListingTable expects (tests/setup_tables.rs:44-48),
     and the one that makes merge reads / sorted aggregation cheap.
+    ``bloom_filters={col: ndv}`` adds parquet bloom filters for the
+    columns the sort DOESN'T cover — min/max stats skip on the sort
+    keys, blooms skip on everything else (:func:`bloom_filter_options`).
     """
+    if bloom_filters:
+        options = {**options, **bloom_filter_options(bloom_filters)}
     keys = normalize_sort_keys(order_by)
     sort_cols = sort_columns(keys)
     out = (

@@ -253,3 +253,46 @@ def test_zstd_parquet_roundtrip(spark, orders, tmp_path):
     files = [f for f in os.listdir(p) if f.endswith(".parquet")]
     assert files and all(".zstd." in f for f in files)
     assert spark.read.parquet(p).count() == orders.count()
+
+
+def test_parquet_bloom_filter_written_and_probed(spark, orders, tmp_path):
+    """copy_to(bloom_filters=...) writes per-column parquet bloom
+    filters: the bloomed file is measurably larger (the serialized
+    filter lives in the footer region; ~10 bits/value at the default
+    fpp), point lookups on the bloomed UNSORTED column still push the
+    predicate to the scan, and results are exact.  This is the
+    row-group-skipping complement to min/max stats for exact-match
+    predicates on high-cardinality columns."""
+    fp = orders.select(
+        "o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("fp")
+    )
+    n = fp.count()
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    sinks.copy_to(fp, plain, single_file=True)
+    sinks.copy_to(fp, bloomed, single_file=True, bloom_filters={"fp": n})
+
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    # n values * ~10 bits apiece: require at least half that delta so
+    # the assert proves the filter exists without pinning parquet-mr's
+    # exact sizing
+    assert size(bloomed) - size(plain) > n * 10 // 16, (
+        size(plain),
+        size(bloomed),
+    )
+
+    probe = F.md5(F.lit("7")).cast("string")
+    got = (
+        spark.read.parquet(bloomed)
+        .filter(F.col("fp") == F.md5(F.lit(str(7))))
+        .collect()
+    )
+    assert [r.o_orderkey for r in got] == [7]
+    # predicate reaches the scan, so parquet-mr consults the filter
+    df = spark.read.parquet(bloomed).filter(F.col("fp") == probe)
+    assert any(
+        "fp" in f for f in plans.scan_pushed_filters(df)
+    ), plans.scan_pushed_filters(df)
