@@ -260,6 +260,23 @@ class Engine:
                 [(v, n)], "version int, rows bigint"
             )
         m = _re.match(
+            r"\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
+        )
+        if m and m.group(1) in getattr(self, "_versioned", {}):
+            vt = self._versioned[m.group(1)]
+            rows = [
+                (
+                    int(e["version"]),
+                    e.get("op", ""),
+                    len(e.get("files", [])),
+                    e.get("batch_id"),
+                )
+                for e in vt.history()
+            ]
+            return self.spark.createDataFrame(
+                rows, "version int, op string, n_files int, batch_id bigint"
+            )
+        m = _re.match(
             r"\s*(VACUUM|OPTIMIZE)\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
         )
         if m and m.group(2) in getattr(self, "_versioned", {}):

@@ -573,3 +573,22 @@ def test_sql_time_travel_vacuum_optimize(spark, nation, tmp_path):
     removed = eng.sql("VACUUM vt_tt").collect()[0]["files_removed"]
     assert removed > 0
     assert eng.sql("SELECT count(*) AS c FROM vt_tt").collect()[0]["c"] == 20
+
+
+def test_sql_describe_history(spark, nation, tmp_path):
+    """`DESCRIBE HISTORY vt` through Engine.sql: one row per committed
+    version with op and file count — the audit view of the tx log."""
+    from sparkplans.engine import Engine
+
+    eng = Engine(spark=spark)
+    t = eng.create_versioned_table("vt_hist", str(tmp_path / "t"))
+    t.append(nation)
+    t.append(nation.limit(3))
+    eng.table_at("vt_hist")
+    eng.sql("DELETE FROM vt_hist WHERE n_regionkey = 0")
+
+    h = {r.version: r for r in eng.sql("DESCRIBE HISTORY vt_hist").collect()}
+    assert sorted(h) == [0, 1, 2]
+    assert h[0].op == "append" and h[1].op == "append"
+    assert h[2].op == "overwrite"  # copy-on-write DELETE commits a rewrite
+    assert all(r.n_files >= 1 for r in h.values())
