@@ -115,11 +115,17 @@ def _run_command_inner(engine, line, parts, cmd, out) -> bool:
     return True
 
 
+MAX_DISPLAY_ROWS = 40
+
+
 def run_sql(engine, sql: str, out=sys.stdout) -> None:
     t0 = time.perf_counter()
     try:
         df = engine.sql(sql)
-        rows = df.collect()
+        # Only pull what the terminal will show (+1 sentinel to detect
+        # truncation) — a bare `SELECT * FROM lineitem` must not pile
+        # the whole result set into driver memory just to print 40 rows.
+        rows = df.limit(MAX_DISPLAY_ROWS + 1).collect()
     except Exception as ex:  # show the error, keep the session alive
         first = str(ex).strip().splitlines()
         print(f"Error: {first[0] if first else ex}", file=out)
@@ -130,8 +136,15 @@ def run_sql(engine, sql: str, out=sys.stdout) -> None:
         # CLI does, instead of boxing a multi-line cell
         print(rows[0][0], file=out)
         return
-    print(format_table(df.columns, [list(r) for r in rows]), file=out)
-    n = len(rows)
+    truncated = len(rows) > MAX_DISPLAY_ROWS
+    shown = rows[:MAX_DISPLAY_ROWS]
+    print(
+        format_table(
+            df.columns, [list(r) for r in shown], max_rows=MAX_DISPLAY_ROWS
+        ),
+        file=out,
+    )
+    n = f"{MAX_DISPLAY_ROWS}+ (truncated)" if truncated else str(len(shown))
     if getattr(engine, "_cli_timing", False):
         print(f"{n} row(s) in {elapsed:.3f} s", file=out)
     else:

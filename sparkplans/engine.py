@@ -300,7 +300,7 @@ class Engine:
                     version=int(ver)
                 ).createOrReplaceTempView(view)
                 query = _re.sub(
-                    rf"{name}\s+VERSION\s+AS\s+OF\s+{ver}",
+                    rf"\b{name}\s+VERSION\s+AS\s+OF\s+{ver}\b",
                     view, query, flags=_re.IGNORECASE,
                 )
         return self.spark.sql(query)

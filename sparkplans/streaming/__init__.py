@@ -760,7 +760,19 @@ def bloom_dedup_ingest_sink(
     def _load_bloom() -> bytes:
         if os.path.exists(bloom_path):
             with open(bloom_path, "rb") as f:
-                return f.read()
+                pre = f.read()
+            if len(pre) != num_bits // 8:
+                # A size mismatch means the caller changed num_bits
+                # against existing state; OR-ing via zip would silently
+                # truncate to the shorter filter and drop set bits,
+                # breaking the bloom ⊇ committed-index invariant (false
+                # negatives ⇒ duplicate admissions).  Fail loudly.
+                raise ValueError(
+                    f"bloom state at {bloom_path} is {len(pre)} bytes "
+                    f"but num_bits={num_bits} implies {num_bits // 8}; "
+                    "delete the state or keep num_bits stable per corpus"
+                )
+            return pre
         return bytes(num_bits // 8)
 
     def _store_bloom(b: bytes) -> None:

@@ -382,7 +382,11 @@ class VersionedTable:
 
         cond = _F.expr(condition) if isinstance(condition, str) else condition
         current = self.read()
-        survivors = current.filter(~cond)
+        # SQL DELETE drops rows where the predicate is TRUE; rows where
+        # it evaluates to NULL survive (three-valued logic — same
+        # asymmetry update() gets from when/otherwise).  A plain
+        # filter(~cond) would silently delete NULL-predicate rows.
+        survivors = current.filter(~cond.eqNullSafe(_F.lit(True)))
         files = self._stage(survivors)
         return self._commit(
             {

@@ -47,3 +47,27 @@ def test_cli_session_end_to_end():
     assert "Error:" in out              # bad query reported...
     assert "| still_alive |" in out     # ...and the session survived
     assert "numOutputRows=" in out      # \analyze shows SQLMetrics
+
+
+def test_run_sql_limits_driver_collect(spark):
+    """run_sql must not collect the full result set just to print 40
+    rows — a limit(41) sentinel detects truncation without pulling a
+    `SELECT * FROM lineitem` into driver memory.  Regression for the
+    unconditional df.collect()."""
+    import io
+
+    from sparkplans.cli import MAX_DISPLAY_ROWS, run_sql
+    from sparkplans.engine import Engine
+
+    eng = Engine(spark=spark)
+    buf = io.StringIO()
+    run_sql(eng, "SELECT id FROM range(1000)", out=buf)
+    out = buf.getvalue()
+    assert f"{MAX_DISPLAY_ROWS}+ (truncated) row(s)" in out
+    # box table shows exactly MAX_DISPLAY_ROWS data rows
+    assert sum(1 for ln in out.splitlines() if ln.startswith("| ")) \
+        == MAX_DISPLAY_ROWS + 1  # header + 40 rows
+
+    buf2 = io.StringIO()
+    run_sql(eng, "SELECT id FROM range(3)", out=buf2)
+    assert "3 row(s)" in buf2.getvalue()

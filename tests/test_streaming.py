@@ -863,3 +863,39 @@ def test_bloom_dedup_ingest_matches_exact_sink(spark, tmp_path):
     drain()
     assert corpus.latest_version() == v_corpus
     assert index.latest_version() == v_index
+
+
+def test_bloom_ingest_rejects_resized_state(spark, tmp_path):
+    """Changing num_bits against existing bloom state must fail loudly:
+    a silent zip-truncate OR would drop set bits and break the
+    bloom ⊇ committed-index no-false-negative invariant (duplicate
+    admissions).  Regression for the unchecked-length load."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "doc_stream_resize"
+    root = str(tmp_path / "corpus_root_resize")
+    ckpt1 = str(tmp_path / "ckpt_resize_1")
+    ckpt2 = str(tmp_path / "ckpt_resize_2")
+
+    b1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming.bloom_dedup_ingest_sink(
+        stream, root, ckpt1, num_bits=1 << 16
+    ).start()
+    q.awaitTermination(120)
+
+    spark.createDataFrame([(3, "gamma")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    q2 = streaming.bloom_dedup_ingest_sink(
+        stream2, root, ckpt2, num_bits=1 << 14  # smaller than on-disk state
+    ).start()
+    with pytest.raises(Exception) as ei:
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+    assert "num_bits" in str(ei.value)

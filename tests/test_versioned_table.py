@@ -592,3 +592,46 @@ def test_sql_describe_history(spark, nation, tmp_path):
     assert h[0].op == "append" and h[1].op == "append"
     assert h[2].op == "overwrite"  # copy-on-write DELETE commits a rewrite
     assert all(r.n_files >= 1 for r in h.values())
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """SQL three-valued logic: DELETE drops rows where the predicate is
+    TRUE; a NULL predicate is *not true*, so the row survives — same
+    asymmetry UPDATE's when/otherwise gives for free.  Regression for
+    the filter(~cond) form, which silently deleted NULL-predicate rows."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3)], "id int, x int"
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(df)
+    t.delete("x > 5")  # TRUE for id=1; NULL for id=2; FALSE for id=3
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [2, 3]  # the NULL-x row survived
+
+    # same semantics through the SQL DML surface
+    from sparkplans.engine import Engine
+
+    eng = Engine(spark=spark)
+    t2 = eng.create_versioned_table("vt_null_del", str(tmp_path / "t2"))
+    t2.append(df)
+    eng.sql("DELETE FROM vt_null_del WHERE x > 5")
+    assert sorted(r.id for r in t2.read().collect()) == [2, 3]
+
+
+def test_time_travel_name_is_word_anchored(spark, nation, tmp_path):
+    """A versioned table whose name is a suffix of another identifier
+    must not have its VERSION AS OF rewrite eat the longer name:
+    with tables `x` and `tax` both pinned at version 0 in one query,
+    an unanchored sub for `x` would corrupt `tax VERSION AS OF 0`."""
+    from sparkplans.engine import Engine
+
+    eng = Engine(spark=spark)
+    tx = eng.create_versioned_table("x", str(tmp_path / "x"))
+    tx.append(nation.limit(5))
+    ttax = eng.create_versioned_table("tax", str(tmp_path / "tax"))
+    ttax.append(nation.limit(3))
+    got = eng.sql(
+        "SELECT (SELECT count(*) FROM x VERSION AS OF 0) AS cx, "
+        "(SELECT count(*) FROM tax VERSION AS OF 0) AS ctax"
+    ).collect()[0]
+    assert (got.cx, got.ctax) == (5, 3)
