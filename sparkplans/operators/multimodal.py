@@ -23,16 +23,16 @@ no external library —
           pure numpy) → decode / timestamp frame sampling /
           scene-cut detection; animated GIF frames sample over their
           own delay timeline through the same schema.
-Only compressed-audio/video BITSTREAMS that genuinely require
-external codec libraries (MP3/OGG frames, H.264/MP4 video) remain
-stubbed behind ``_HAVE_CODECS`` — and even those get REAL
-container-level metadata probes (`extract_media_metadata` /
+The DEFAULT API names (`extract_image_features`, `resize_images`,
+`sample_video_frames`, `resample_audio`) all run these real codecs —
+payloads are sniffed by magic bytes and dispatched to the matching
+decoder; unknown formats raise ``ValueError``, the honest boundary of
+a container with no external codec libraries.  The ``*_real`` names
+remain as compatibility aliases.  Compressed bitstreams that would
+need external libraries (MP3/OGG frames, H.264/MP4 video) get REAL
+container-level metadata probes instead (`extract_media_metadata` /
 operators/mediaprobe: MP4 box walk, MP3 frame headers), because
 duration/codec/bitrate gates are what a pipeline needs from them.
-The stubs keep real Spark plumbing (schemas, batching, partition
-flow) with a deterministic fake decode and a ``NotImplementedError``
-on the true path; swap ``_fake_decode_*`` for real codec calls in
-production.
 """
 
 from __future__ import annotations
@@ -54,8 +54,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_HAVE_CODECS = False  # PIL / ffmpeg / librosa not installed here
-
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -68,43 +66,14 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-IMAGE_FEATURES_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("n_bytes", LongType()),
-        StructField("sha", StringType()),
-        StructField("features", ArrayType(DoubleType())),
-    ]
-)
-
-
-def _fake_decode_features(payload: bytes, n: int = 8) -> list[float]:
-    """Deterministic stand-in for decode->embed: n doubles derived
-    from the payload digest.  Replace with a real decode + model."""
-    dig = hashlib.sha256(payload or b"").digest()
-    return [b / 255.0 for b in dig[:n]]
-
-
-def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+def extract_image_features(media: DataFrame) -> DataFrame:
     """Decode + featurize image payloads via mapInPandas (Arrow
-    batches).  Partition-parallel; the UDF sees pandas DataFrames and
-    never crosses the driver."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if _HAVE_CODECS:
-                raise NotImplementedError("real image decode requires PIL — not in this container")
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0).astype("int64"),
-                    "sha": pdf["payload"].map(lambda b: hashlib.sha256(b or b"").hexdigest()),
-                    "features": pdf["payload"].map(_fake_decode_features),
-                }
-            )
-            yield out
-
-    return media.filter(F.col("kind") == "image").mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+    batches), REAL end-to-end: each payload is sniffed by magic bytes
+    and decoded with the matching pure-python codec
+    (:func:`decode_image` — PNG/PPM/BMP/JPEG/GIF), emitting actual
+    width/height and per-channel pixel means.  Partition-parallel; the
+    UDF sees pandas DataFrames and never crosses the driver."""
+    return extract_image_features_real(media)
 
 
 def extract_image_features_arrow(media: DataFrame) -> DataFrame:
@@ -114,56 +83,96 @@ def extract_image_features_arrow(media: DataFrame) -> DataFrame:
     pandas materializes every payload as a Python ``bytes`` object per
     row (copy + boxing), while Arrow keeps the batch in one
     contiguous buffer until the kernel actually reads a value.
-    Output is bit-identical to the pandas twin (same digest kernel);
-    tests assert equality."""
+    Same real decode kernel (:func:`decode_image`), bit-identical
+    output to the pandas twin; tests assert equality."""
     import pyarrow as pa
 
     def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for rb in it:
-            if _HAVE_CODECS:
-                raise NotImplementedError("real image decode requires PIL — not in this container")
             ids = rb.column(rb.schema.get_field_index("media_id"))
-            payloads = rb.column(rb.schema.get_field_index("payload")).to_pylist()
+            arrs = [
+                decode_image(b)
+                for b in rb.column(rb.schema.get_field_index("payload")).to_pylist()
+            ]
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,
-                    pa.array([len(b) if b is not None else 0 for b in payloads], pa.int64()),
-                    pa.array([hashlib.sha256(b or b"").hexdigest() for b in payloads], pa.string()),
-                    pa.array([_fake_decode_features(b) for b in payloads], pa.list_(pa.float64())),
+                    pa.array([a.shape[1] for a in arrs], pa.int32()),
+                    pa.array([a.shape[0] for a in arrs], pa.int32()),
+                    pa.array(
+                        [[float(m) for m in a.mean(axis=(0, 1))] for a in arrs],
+                        pa.list_(pa.float64()),
+                    ),
                 ],
-                names=["media_id", "n_bytes", "sha", "features"],
+                names=["media_id", "width", "height", "channel_means"],
             )
 
-    return media.filter(F.col("kind") == "image").mapInArrow(batches, IMAGE_FEATURES_SCHEMA)
-
-
-FRAME_SAMPLE_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("frame_idx", IntegerType()),
-        StructField("frame_sha", StringType()),
-    ]
-)
+    return media.filter(F.col("kind") == "image").mapInArrow(
+        batches, PPM_FEATURES_SCHEMA
+    )
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame
-    (deterministic fake: digests of payload+idx).  Real impl would
-    ffmpeg-decode inside the iterator."""
+    """REAL frame sampling over video payloads, format-sniffed per
+    row: Y4M/YUV4MPEG2 decodes with the pure-numpy codec; animated GIF
+    composites frames over the stream's own delay timeline.  One
+    output row per every_ms tick with the active frame's actual luma
+    statistics (same schema as :func:`sample_y4m_frames`)."""
+    import numpy as np
+
+    def frame_rows(media_id, payload: bytes, rows: list) -> None:
+        b = bytes(payload)
+        if b.startswith(b"YUV4MPEG2"):
+            frames, fps = decode_y4m(b)
+            n = frames.shape[0]
+            if n == 0:
+                return
+            dur_ms = n / fps * 1000
+            t = 0.0
+            while t < dur_ms:
+                idx = min(int(round(t / 1000 * fps)), n - 1)
+                y = frames[idx, :, :, 0].astype("float64")
+                rows.append(
+                    (media_id, idx, int(t), float(y.mean()), float(y.std()))
+                )
+                t += every_ms
+            return
+        if b.startswith(b"GIF8"):
+            from sparkplans.operators.gif import decode_gif
+
+            frames, delays = decode_gif(b)
+            total = sum(delays)
+            starts = np.cumsum([0] + delays[:-1])
+            t = 0
+            while t < total:
+                idx = int(np.searchsorted(starts, t, side="right") - 1)
+                y = (
+                    0.299 * frames[idx, :, :, 0]
+                    + 0.587 * frames[idx, :, :, 1]
+                    + 0.114 * frames[idx, :, :, 2]
+                ).astype("float64")
+                rows.append(
+                    (media_id, idx, int(t), float(y.mean()), float(y.std()))
+                )
+                t += every_ms
+            return
+        raise ValueError(
+            "unsupported video format (Y4M / animated GIF decodable here)"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if _HAVE_CODECS:
-                raise NotImplementedError("real frame sampling requires ffmpeg — not in this container")
-            rows = []
+            rows: list = []
             for _, r in pdf.iterrows():
-                n_frames = max(int((r["duration_ms"] or 0) // every_ms), 1)
-                for i in range(n_frames):
-                    digest = hashlib.sha256((r["payload"] or b"") + str(i).encode()).hexdigest()
-                    rows.append((r["media_id"], i, digest))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
+                frame_rows(r["media_id"], r["payload"], rows)
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "t_ms", "luma_mean", "luma_std"],
+            )
 
-    return media.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, Y4M_FRAME_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = StructType(
@@ -176,85 +185,72 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize plumbing: emits re-encoded payloads at the target size
-    (deterministic fake: digest-derived bytes sized w*h/64 so batch
-    shapes are realistic).  Real impl: PIL open/resize/save inside the
-    iterator — same schema, same partition flow."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if _HAVE_CODECS:
-                raise NotImplementedError("real resize requires PIL — not in this container")
-            fake = pdf["payload"].map(
-                lambda b: hashlib.sha256((b or b"") + f"{width}x{height}".encode()).digest()
-                * max((width * height) // (64 * 32), 1)
-            )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": width,
-                    "height": height,
-                    "payload": fake,
-                }
-            )
-
-    return media.filter(F.col("kind") == "image").mapInPandas(batches, RESIZED_SCHEMA)
-
-
-AUDIO_RESAMPLE_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("sample_rate", IntegerType()),
-        StructField("n_samples", LongType()),
-        StructField("chunk_sha", StringType()),
-    ]
-)
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """REAL format-generic resize: sniff + decode with the matching
+    codec, nearest-neighbor resample, re-encode in the SAME format
+    (PPM/PNG/BMP lossless; JPEG at q=85).  Delegates to
+    :func:`resize_images_real` (kept as a compatibility alias)."""
+    return resize_images_real(media, width=width, height=height)
 
 
 def resample_audio(media: DataFrame, target_hz: int = 16000) -> DataFrame:
-    """Audio decode->resample plumbing: one row per audio item with
-    the resampled length (exact arithmetic from duration metadata) and
-    a digest standing in for the waveform.  Real impl: librosa/ffmpeg
-    load + resample inside the iterator."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if _HAVE_CODECS:
-                raise NotImplementedError("real resampling requires librosa — not in this container")
-            dur = pdf["duration_ms"].fillna(0).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "sample_rate": target_hz,
-                    "n_samples": dur * target_hz // 1000,
-                    "chunk_sha": pdf["payload"].map(
-                        lambda b: hashlib.sha256((b or b"") + str(target_hz).encode()).hexdigest()
-                    ),
-                }
-            )
-
-    return media.filter(F.col("kind") == "audio").mapInPandas(batches, AUDIO_RESAMPLE_SCHEMA)
+    """REAL audio resample: decode WAV PCM16, linear-interpolate to
+    ``target_hz``, re-encode — actual waveforms, not digests.
+    Delegates to :func:`resample_wav_audio` (kept as a compatibility
+    alias)."""
+    return resample_wav_audio(media, target_hz=target_hz)
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (payload = repeated
-    digest bytes; metadata consistent with kind)."""
+    """Deterministic REAL media table for tests: PNG gradient images,
+    WAV sine-tone audio, Y4M gradient video — every payload decodes
+    with this module's own codecs, and the metadata columns are
+    derived from (not asserted onto) the actual payloads."""
+    import numpy as np
+
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 8)
-        rows.append(
-            (
-                i,
-                kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                payload,
-                64 + i if kind == "image" else None,
-                48 + i if kind == "image" else None,
-                3000 + 500 * i if kind in ("audio", "video") else None,
+        if kind == "image":
+            w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            a = np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1)).astype("uint8"),
+                    (yy * 255 // max(h - 1, 1)).astype("uint8"),
+                    np.full((h, w), i * 16 % 256, dtype="uint8"),
+                ],
+                axis=-1,
             )
-        )
+            rows.append((i, kind, "image/png", encode_png(a), w, h, None))
+        elif kind == "audio":
+            rate = (8000, 16000)[i % 2]
+            dur_ms = 100 + 50 * (i % 4)
+            t = np.arange(rate * dur_ms // 1000) / rate
+            pcm = np.round(
+                32000 * 0.5 * np.sin(2 * np.pi * 220.0 * (1 + i % 5) * t)
+            ).astype("<i2")
+            rows.append(
+                (i, kind, "audio/wav", encode_wav(pcm, rate), None, None, dur_ms)
+            )
+        else:
+            w, h, fps = 16, 12, 10
+            n_frames = 4 + (i % 3) * 2
+            frames = np.zeros((n_frames, h, w, 3), dtype="uint8")
+            for f in range(n_frames):
+                frames[f, :, :, 0] = (i * 8 + f * 16) % 256
+                frames[f, :, :, 1] = (f * 32) % 256
+            rows.append(
+                (
+                    i,
+                    kind,
+                    "video/x-yuv4mpeg",
+                    encode_y4m(frames, fps, 1),
+                    w,
+                    h,
+                    int(n_frames / fps * 1000),
+                )
+            )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -374,7 +370,7 @@ def resize_ppm_images(media: DataFrame, width: int = 8, height: int = 8) -> Data
 # PNG needs no external library either: chunks are length/type/CRC
 # framing, IDAT is zlib (stdlib), and scanline unfiltering (None /
 # Sub / Up / Average / Paeth) is numpy row arithmetic.  This upgrades
-# the round-1 `_HAVE_CODECS=False` PNG stub to a fully real branch —
+# the round-1 PNG stub to a fully real branch —
 # encode, decode, featurize, resize — through the identical
 # mapInPandas plumbing.  8-bit RGB/RGBA, non-interlaced (the common
 # case for generated/training imagery); anything else raises.
@@ -1417,9 +1413,9 @@ def resize_images_real(
 ) -> DataFrame:
     """Format-generic REAL resize: sniff + decode with the matching
     codec, nearest-neighbor resample, re-encode in the SAME format
-    (PPM/PNG/BMP lossless; JPEG at q=85).  The real twin of the
-    `_HAVE_CODECS`-stubbed `resize_images`, closing the last fake
-    image path."""
+    (PPM/PNG/BMP lossless; JPEG at q=85).  `resize_images` is the
+    default name for this path; this name is kept as a compatibility
+    alias."""
     import numpy as np
 
     def rz_payload(b: bytes) -> bytes:
