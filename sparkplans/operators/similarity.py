@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from sparkplans.functions.vectors import cosine_similarity, dot, l2_norm
+from sparkplans.materialize import materialize
 
 
 def brute_force_topk(
@@ -650,7 +651,7 @@ def semdedup(
     # assigned feeds three consumers (both self-join sides + the final
     # join-back); materialize it once — the stand-in for the persisted
     # cid-bucketed table a production deployment would read.
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = materialize(assigned)
     # Per-row norms computed ONCE before the pairwise join: the
     # per-pair work drops to a single dot product.  dot/(na*nb) is the
     # identical IEEE expression cosine_similarity evaluates, just with
@@ -684,7 +685,7 @@ def semdedup(
     # dup_of is one slim row per dropped id; checkpointing it means
     # the expensive pairwise scan runs exactly once no matter how many
     # times a consumer re-reads the result.
-    dup_of = dup_of.localCheckpoint(eager=True)
+    dup_of = materialize(dup_of)
     return (
         assigned.join(dup_of, id_col, "left")
         .withColumn("kept", F.col("dup_of").isNull())

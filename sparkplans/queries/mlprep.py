@@ -15,6 +15,8 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import functions as F
+
+from sparkplans.materialize import materialize
 from pyspark.sql.window import Window
 
 from sparkplans.functions import cosine_similarity
@@ -242,19 +244,19 @@ def q_bigram_lm_scores(spark, sf_dir):
             "prev"
         ),
     )
-    toks = toks.localCheckpoint(eager=True)  # feeds uni, bg and db
+    toks = materialize(toks)  # feeds uni, bg and db
     uni = (
         toks.groupBy(F.col("cur").alias("tok"))
         .agg(F.count("*").alias("c1"))
-        .localCheckpoint(eager=True)  # feeds both prob joins and tot
     )
+    uni = materialize(uni)  # feeds both prob joins and tot
     tot = uni.agg(F.sum("c1").alias("t"))
     db = (
         toks.filter(F.col("prev").isNotNull())
         .groupBy("doc_id", "prev", "cur")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)  # feeds corpus bigram counts AND scoring
     )
+    db = materialize(db)  # feeds corpus bigram counts AND scoring
     # corpus bigram counts roll up from the per-doc counts — one pass
     # over the tokenized frame instead of two
     bg = db.groupBy("prev", "cur").agg(F.sum("c").alias("c2"))

@@ -11,6 +11,8 @@ scalars rounded at the edge, deterministic tie-breaks everywhere.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+
+from sparkplans.materialize import materialize
 from pyspark.sql.window import Window
 
 from sparkplans.queries import _shared_sql, _t, _t_cpu, register
@@ -1243,10 +1245,8 @@ def q_copurchase_rules(spark, sf_dir):
     moderate cases, and a per-order item cap (drop baskets > K items,
     standard in Apriori at scale) bounds the worst case."""
     li = _t(spark, sf_dir, "lineitem")
-    b = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
+    b = materialize(
+        li.select("l_orderkey", "l_partkey").distinct()
     )
     # n_orders stays IN the plan as a broadcast 1-row aggregate — no
     # separate driver count() job, one fewer synchronization point

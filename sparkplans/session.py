@@ -66,6 +66,12 @@ class EngineOptions:
     # Spark-specific extras
     session_timezone: str = "UTC"
     adaptive: bool = True
+    # Route corpus-sized lineage cuts (see sparkplans/materialize.py)
+    # to reliable checkpoint storage instead of executor-local
+    # localCheckpoint — survives executor loss on a real cluster at
+    # the cost of a distributed-FS write+read per materialization.
+    reliable_checkpoints: bool = False
+    checkpoint_dir: str | None = None
     extra_conf: dict[str, str] = field(default_factory=dict)
 
     def to_spark_conf(self) -> dict[str, str]:
@@ -89,6 +95,10 @@ class EngineOptions:
             # Arrow transfer for pandas UDFs / toPandas (vectorized python).
             "spark.sql.execution.arrow.pyspark.enabled": "true",
         }
+        if self.reliable_checkpoints:
+            conf["spark.sparkplans.reliableCheckpoints"] = "true"
+        if self.checkpoint_dir:
+            conf["spark.sparkplans.checkpointDir"] = self.checkpoint_dir
         if not self.repartition_file_scans:
             # Do not split files into byte-range partitions: one file,
             # one partition (preserves declared per-file sort order;

@@ -1,0 +1,83 @@
+"""Reliable-checkpoint routing (sparkplans/materialize.py): corpus-
+sized lineage cuts can be sent to reliable checkpoint storage instead
+of non-replicated executor-local localCheckpoint state — the
+executor-loss hardening documented in SCALE.md."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplans.materialize import DIR_KEY, RELIABLE_FLAG, materialize
+
+
+@pytest.fixture()
+def reliable(spark, tmp_path):
+    ckdir = str(tmp_path / "ck")
+    spark.conf.set(RELIABLE_FLAG, "true")
+    spark.conf.set(DIR_KEY, ckdir)
+    yield ckdir
+    spark.conf.set(RELIABLE_FLAG, "false")
+    # leave any sc checkpoint dir in place — harmless, session-scoped
+
+
+def _ckpt_files(root):
+    return [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if not f.startswith(".")
+    ]
+
+
+def test_default_is_local_no_files(spark, tmp_path):
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    out = materialize(df)
+    assert out.count() == 100
+    # localCheckpoint leaves nothing under any would-be checkpoint dir
+    assert _ckpt_files(str(tmp_path)) == []
+
+
+def test_reliable_writes_to_configured_dir(spark, reliable):
+    df = spark.range(1000).withColumn("x", F.col("id") % 7)
+    out = materialize(df)
+    assert out.count() == 1000
+    # reliable checkpoint materialized partitions under the dir
+    assert len(_ckpt_files(reliable)) > 0
+    # and the frame is re-readable with identical content
+    assert out.agg(F.sum("x")).collect()[0][0] == sum(i % 7 for i in range(1000))
+
+
+def test_semdedup_under_reliable_mode_same_result(spark, reliable):
+    """The SemDeDup parents route through materialize(): under the
+    option the result is identical and the checkpoint dir is used."""
+    import numpy as np
+
+    from sparkplans.operators.similarity import semdedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8)
+    base[25] = base[3] + 1e-9  # planted near-identical pair
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    res = {r.vec_id: (r.kept, r.dup_of)
+           for r in semdedup(df, num_centroids=4, threshold=0.999999).collect()}
+    assert res[25] == (False, 3)
+    assert len(_ckpt_files(reliable)) > 0
+
+    spark.conf.set(RELIABLE_FLAG, "false")
+    res_local = {r.vec_id: (r.kept, r.dup_of)
+                 for r in semdedup(df, num_centroids=4, threshold=0.999999).collect()}
+    assert res == res_local
+
+
+def test_engine_options_carry_the_flag():
+    from sparkplans.session import EngineOptions
+
+    conf = EngineOptions(
+        reliable_checkpoints=True, checkpoint_dir="/tmp/x"
+    ).to_spark_conf()
+    assert conf[RELIABLE_FLAG] == "true"
+    assert conf[DIR_KEY] == "/tmp/x"
+    assert RELIABLE_FLAG not in EngineOptions().to_spark_conf()
