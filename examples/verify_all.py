@@ -30,6 +30,13 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
         .config("spark.ui.enabled", "false")
+        # the driver's own harness runs sf0.01 where the default heap
+        # is fine; local sweeps at sf>=1 need a real executor heap
+        # (local mode: driver JVM == all executors)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     import __spark_entry__ as E

@@ -90,12 +90,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_ROWCOUNT_MAX_FOOTERS = 64
+
+
 def _rowcount(sf_dir: str, name: str) -> int:
-    """Exact table row count from parquet footer metadata — the same
-    statistic ANALYZE TABLE records and the CBO reads.  Zero Spark
-    jobs: footers are kilobytes regardless of data size, so sizing a
-    knob (e.g. SemDeDup's cluster count) off this is free even at
-    100 TB, where a count() job would scan-schedule every file."""
+    """Table row count from parquet footer metadata — the statistic
+    ANALYZE TABLE records and the CBO reads.  Zero Spark jobs, and
+    BOUNDED driver work: at most ``_ROWCOUNT_MAX_FOOTERS`` footers are
+    read; for a larger directory the count is extrapolated from the
+    sampled rows-per-byte ratio times the total file size (a knob-
+    sizing estimate, not an exact count — every use here sizes a
+    cluster/bucket count where ±a few % is immaterial).  A sequential
+    walk of ALL footers would be a slow driver loop at 800k files; a
+    production deployment would read the count from table-format
+    metadata (a lakehouse snapshot / Parquet _metadata summary)
+    instead."""
     import glob as _glob
     import os as _os
 
@@ -103,10 +112,14 @@ def _rowcount(sf_dir: str, name: str) -> int:
 
     path = _os.path.join(sf_dir, f"{name}.parquet")
     if _os.path.isdir(path):
-        return sum(
-            _pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(_os.path.join(path, "*.parquet"))
-        )
+        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        sample = files[:_ROWCOUNT_MAX_FOOTERS]
+        rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in sample)
+        if len(files) > len(sample):
+            sampled_bytes = sum(_os.path.getsize(f) for f in sample)
+            total_bytes = sum(_os.path.getsize(f) for f in files)
+            return int(rows * total_bytes / max(sampled_bytes, 1))
+        return rows
     return _pq.ParquetFile(path).metadata.num_rows
 
 

@@ -51,3 +51,37 @@ def test_query_output_is_scalar_typed(spark, name):
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
     ]
     assert not bad, f"{name}: non-scalar output columns {bad}"
+
+
+def test_rowcount_footer_walk_is_bounded(tmp_path, monkeypatch):
+    """_rowcount reads at most _ROWCOUNT_MAX_FOOTERS footers and
+    extrapolates by file size for larger directories — bounded driver
+    work even at an 800k-file table (regression for the unbounded
+    sequential walk)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    n_files, rows_per = 12, 50
+    for i in range(n_files):
+        pq.write_table(
+            pa.table({"x": list(range(rows_per))}), d / f"part-{i:05d}.parquet"
+        )
+
+    # exact when the directory fits under the cap
+    assert Q._rowcount(str(tmp_path), "t") == n_files * rows_per
+
+    # capped: only the sampled footers are opened; uniform files
+    # extrapolate to the exact total
+    monkeypatch.setattr(Q, "_ROWCOUNT_MAX_FOOTERS", 4)
+    opened = []
+    real = pq.ParquetFile
+
+    def counting(f, *a, **k):
+        opened.append(f)
+        return real(f, *a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    assert Q._rowcount(str(tmp_path), "t") == n_files * rows_per
+    assert len(opened) == 4
