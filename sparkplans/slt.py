@@ -68,6 +68,36 @@ def parse(text: str) -> list[Record]:
                     line=lineno,
                 )
             )
+        elif header.startswith("plan"):
+            # `plan contains` record: run EXPLAIN on the SQL and assert
+            # each expected line is a substring of the formatted
+            # physical plan; a line prefixed `!` must be ABSENT.  The
+            # reference's docs/5-6 walkthroughs are EXPLAIN transcripts,
+            # and datafusion's own sqllogictest corpus asserts plans the
+            # same way — this is the Spark-stable version (substrings,
+            # not whole-plan goldens, which churn across versions).
+            if header.split()[1:] != ["contains"]:
+                raise ValueError(f"line {lineno}: expected 'plan contains'")
+            i += 1
+            sql_lines = []
+            while i < n and lines[i].strip() != "----":
+                sql_lines.append(lines[i])
+                i += 1
+            if i >= n:
+                raise ValueError(f"line {lineno}: plan missing '----'")
+            i += 1
+            expected = []
+            while i < n and lines[i].strip() != "":
+                expected.append(lines[i].strip())
+                i += 1
+            records.append(
+                Record(
+                    kind="plan",
+                    sql="\n".join(sql_lines),
+                    expected=expected,
+                    line=lineno,
+                )
+            )
         elif header.startswith("query"):
             parts = header.split()
             types = parts[1] if len(parts) > 1 else ""
@@ -131,6 +161,29 @@ def run_text(engine, text: str, name: str = "<slt>") -> int:
                     f"{rec.sql}"
                 )
             engine.sql(rec.sql).collect()
+            continue
+        if rec.kind == "plan":
+            from sparkplans.plans import plan_text
+
+            df = engine.sql(rec.sql)
+            # match against formatted (numbered details: PushedFilters,
+            # ReadSchema, codegen ids) AND simple (inline operator args:
+            # `Exchange hashpartitioning(k#1, 4)`) — each mode carries
+            # properties the other elides
+            txt = plan_text(df, "formatted") + "\n" + plan_text(df, "simple")
+            for want in rec.expected:
+                if want.startswith("!"):
+                    needle = want[1:].strip()
+                    if needle in txt:
+                        raise AssertionError(
+                            f"{where}: plan must NOT contain {needle!r}\n"
+                            f"query:\n{rec.sql}\nplan:\n{txt}"
+                        )
+                elif want not in txt:
+                    raise AssertionError(
+                        f"{where}: plan missing {want!r}\n"
+                        f"query:\n{rec.sql}\nplan:\n{txt}"
+                    )
             continue
         df = engine.sql(rec.sql)
         rows = df.collect()
