@@ -899,3 +899,165 @@ def test_bloom_ingest_rejects_resized_state(spark, tmp_path):
         q2.awaitTermination(120)
         q2.processAllAvailable()
     assert "num_bits" in str(ei.value)
+
+
+# -- restart chaos ----------------------------------------------------------
+
+
+def _drain_with_midstream_stop(build_query, min_batches=1, timeout_s=120):
+    """Start the query, stop it as soon as >= min_batches committed
+    (an unclean mid-stream shutdown), return whether it was stopped
+    early.  A second build_query() call with the SAME checkpoint is
+    the restart."""
+    import time as _time
+
+    q = build_query()
+    stopped_early = False
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        if not q.isActive:
+            break
+        lp = q.lastProgress
+        if lp is not None and lp["batchId"] >= min_batches - 1:
+            q.stop()
+            stopped_early = True
+            break
+        _time.sleep(0.05)
+    q.awaitTermination(timeout_s)
+    return stopped_early
+
+
+def test_bloom_ingest_restart_chaos_no_dup_admissions(spark, tmp_path):
+    """Kill the bloom-dedup ingest mid-stream, inject the documented
+    crash residue (bloom bits persisted for rows whose data commit
+    never happened — the crash window between _store_bloom and the
+    table commit), restart on the same checkpoint, and drain.  The
+    corpus must hold exactly the exact-dedup result: residue rows
+    route through the exact verify (bloom says maybe, index says new)
+    and commit once; replayed batches are no-ops by batch_id."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkplans.functions.text import doc_fingerprint
+    from sparkplans.operators.bloom import bloom_build, bloom_member
+    from sparkplans.table import VersionedTable
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "chaos_stream"
+    src.mkdir()
+    root = str(tmp_path / "chaos_root")
+    ckpt = str(tmp_path / "chaos_ckpt")
+    num_bits = 1 << 16
+
+    batches = [
+        [(1, "alpha one"), (2, "beta two")],
+        [(3, "gamma three"), (4, "alpha one")],     # cross-batch dup of 1
+        [(5, "delta five"), (6, "beta two")],       # cross-batch dup of 2
+        [(7, "epsilon seven")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / f"f{i}"))
+
+    def build():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return streaming.bloom_dedup_ingest_sink(
+            stream, root, ckpt, num_bits=num_bits
+        ).start()
+
+    _drain_with_midstream_stop(build, min_batches=1)
+
+    # crash residue: doc 7's fingerprint bits are in the bloom but its
+    # data commit never happened (crash between bloom write + commit)
+    resid = spark.createDataFrame(batches[3], schema).withColumn(
+        "fingerprint", doc_fingerprint("text")
+    )
+    bits = bloom_build(resid.select("fingerprint"), "fingerprint", num_bits=num_bits)
+    bpath = os.path.join(root, "bloom.bin")
+    pre = open(bpath, "rb").read() if os.path.exists(bpath) else bytes(num_bits // 8)
+    with open(bpath, "wb") as f:
+        f.write(bytes(a | b for a, b in zip(pre, bits)))
+
+    # restart on the same checkpoint; drain everything that remains
+    q = build()
+    q.awaitTermination(180)
+
+    corpus = VersionedTable(spark, os.path.join(root, "corpus"))
+    index = VersionedTable(spark, os.path.join(root, "fp_index"))
+    got = sorted(r.doc_id for r in corpus.read().collect())
+    assert got == [1, 2, 3, 5, 7], got  # exact-dedup, exactly once
+    assert index.read().count() == 5
+    # invariant survives the chaos: every committed fp probes true
+    bloom = open(bpath, "rb").read()
+    assert index.read().filter(bloom_member("fingerprint", bloom)).count() == 5
+
+
+def test_sessionize_restart_resumes_state(spark, tmp_path):
+    """Unclean mid-stream stop + same-checkpoint restart of the
+    applyInPandasWithState sessionizer: recovered state must continue
+    the open session across the restart — the emitted session set
+    equals the single-run expectation exactly."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + _dt.timedelta(minutes=minutes)
+
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    files = [
+        [(1, at(0)), (1, at(10))],
+        [(1, at(20)), (1, at(180))],   # gap > 30min closes session 1
+        [(2, at(360))],                # watermark passes -> session 2 times out
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / f"f{i}"))
+
+    def build():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        sess = streaming.sessionize(stream, gap_seconds=1800)
+        return (
+            sess.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+
+    _drain_with_midstream_stop(build, min_batches=1)
+    q = build()
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (1, at(0), at(20), 3) in got          # closed by the gap
+    assert (1, at(180), at(180), 1) in got       # closed by event-time timeout
+    assert all(u == 1 for (u, *_rest) in got), got  # user 2 still open
