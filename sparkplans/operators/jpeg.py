@@ -7,9 +7,9 @@ codec library.  Scope:
 
 - 8-bit, 3-component YCbCr (JFIF), 4:4:4 AND 4:2:0 chroma sampling
 - baseline sequential (SOF0) AND progressive (SOF2): DC successive
-  approximation (first + refinement scans) and spectral-selection AC
-  band scans with general EOB-run semantics; the one omission is AC
-  successive-approximation refinement, which raises cleanly
+  approximation (first + refinement scans), spectral-selection AC
+  band scans with general EOB-run semantics, AND AC successive-
+  approximation refinement (T.81 G.1.2.3) in both directions
 - Huffman entropy coding (non-arithmetic); quantization and Huffman
   tables are READ FROM THE STREAM (DQT/DHT), so the decoder handles
   conforming files generally, not just our encoder's output
@@ -368,12 +368,17 @@ def _encode_progressive(a: np.ndarray, qy: np.ndarray, qc: np.ndarray) -> bytes:
       1. DC first scan, interleaved, successive approximation Al=1
          (diffs of dc >> 1)
       2. DC refinement scan (Ah=1, Al=0): one raw bit per block
-      3-8. AC spectral-selection first scans per component, bands
-         1-5 and 6-63 (Ah=Al=0), one EOB per all-zero band remainder
+      3-8. AC spectral-selection FIRST scans per component, bands
+         1-5 and 6-63, successive approximation Al=1
+      9-14. AC successive-approximation REFINEMENT scans (Ah=1,
+         Al=0): sign-bit symbols for newly-significant coefficients,
+         raw correction bits for already-significant ones (T.81
+         G.1.2.3)
 
     Exercises every progressive structure the decoder supports: DC
     point transform + refinement, per-component non-interleaved AC
-    scans, and EOB semantics."""
+    first + refinement scans, ZRL-vs-EOB folding, and EOB
+    semantics."""
     h, w, _ = a.shape
     ph, pw = -h % 8, -w % 8
     ap = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
@@ -425,7 +430,8 @@ def _encode_progressive(a: np.ndarray, qy: np.ndarray, qc: np.ndarray) -> bytes:
             for comp in range(3):
                 bw.write(int(streams[comp][by][bx][0]) & 1, 1)
     out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0) + bw.flush()
-    # scans 3-8: AC bands per component
+    # scans 3-8: AC band FIRST scans per component, Al=1 (magnitudes
+    # arithmetic-shifted right by the point transform, sign preserved)
     for comp in range(3):
         ta = 0 if comp == 0 else 1
         for ss, se in ((1, 5), (6, 63)):
@@ -437,14 +443,16 @@ def _encode_progressive(a: np.ndarray, qy: np.ndarray, qc: np.ndarray) -> bytes:
                     wrote_any = False
                     for v in band:
                         v = int(v)
-                        if v == 0:
+                        mag = abs(v) >> 1  # point transform Al=1
+                        if mag == 0:
                             run += 1
                             continue
+                        v1 = mag if v > 0 else -mag
                         while run >= 16:
                             zc, zl = _AC_CODES[0xF0]
                             bw.write(zc, zl)
                             run -= 16
-                        size, bits = _magnitude_bits(v)
+                        size, bits = _magnitude_bits(v1)
                         code, length = _AC_CODES[16 * run + size]
                         bw.write(code, length)
                         bw.write(bits, size)
@@ -453,7 +461,60 @@ def _encode_progressive(a: np.ndarray, qy: np.ndarray, qc: np.ndarray) -> bytes:
                     if run or not wrote_any:
                         ec, el = _AC_CODES[0x00]  # EOB (eobrun = 1)
                         bw.write(ec, el)
-            out += sos([(comp + 1, 0, ta)], ss, se, 0, 0) + bw.flush()
+            out += sos([(comp + 1, 0, ta)], ss, se, 0, 1) + bw.flush()
+    # scans 9-14: AC band REFINEMENT scans (Ah=1, Al=0) — the T.81
+    # G.1.2.3 successive-approximation correction pass: newly
+    # significant coefficients (|v| at full precision == 1) are coded
+    # as run/size=1 symbols + a sign bit; already-significant ones
+    # contribute one raw correction bit each (the low-order magnitude
+    # bit), interleaved in coefficient order exactly where the decoder
+    # walks them.  One EOB per block closes any trailing positions
+    # (no cross-block EOB runs — simpler, still valid JPEG).
+    for comp in range(3):
+        ta = 0 if comp == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            for by in range(bh):
+                for bx in range(bw_blocks):
+                    band = [int(v) for v in streams[comp][by][bx][ss : se + 1]]
+                    # last newly-significant index: ZRLs are only worth
+                    # emitting while one still lies ahead; after it the
+                    # zero run folds into the EOB
+                    eob_idx = max(
+                        (i for i, v in enumerate(band) if abs(v) == 1),
+                        default=-1,
+                    )
+                    run = 0
+                    pending: list[int] = []  # correction bits in coef order
+                    for i, v in enumerate(band):
+                        mag = abs(v)
+                        if mag == 0:
+                            run += 1
+                            continue
+                        while run > 15 and i <= eob_idx:
+                            zc, zl = _AC_CODES[0xF0]
+                            bw.write(zc, zl)
+                            run -= 16
+                            for b in pending:
+                                bw.write(b, 1)
+                            pending = []
+                        if mag > 1:  # already significant at Al=1
+                            pending.append(mag & 1)
+                            continue
+                        # newly significant (|v| == 1)
+                        code, length = _AC_CODES[16 * run + 1]
+                        bw.write(code, length)
+                        bw.write(1 if v > 0 else 0, 1)  # sign bit
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
+                        run = 0
+                    if run or pending:
+                        ec, el = _AC_CODES[0x00]  # EOB, then trailing corrections
+                        bw.write(ec, el)
+                        for b in pending:
+                            bw.write(b, 1)
+            out += sos([(comp + 1, 0, ta)], ss, se, 1, 0) + bw.flush()
 
     def dqt(tid: int, q: np.ndarray) -> bytes:
         return _seg(0xDB, bytes([tid]) + bytes(int(x) for x in q.flatten()[_ZZ_IDX]))
@@ -531,10 +592,9 @@ def _next_marker(b: bytes, pos: int) -> tuple[int, int, int]:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode an 8-bit 3-component JFIF payload to (h, w, 3) uint8
     RGB.  Supported: baseline sequential (SOF0) in 4:4:4 and 4:2:0,
-    and PROGRESSIVE (SOF2) 4:4:4 with DC successive approximation and
-    spectral-selection AC scans (general EOB-run semantics).  AC
-    successive-approximation refinement scans raise — the one
-    progressive feature this pure-Python subset omits.  All
+    and PROGRESSIVE (SOF2) 4:4:4 with DC successive approximation,
+    spectral-selection AC scans (general EOB-run semantics), and AC
+    successive-approximation refinement scans (T.81 G.1.2.3).  All
     quantization and Huffman tables come from the stream."""
     b = bytes(payload or b"")
     if b[:2] != b"\xff\xd8":
@@ -690,9 +750,65 @@ def _process_scan(entropy, frame, grids, coeffs, htables, scomps, ss, se, ah, al
         return
     # AC scan: progressive spectral selection, single component
     if ah > 0:
-        raise ValueError(
-            "AC successive-approximation refinement not supported"
-        )
+        # successive-approximation REFINEMENT (T.81 G.1.2.3, the
+        # libjpeg decode_mcu_AC_refine walk): run/size=1 symbols mark
+        # newly-significant coefficients (sign bit follows); every
+        # already-nonzero coefficient passed contributes one raw
+        # correction bit; an EOB closes the block and the remaining
+        # nonzero-history coefficients read their correction bits in
+        # the EOB-run walk.
+        if len(scomps) != 1:
+            raise ValueError("AC scans must be single-component")
+        ci, _, ta = scomps[0]
+        ac = htables[(1, ta)]
+        gh, gw = grids[ci]
+        p1 = 1 << al
+
+        def _correct(stream, k) -> None:
+            if br.read_bit() and (abs(int(stream[k])) & p1) == 0:
+                stream[k] += p1 if stream[k] > 0 else -p1
+
+        eobrun = 0
+        for by in range(gh):
+            for bx in range(gw):
+                stream = coeffs[ci][by][bx]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = ac.decode(br)
+                        r, s = sym >> 4, sym & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + (
+                                    br.read_bits(r) if r else 0
+                                )
+                                break
+                            # ZRL: pass 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid AC refinement symbol"
+                                )
+                            val = p1 if br.read_bit() else -p1
+                        while k <= se:
+                            if stream[k] != 0:
+                                _correct(stream, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val != 0 and k <= se:
+                            stream[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if stream[k] != 0:
+                            _correct(stream, k)
+                        k += 1
+                    eobrun -= 1
+        return
     if len(scomps) != 1:
         raise ValueError("AC scans must be single-component")
     ci, _, ta = scomps[0]

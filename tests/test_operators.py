@@ -2533,3 +2533,51 @@ def test_range_join_preserves_duplicates_no_dedup_shuffle(spark):
     ev2 = ev.select(F.col("event_id").alias("eb"), F.col("ts").alias("tsb"))
     big = asof.range_join(ev, ev2, "ts", "tsb", 0, 3600)
     assert plans.num_exchanges(big) <= 2, plans.physical_plan_str(big)
+
+
+def test_jpeg_ac_successive_approximation_refinement():
+    """The AC-SA refinement scans (Ah=1, Al=0) are exercised and
+    bit-exact: content crafted so refinement hits every structural
+    case — |coef|=1 newly-significant (sign symbols), |coef|>1
+    correction bits (odd and even), zero runs > 16 (ZRL-vs-EOB
+    folding), corrections interleaved inside runs — and random noise
+    across qualities.  Every progressive decode must equal the
+    baseline decode of the same source exactly."""
+    import numpy as np
+
+    from sparkplans.operators import jpeg
+
+    rng = np.random.default_rng(42)
+    cases = []
+    # sparse high-frequency dots: long zero runs + tiny coefficients
+    img = np.full((24, 24, 3), 128, dtype=np.uint8)
+    img[::7, ::7] = (135, 120, 131)
+    cases.append(img)
+    # strong texture: large coefficients -> many correction bits
+    yy, xx = np.mgrid[0:32, 0:40]
+    cases.append(
+        (np.stack([(xx * 37) % 256, (yy * 53) % 256, (xx * yy) % 256], axis=-1))
+        .astype(np.uint8)
+    )
+    # pure noise at several qualities
+    for q in (35, 60, 88, 95):
+        noise = rng.integers(0, 256, size=(17, 29, 3), dtype=np.uint8)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(noise, quality=q))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg(noise, quality=q, progressive=True))
+        assert (prog == base).all(), f"noise q={q}"
+    for i, img in enumerate(cases):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85, progressive=True))
+        assert (prog == base).all(), f"case {i}"
+    # the stream really contains AC refinement scans (Ah=1 SOS headers)
+    payload = jpeg.encode_jpeg(cases[0], quality=85, progressive=True)
+    sos_ah_al = []
+    i = 2
+    while i < len(payload) - 1:
+        if payload[i] == 0xFF and payload[i + 1] == 0xDA:
+            ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+            sos_ah_al.append(payload[i + 2 + ln - 1])  # (Ah<<4)|Al byte
+            i += 2 + ln
+        else:
+            i += 1
+    assert any(b >> 4 == 1 and b & 0xF == 0 for b in sos_ah_al), sos_ah_al
