@@ -47,6 +47,12 @@ SLATE = [
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# locally-generated larger SFs (examples/generate_sf.py) extend the
+# curve into the data-dominated regime; included when present
+EXTRA_SF_DIRS = [
+    os.path.join(repo, ".localdata", "sf1"),
+    os.path.join(repo, ".localdata", "sf3"),
+]
 
 
 def main() -> int:
@@ -55,12 +61,19 @@ def main() -> int:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = build_session(
-        EngineOptions(target_partitions=cpus),
+        EngineOptions(
+            target_partitions=cpus,
+            extra_conf={
+                "spark.driver.memory": os.environ.get(
+                    "SPARK_GRAFT_DRIVER_MEM", "16g"
+                )
+            },
+        ),
         app_name="sparkplans-scaling-sweep",
         master=f"local[{cpus}]",
     )
 
-    sf_dirs = [d for d in SF_DIRS if os.path.isdir(d)]
+    sf_dirs = [d for d in SF_DIRS + EXTRA_SF_DIRS if os.path.isdir(d)]
     # rows in lineitem per SF — the x-axis for the fit
     rows = {
         d: spark.read.parquet(os.path.join(d, "lineitem.parquet")).count()
