@@ -54,14 +54,21 @@ def main() -> int:
             # late heavy query (observed with iterative pagerank)
             spark.catalog.clearCache()
             spark._jvm.System.gc()
+        tq = time.time()
         try:
             r = compare(spark, con, qs[name], oracles[name], sf_dir)
             if not (r["rows_match"] and r["schema_match"] and r["hash_match"]):
                 failures.append(name)
-                print(f"FAIL {name}: {r}")
+                print(f"FAIL {name}: {r}", flush=True)
+            elif os.environ.get("SPARK_GRAFT_VERIFY_VERBOSE"):
+                print(
+                    f"ok   {name}: {time.time() - tq:.1f}s "
+                    f"[{i + 1}/{len(oracles)}]",
+                    flush=True,
+                )
         except Exception as ex:  # noqa: BLE001 — report and continue
             failures.append(name)
-            print(f"ERR  {name}: {ex!r}"[:300])
+            print(f"ERR  {name}: {ex!r}"[:300], flush=True)
     rows_only = sorted(set(qs) - set(oracles))
     for name in rows_only:
         try:
