@@ -2581,3 +2581,34 @@ def test_jpeg_ac_successive_approximation_refinement():
         else:
             i += 1
     assert any(b >> 4 == 1 and b & 0xF == 0 for b in sos_ah_al), sos_ah_al
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph has diameter 199: plain neighbor-min
+    propagation silently under-merges it within 20 rounds (the sf1
+    regression — LSH collision chains split one component into
+    several); pointer jumping converges in O(log d) rounds and the
+    whole chain must label as component 0."""
+    from sparkplans.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    labels = dedup.connected_components(pairs, max_iter=12)
+    got = {r.node: r.comp for r in labels.collect()}
+    assert len(got) == 200
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_raises_when_iters_exhausted(spark):
+    """Non-convergence must be loud, never a silently under-merged
+    labeling."""
+    import pytest as _pytest
+
+    from sparkplans.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
