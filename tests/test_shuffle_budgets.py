@@ -43,9 +43,11 @@ BUDGETS = {
     "curation_pipeline": 2,
     "date_funcs": 1,
     "datebin_5min_counts": 1,
-    # 0 = the RETURNED plan reads checkpointed labels; the iterative
-    # shuffles happen during construction (bounded: 3/round x diameter)
-    "dedup_clusters": 0,
+    # 1 = the RETURNED plan assembles labels from the converged star
+    # edge set (nodes left-join min-agg over the checkpoint); the
+    # large-star/small-star rounds shuffle during construction
+    # (bounded: 4/round x O(log^2 n) rounds, diameter-independent)
+    "dedup_clusters": 1,
     "dedup_exact": 1,
     # the operator's pairwise scan + min-agg run ONCE (assigned and
     # dup_of are both checkpointed inside it); the 9 counted exchanges
@@ -382,8 +384,8 @@ BUDGETS = {
     # literal quintile boundaries; the custkey shuffle runs once at
     # checkpoint construction
     "rfm_segments": 0,
-    # checkpointed cluster labels (0) + doc join-back + election agg
-    "cluster_representatives": 2,
+    # star-edge label assembly (1) + doc join-back + election agg
+    "cluster_representatives": 3,
     # batch-8 (mlprep): fan_out exchange + one groupBy(doc_id)
     "quality_classifier_scores": 2,
     # checkpointed 20-row mixing table: 1-row total agg + final sort
