@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from sparkplans.materialize import materialize
 from pyspark.sql.window import Window
 
-from sparkplans.functions import cosine_similarity
+from sparkplans.functions import cosine_similarity, token_count
 from sparkplans.queries import _t, _t_cpu, register
 
 
@@ -1058,4 +1058,171 @@ def q_target_encoding_loo(spark, sf_dir):
             ),
             6,
         ).alias("loo_mean"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Sequence packing (fixed-token-budget training batches)
+# ---------------------------------------------------------------------
+
+@register(
+    "ffd_sequence_packing",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           TRUE AS each_doc_once,
+           TRUE AS max_load_le_budget,
+           TRUE AS underfull_le_parts
+    FROM tok WHERE nt <= 256
+    """,
+)
+def q_ffd_sequence_packing(spark, sf_dir):
+    """FFD sequence packing for LLM pre-training (operators/packing) —
+    the bin-packing counterpart to the registry's concat-and-chunk
+    `sequence_packing`: no document straddles a boundary; instead
+    documents pack into 256-token training sequences via
+    partition-local first-fit-decreasing.  Like pagerank_invariants /
+    bpe_invariants, the bin ASSIGNMENT is algorithm-internal (hash
+    partitioning + FFD order), so the oracle pins the packing's
+    THEOREMS, which DuckDB recomputes independently: every eligible
+    doc packed exactly once (count and token mass match the eligible
+    set bit-for-bit), no sequence over budget, and first-fit's waste
+    bound — at most one <=half-full sequence per partition.
+
+    Scale shape: ONE keyed shuffle into `parts` packing groups (the
+    applyInPandas is Python-by-design — bin packing is sequential
+    decision logic, numpy-vectorized inside), one groupBy(seq_id) for
+    loads, then 1-row aggregates.  The packed frame is materialized
+    once and read by both consumers."""
+    from sparkplans.materialize import materialize
+    from sparkplans.operators.packing import pack_sequences
+
+    budget, parts = 256, 8
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("int").alias("nt")
+    )
+    packed = materialize(
+        pack_sequences(d, id_col="doc_id", size_col="nt", budget=budget, parts=parts)
+    )
+    docs_stats = packed.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+    )
+    loads = packed.groupBy("seq_id").agg(F.sum("nt").alias("load"))
+    bin_stats = loads.agg(
+        F.max("load").alias("max_load"),
+        F.sum((F.col("load") * 2 <= F.lit(budget)).cast("int")).alias("n_underfull"),
+    )
+    return docs_stats.crossJoin(F.broadcast(bin_stats)).select(
+        F.col("n_rows").cast("bigint").alias("n_docs"),
+        "total_tokens",
+        (F.col("n_rows") == F.col("n_distinct")).alias("each_doc_once"),
+        (F.col("max_load") <= F.lit(budget)).alias("max_load_le_budget"),
+        (F.col("n_underfull") <= F.lit(parts)).alias("underfull_le_parts"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Deterministic mixture sampling with epochs
+# ---------------------------------------------------------------------
+
+@register(
+    "mixture_epoch_sample",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+      FROM documents),
+    src AS (SELECT source, sum(nt) AS src_tokens FROM tok GROUP BY source),
+    mx AS (SELECT max(src_tokens) AS max_tokens FROM src),
+    rates AS (
+      SELECT source,
+             round(0.75 * least(2.0,
+                   round(sqrt(CAST(max_tokens AS DOUBLE) / src_tokens), 6)),
+                   6) AS rate
+      FROM src CROSS JOIN mx)
+    SELECT t.doc_id, t.source, CAST(t.nt AS BIGINT) AS n_tokens, r.rate,
+           CAST(floor(r.rate) AS BIGINT)
+           + CASE WHEN (t.doc_id * 2654435761) % 1000000
+                       < CAST(floor((r.rate - floor(r.rate)) * 1000000) AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM tok t JOIN rates r USING (source)
+    WHERE CAST(floor(r.rate) AS BIGINT)
+          + CASE WHEN (t.doc_id * 2654435761) % 1000000
+                      < CAST(floor((r.rate - floor(r.rate)) * 1000000) AS BIGINT)
+                 THEN 1 ELSE 0 END >= 1
+    """,
+)
+def q_mixture_epoch_sample(spark, sf_dir):
+    """Deterministic mixture sampling with epochs — the step AFTER
+    temperature_mixture_weights on the data-mixing ladder: materialize
+    the per-document sampling decision a training dataloader consumes.
+    Inverse-sqrt upsampling (the tau=0.5 temperature rate, epoch-capped
+    at 2.0 like multilingual mC4/PaLM recipes, globally thinned 0.75x):
+    rate_s = 0.75 * min(2, sqrt(max_tokens / tokens_s)); each doc gets
+    floor(rate) full epochs plus one more iff its hash bucket
+    (doc_id * 2654435761 mod 1e6 — a Knuth multiplicative hash both
+    engines compute as exact integer arithmetic) falls under the
+    fractional part.  Fully SQL-oracled — unlike random sampling, the
+    hash decision is bit-reproducible, which is exactly the property a
+    production pipeline wants for resumable/auditable mixing.
+
+    Numeric discipline: sqrt and the double division are IEEE
+    correctly-rounded (no pow, no cross-source normalizing sum), the
+    rate is rounded to 6 dp once, and the epoch threshold uses
+    floor() into exact integer comparison — no engine-divergent tie.
+
+    Scale shape: one groupBy(source) over per-doc counts (map-side
+    combined) + a 1-row max — the 20-row rate table broadcasts back;
+    the selection is a pure codegen projection over the corpus scan.
+    Two corpus scans total (count pass + select pass), no corpus
+    shuffle, no window."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("nt")
+    )
+    per_src = (
+        d.groupBy("source")
+        .agg(F.sum("nt").alias("src_tokens"))
+        # 20-row mixing state feeds the max AND the rate table;
+        # materialize once so the corpus is counted once, not twice
+        .localCheckpoint(eager=True)
+    )
+    mx = per_src.agg(F.max("src_tokens").alias("max_tokens"))
+    rates = per_src.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.round(
+            F.lit(0.75)
+            * F.least(
+                F.lit(2.0),
+                F.round(
+                    F.sqrt(
+                        F.col("max_tokens").cast("double") / F.col("src_tokens")
+                    ),
+                    6,
+                ),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000000))
+    frac_ppm = F.floor((F.col("rate") - F.floor("rate")) * F.lit(1000000))
+    n_copies = (
+        F.floor("rate").cast("bigint")
+        + (bucket < frac_ppm).cast("bigint")
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("nt").cast("bigint").alias("n_tokens"),
+            "rate",
+            n_copies.alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 1)
     )

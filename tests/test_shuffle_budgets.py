@@ -64,6 +64,14 @@ BUDGETS = {
     "embedding_norms": 0,
     "except_op": 1,
     "exists_subquery": 0,
+    # packed frame is materialized (the pack shuffle runs once inside
+    # it); the 4 counted are the distinct-agg expansion (2) + the
+    # groupBy(seq_id) loads + the 1-row bin_stats agg
+    "ffd_sequence_packing": 4,
+    # groupBy(source) runs once behind the 20-row checkpoint; the one
+    # counted exchange is the 1-row max over it — selection itself is
+    # a broadcast-join projection over the scan, zero corpus shuffles
+    "mixture_epoch_sample": 1,
     "not_exists_subquery": 0,
     "heavy_hitters_tokens": 2,
     "higher_order_funcs": 0,
