@@ -71,6 +71,8 @@ HEADLINE = [
     "equi_depth_bins",
     "target_encoding_loo",
     "video_shot_boundaries",
+    "ffd_sequence_packing",
+    "mixture_epoch_sample",
 ]
 
 

@@ -24,8 +24,8 @@ Spark-first version:
   globally unique without coordination: ``part * 2^40 + local``.
 
 Oversized docs (size > budget) are EXCLUDED from the output — route
-them through truncation/splitting first; silently clipping here would
-corrupt token accounting.
+them through :func:`split_doc_chunks` first; silently clipping here
+would corrupt token accounting.
 
 Beyond the reference's operator inventory (it has no training-data
 operators); first-class per the build brief's LLM-pipeline mandate.
@@ -39,6 +39,46 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 _SEQ_STRIDE = 1 << 40
+
+
+def split_doc_chunks(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    budget: int,
+) -> DataFrame:
+    """Split each document's whitespace-token stream into consecutive
+    chunks of at most `budget` tokens — the truncation/split stage
+    that feeds oversized documents into :func:`pack_sequences`.
+
+    Entirely JVM-side (split → explode(sequence) → slice → join): a
+    pure pipelined projection+generate with ZERO shuffles at any
+    scale, and exactly SQL-expressible, so the registry query built on
+    it is hash-oracled rather than invariant-oracled.
+
+    Returns one row per chunk: the id column, ``chunk_idx`` (0-based,
+    int), ``n_chunk_tokens`` (long), and ``chunk_text`` (the chunk
+    re-joined with single spaces — token-exact, whitespace-normalized
+    like every tokenizer consumer downstream expects).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(F.col(id_col), toks.alias("_toks"))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(budget)).cast("int")
+    c = t.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice("_toks", F.col("chunk_idx") * budget + 1, F.lit(budget))
+    return c.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
 
 
 def pack_sequences(

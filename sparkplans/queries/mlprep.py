@@ -1226,3 +1226,50 @@ def q_mixture_epoch_sample(spark, sf_dir):
         )
         .filter(F.col("n_copies") >= 1)
     )
+
+
+# ---------------------------------------------------------------------
+# Oversized-document splitting (the stage feeding FFD packing)
+# ---------------------------------------------------------------------
+
+@register(
+    "oversized_doc_split",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents),
+    c AS (
+      SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+             list_slice(arr, u.i * 16 + 1,
+                        least((u.i + 1) * 16, len(arr))) AS chunk
+      FROM d, unnest(range(0, CAST(ceil(len(arr) / 16.0) AS BIGINT))) AS u(i))
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def q_oversized_doc_split(spark, sf_dir):
+    """Oversized-document splitting (operators/packing
+    split_doc_chunks): every document's token stream chopped into
+    consecutive 16-token chunks — the stage that feeds docs larger
+    than the context budget into FFD packing.  Unlike the packing
+    itself this is exactly SQL-expressible, so the oracle is a full
+    content hash: each chunk's md5 (computed over the re-joined
+    tokens by BOTH engines) must agree bit-for-bit, pinning the
+    slicing arithmetic, boundary handling, and whitespace
+    normalization.
+
+    Scale shape: split -> explode(sequence) -> slice -> md5, a pure
+    pipelined projection+generate — ZERO shuffles at any scale, stays
+    entirely inside whole-stage codegen."""
+    from sparkplans.operators.packing import split_doc_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = split_doc_chunks(d, id_col="doc_id", text_col="text", budget=16)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

@@ -121,3 +121,82 @@ def test_bad_args(spark):
         pack_sequences(df, id_col="doc_id", size_col="nt", budget=0)
     with pytest.raises(ValueError):
         pack_sequences(df, id_col="doc_id", size_col="nt", budget=10, parts=0)
+
+
+# ---------------------------------------------------------------------
+# split_doc_chunks
+# ---------------------------------------------------------------------
+
+
+def test_split_chunks_boundaries(spark):
+    """Exact-budget doc -> 1 chunk; budget+1 -> 2 (second has 1 token);
+    chunk text round-trips whitespace-normalized."""
+    from sparkplans.operators.packing import split_doc_chunks
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # 4 tokens == budget -> 1 chunk
+            (1, "a b c d e"),        # 5 tokens -> chunks of 4 + 1
+            (2, "  x   y  "),        # messy whitespace -> "x y"
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in split_doc_chunks(
+            df, id_col="doc_id", text_col="text", budget=4
+        ).collect()
+    }
+    assert out == {
+        (0, 0): (4, "a b c d"),
+        (1, 0): (4, "a b c d"),
+        (1, 1): (1, "e"),
+        (2, 0): (2, "x y"),
+    }
+
+
+def test_split_chunks_reassemble(spark):
+    """Concatenating a doc's chunks in chunk_idx order reproduces the
+    whitespace-normalized document; token counts sum exactly."""
+    from sparkplans.operators.packing import split_doc_chunks
+    from sparkplans.queries import _t
+
+    d = _t(spark, "/root/testdata/sf0.001", "documents")
+    chunks = split_doc_chunks(d, id_col="doc_id", text_col="text", budget=16)
+    re = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("rebuilt"),
+            F.sum("n_chunk_tokens").alias("nt"),
+        )
+    )
+    orig = d.select(
+        "doc_id",
+        F.array_join(F.split(F.trim("text"), r"\s+"), " ").alias("norm"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("nt0"),
+    )
+    bad = (
+        re.join(orig, "doc_id")
+        .filter((F.col("rebuilt") != F.col("norm")) | (F.col("nt") != F.col("nt0")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_split_chunks_zero_shuffle(spark):
+    from sparkplans.operators.packing import split_doc_chunks
+    from sparkplans.plans import num_exchanges
+    from sparkplans.queries import _t
+
+    d = _t(spark, "/root/testdata/sf0.001", "documents")
+    assert (
+        num_exchanges(
+            split_doc_chunks(d, id_col="doc_id", text_col="text", budget=16)
+        )
+        == 0
+    )

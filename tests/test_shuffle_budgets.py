@@ -219,6 +219,9 @@ BUDGETS = {
     "hll_daily_users": 3,
     # exact multi-column distinct => Expand + two single-partition
     # state merges; approx operator mode is the scale path
+    # split -> explode(sequence) -> slice -> md5: pure pipelined
+    # projection+generate, whole-stage codegen end to end
+    "oversized_doc_split": 0,
     "orders_profile": 2,
     # one Expand+countDistinct pass for the column-local checks (2
     # single-partition state hops), one dedup of the FK reference
