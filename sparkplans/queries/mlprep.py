@@ -1273,3 +1273,53 @@ def q_oversized_doc_split(spark, sf_dir):
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------
+# Deterministic training-order shuffle (sharded epoch ordering)
+# ---------------------------------------------------------------------
+
+@register(
+    "training_shard_order",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + 17) % 1000003 AS hv
+      FROM documents)
+    SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_training_shard_order(spark, sf_dir):
+    """Deterministic epoch shuffle — the last pipeline stage before a
+    training run: every document gets a pseudo-random but
+    bit-reproducible position inside one of 8 shards (Knuth
+    multiplicative hash with an epoch salt — change the additive salt
+    to reshuffle between epochs, keep it to resume a crashed run at
+    the exact same order).  Data loaders then stream shards
+    independently; reproducibility of sample order is what makes loss
+    curves comparable across restarts.
+
+    Scale shape: the hash is a scan-side projection; the only state
+    is a row_number window PARTITIONED BY SHARD (never an
+    unpartitioned global window — shard count scales with the
+    cluster, each shard sorts ~N/shards rows in its own partition) —
+    one hash shuffle on the shard key, one in-partition sort, zero
+    driver work.  Exactly SQL-oracled: hash, shard and position all
+    reproduce bit-for-bit on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    hv = (F.col("doc_id") * F.lit(2654435761) + F.lit(17)) % F.lit(1000003)
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        d.select("doc_id", hv.alias("hv"))
+        .withColumn("shard", (F.col("hv") % 8).cast("int"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "hv",
+        )
+        .drop("hv")
+    )

@@ -146,6 +146,9 @@ BUDGETS = {
     "text_stats": 1,
     "top_suppliers_per_nation": 2,
     "topk": 0,
+    # one hash shuffle onto the shard key; row_number sorts inside
+    # each shard's partition (never a global window)
+    "training_shard_order": 1,
     "tpch_q10_returned_items": 1,
     "tpch_q11_important_value": 3,
     "tpch_q12_priority_shipping": 2,
