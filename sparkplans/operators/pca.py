@@ -1,0 +1,171 @@
+"""PCA whitening over an embedding column — the classic pre-step for
+embedding dedup / clustering / ANN (SemDeDup whitens before cosine;
+PQ codebooks train better on decorrelated axes).
+
+Reference scope: the reference engine (NGA-TRAN/datafusion-optimal-
+plans) has no linear-algebra operators — this belongs to the
+beyond-reference training-data-pipeline family, same tier as the
+dedup/ANN operators it feeds.
+
+Spark-first decomposition (the only sane one at 100 TB):
+
+1. **fit** — one distributed pass accumulates per-Arrow-batch moment
+   partials (count, sum vector, flattened Gram matrix) via
+   ``mapInPandas`` (numpy BLAS per batch, no per-row Python); the
+   partials are combined **in Spark** by exploding to (pos, val) and
+   summing — a shuffle of ``num_partials x (d + d^2 + 1)`` skinny
+   rows with map-side combine, so the driver collects exactly
+   ``d^2 + d + 1`` doubles (33 KB at d=64) no matter how many
+   executors produced partials.
+2. **eigendecomposition on the driver** — the covariance is d x d
+   model state (like the IVF centroids / PQ codebooks in
+   similarity.py); ``numpy.linalg.eigh`` on a 64 x 64 symmetric
+   matrix is microseconds.  Eigenvector signs are canonicalized
+   (largest-|component| entry made positive) so the model is
+   deterministic under partial-sum reordering.
+3. **transform** — mean/projection broadcast inside a scalar
+   ``pandas_udf``; each Arrow batch is one ``(batch x d) @ (d x k)``
+   matmul.  Zero shuffle: projection is a narrow map.
+
+The whitened output has (population) mean 0, variance 1 per
+component, and zero cross-component covariance — the invariant grid
+``pca_whitening`` checks against the all-true oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),  # sum vector, len d
+        StructField("m", ArrayType(DoubleType())),  # gram matrix, len d*d
+    ]
+)
+
+
+def moment_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One row per Arrow batch: (n, sum_x, sum_x_outer_x flattened).
+    All numpy; rows out are O(d^2) model-state sized."""
+
+    def acc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0)],
+                    "m": [(x.T @ x).ravel()],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(acc, _PARTIAL_SCHEMA)
+
+
+def _combine_partials(partials: DataFrame, d: int) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Element-wise sum of the partials IN SPARK (explode -> groupBy
+    pos -> sum; map-side partial agg keeps the shuffle at
+    num_partitions x (d^2+d) rows), then collect d^2+d+1 doubles."""
+    summed = (
+        partials.select(
+            F.posexplode(
+                F.concat(F.array(F.col("n").cast("double")), "s", "m")
+            ).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+    )
+    flat = np.zeros(1 + d + d * d)
+    for pos, val in summed.collect():
+        flat[pos] = val
+    return int(flat[0]), flat[1 : 1 + d], flat[1 + d :].reshape(d, d)
+
+
+def fit_pca(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    eps: float = 1e-12,
+) -> dict:
+    """Fit a PCA-whitening model: returns dict with ``mean`` (d,),
+    ``components`` (d, k) already scaled by 1/sqrt(eigval) (so
+    ``(x - mean) @ components`` IS the whitened vector), and
+    ``eigvals`` (k,) descending."""
+    d = len(df.select(vec_col).first()[0])
+    n, s, gram = _combine_partials(moment_partials(df, vec_col), d)
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:k]
+    eigval, eigvec = eigval[order], eigvec[:, order]
+    # canonical sign: the largest-|.| entry of each eigenvector > 0
+    signs = np.sign(eigvec[np.abs(eigvec).argmax(axis=0), np.arange(len(order))])
+    signs[signs == 0] = 1.0
+    eigvec = eigvec * signs
+    components = eigvec / np.sqrt(np.maximum(eigval, eps))
+    return {"mean": mean, "components": components, "eigvals": eigval, "n": n}
+
+
+def transform_pca(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "whitened",
+) -> DataFrame:
+    """Project + whiten: broadcastable model state inside a scalar
+    pandas_udf; one BLAS matmul per Arrow batch, zero shuffle."""
+    mean, comp = model["mean"], model["components"]
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def project(col: pd.Series) -> pd.Series:
+        x = np.stack(col.to_numpy()).astype(np.float64)
+        y = (x - mean) @ comp
+        return pd.Series(list(y))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+def whitened_moment_check(
+    df: DataFrame,
+    k: int,
+    out_col: str = "whitened",
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Per-component invariant grid over the whitened output:
+    ``mean_ok`` (population mean ~ 0), ``var_ok`` (population
+    variance ~ 1), ``ortho_ok`` (max |cross-covariance| with every
+    other component ~ 0).  Recomputed with the same distributed
+    moment machinery the fit used — the check is independent of the
+    driver-side eigh."""
+    n, s, gram = _combine_partials(moment_partials(df, out_col), k)
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    off = np.abs(cov - np.diag(np.diag(cov))).max(axis=1)
+    rows = [
+        (
+            int(i),
+            bool(abs(mean[i]) < tol),
+            bool(abs(cov[i, i] - 1.0) < max(tol, 1e-4)),
+            bool(off[i] < max(tol, 1e-4)),
+        )
+        for i in range(k)
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "comp int, mean_ok boolean, var_ok boolean, ortho_ok boolean"
+    ).orderBy("comp")

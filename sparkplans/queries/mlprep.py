@@ -1323,3 +1323,120 @@ def q_training_shard_order(spark, sf_dir):
         )
         .drop("hv")
     )
+
+
+# ---------------------------------------------------------------------
+# PCA whitening over the embedding corpus (operators/pca.py)
+# ---------------------------------------------------------------------
+
+@register(
+    "pca_whitening",
+    "SELECT CAST(range AS INT) AS comp, TRUE AS mean_ok, TRUE AS var_ok, "
+    "TRUE AS ortho_ok FROM range(16) ORDER BY comp",
+)
+def q_pca_whitening(spark, sf_dir):
+    """PCA-whitened embeddings (operators/pca.py): distributed moment
+    pass -> 64x64 driver eigh (model state, IVF-centroid sized) ->
+    broadcast matmul projection.  Beyond the reference's scope (it has
+    no linear algebra); the standard pre-step for SemDeDup / PQ.
+
+    Driver contract (the semantic_dedup recipe): the eigenbasis is
+    driver-fit model state no SQL oracle can re-derive, so the result
+    is a per-component invariant grid vs the all-true oracle —
+    population mean ~ 0, variance ~ 1, zero cross-covariance, each
+    re-measured by an independent distributed moment pass over the
+    whitened output.  Exact numpy parity lives in tests/test_pca.py."""
+    from sparkplans.operators import pca
+
+    k = 16
+    e = _t_cpu(spark, sf_dir, "embeddings")
+    model = pca.fit_pca(e, k=k)
+    white = pca.transform_pca(e, model)
+    return pca.whitened_moment_check(white, k=k)
+
+
+# ---------------------------------------------------------------------
+# Feature drift: population stability index between event cohorts
+# ---------------------------------------------------------------------
+
+@register(
+    "feature_drift_psi",
+    """
+    WITH b AS (
+      SELECT least(floor((value - mn) / ((mx - mn) / 10 + 1e-12)), 9) AS bin,
+             event_type
+      FROM events, (SELECT min(value) AS mn, max(value) AS mx
+                    FROM events WHERE event_type IN ('view', 'purchase'))
+      WHERE event_type IN ('view', 'purchase')),
+    c AS (
+      SELECT CAST(bin AS INT) AS bin,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cnt_a,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cnt_b
+      FROM b GROUP BY 1),
+    t AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM c)
+    SELECT bin, cnt_a, cnt_b,
+           CAST(round(((cnt_b + 0.5) / (tot_b + 5.0)
+                       - (cnt_a + 0.5) / (tot_a + 5.0))
+                      * ln(((cnt_b + 0.5) / (tot_b + 5.0))
+                           / ((cnt_a + 0.5) / (tot_a + 5.0))), 9)
+                AS DECIMAL(38, 12)) AS psi_term
+    FROM c, t ORDER BY bin
+    """,
+)
+def q_feature_drift_psi(spark, sf_dir):
+    """Population Stability Index between the `view` (reference) and
+    `purchase` (current) value distributions — the standard
+    feature-drift gate a training pipeline runs before trusting a new
+    data dump.  Fixed-width deciles over the pooled min/max (both
+    engines evaluate the identical double-precision expression, so
+    binning reproduces bit-for-bit), Laplace-smoothed proportions so
+    empty bins stay finite, one ln() per BIN (10 total, never per
+    row), rounded to 9 dp then DECIMAL — the bigram-LM numeric
+    discipline.
+
+    Scale shape: min/max is a 1-row agg broadcast back (never a
+    driver round-trip), counts are ONE conditional-sum groupBy on the
+    bin key (map-side combine -> 10-row shuffle), totals are a second
+    1-row broadcast; the PSI terms are pure projection.  PSI itself =
+    sum(psi_term) over 10 rows — left to the consumer so every
+    per-bin contribution stays visible (drilling into WHICH bin
+    drifted is the actual use)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    mm = e.groupBy().agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(10.0) + F.lit(1e-12)
+    binned = e.join(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / width), F.lit(9)
+        ).cast("int").alias("bin"),
+        "event_type",
+    )
+    # 10-row bin table re-read twice (totals + final projection):
+    # materialize so the events scan happens exactly once — without
+    # this the totals branch re-scans the corpus under the join.
+    counts = materialize(
+        binned.groupBy("bin").agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    tot = counts.groupBy().agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    pa = (F.col("cnt_a") + 0.5) / (F.col("tot_a") + 5.0)
+    pb = (F.col("cnt_b") + 0.5) / (F.col("tot_b") + 5.0)
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "cnt_a",
+            "cnt_b",
+            F.round((pb - pa) * F.log(pb / pa), 9)
+            .cast("decimal(38,12)")
+            .alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

@@ -225,6 +225,13 @@ BUDGETS = {
     # split -> explode(sequence) -> slice -> md5: pure pipelined
     # projection+generate, whole-stage codegen end to end
     "oversized_doc_split": 0,
+    # returned plan: 16-row driver-local invariant grid + its sort;
+    # the moment passes shuffle during construction (2 skinny
+    # explode-sum exchanges, d^2-row payloads)
+    "pca_whitening": 1,
+    # bin-count agg (materialized 10-row table) + final bin sort; the
+    # totals/min-max branches are 1-row broadcasts
+    "feature_drift_psi": 2,
     "orders_profile": 2,
     # one Expand+countDistinct pass for the column-local checks (2
     # single-partition state hops), one dedup of the FK reference
