@@ -39,8 +39,18 @@ def main() -> int:
         )
         .getOrCreate()
     )
+    import threading
+
     import __spark_entry__ as E
-    from oracle_harness import compare, duck_connection
+    from oracle_harness import duck_connection, duck_signature, spark_signature
+
+    # Optional per-query ceiling on the DuckDB-side oracle (seconds).
+    # Some oracles are deliberately naive (recursive CTEs, all-pairs
+    # re-derivations) and blow up super-linearly at sf>=1 even though
+    # the engine side stays sub-linear; a timeout records them as
+    # 'oracle-timeout' (engine result produced fine, oracle infeasible
+    # at this scale) instead of hanging the sweep for hours.
+    oracle_timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0"))
 
     assert E.entry(spark).count() > 0, "entry() smoke check failed"
     qs, oracles = E.queries(), E.oracle_sql()
@@ -56,14 +66,42 @@ def main() -> int:
             spark._jvm.System.gc()
         tq = time.time()
         try:
-            r = compare(spark, con, qs[name], oracles[name], sf_dir)
+            s_sig = spark_signature(qs[name](spark, sf_dir))
+            ts = time.time()
+            timer = None
+            if oracle_timeout > 0:
+                timer = threading.Timer(oracle_timeout, con.interrupt)
+                timer.start()
+            try:
+                d_sig = duck_signature(con, oracles[name])
+            except Exception as ex:  # noqa: BLE001
+                if timer is not None and time.time() - ts >= oracle_timeout:
+                    print(
+                        f"oracle-timeout {name}: spark ok "
+                        f"({s_sig[0]} rows, {ts - tq:.1f}s); DuckDB "
+                        f"oracle interrupted after {oracle_timeout:.0f}s "
+                        f"[{i + 1}/{len(oracles)}]",
+                        flush=True,
+                    )
+                    continue
+                raise ex
+            finally:
+                if timer is not None:
+                    timer.cancel()
+            r = {
+                "rows_match": s_sig[0] == d_sig[0],
+                "schema_match": s_sig[1] == d_sig[1],
+                "hash_match": s_sig[2] == d_sig[2],
+                "spark": s_sig,
+                "duck": d_sig,
+            }
             if not (r["rows_match"] and r["schema_match"] and r["hash_match"]):
                 failures.append(name)
                 print(f"FAIL {name}: {r}", flush=True)
             elif os.environ.get("SPARK_GRAFT_VERIFY_VERBOSE"):
                 print(
                     f"ok   {name}: {time.time() - tq:.1f}s "
-                    f"[{i + 1}/{len(oracles)}]",
+                    f"(spark {ts - tq:.1f}s) [{i + 1}/{len(oracles)}]",
                     flush=True,
                 )
         except Exception as ex:  # noqa: BLE001 — report and continue

@@ -1440,3 +1440,67 @@ def q_feature_drift_psi(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------
+# Leakage-safe train/val/test split (group-aware assignment)
+# ---------------------------------------------------------------------
+
+@register(
+    "leakage_safe_split",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             md5(text) AS fp,
+             ('0x' || substr(md5(md5(text) || ':split'), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents),
+    a AS (
+      SELECT doc_id, fp,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g)
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT fp) AS n_groups
+    FROM a GROUP BY split ORDER BY split
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Train/val/test assignment that can never leak a duplicate
+    across splits: the split is a deterministic hash of the
+    document's CONTENT fingerprint (md5 of text), not of its id — so
+    verbatim duplicates (and, composed with the dedup family's
+    cluster representatives, near-duplicates) always land in the same
+    split.  The textbook eval-contamination gate that id-hash splits
+    silently fail.
+
+    Scale shape: fingerprint + bucket are pure scan-side projections
+    (zero shuffle, whole-stage codegen md5); the report is ONE
+    groupBy on the 3-value split key — Spark's distinct-agg expansion
+    makes it two exchanges of (split, fp) pre-aggregated rows.  The
+    salt (':split') decouples this hash from every other md5-derived
+    decision in the pipeline (shard order, sampling) so split
+    membership is independent of them.  Exactly SQL-oracled: md5,
+    bucket, split and both counts reproduce bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5("text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(fp, F.lit(":split"))), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        d.select(
+            fp.alias("fp"),
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+        )
+    )

@@ -232,6 +232,9 @@ BUDGETS = {
     # bin-count agg (materialized 10-row table) + final bin sort; the
     # totals/min-max branches are 1-row broadcasts
     "feature_drift_psi": 2,
+    # Spark's distinct-agg expansion on (split, fp): two exchanges of
+    # pre-aggregated rows; fingerprint+bucket are scan-side projection
+    "leakage_safe_split": 2,
     "orders_profile": 2,
     # one Expand+countDistinct pass for the column-local checks (2
     # single-partition state hops), one dedup of the FK reference
