@@ -73,6 +73,9 @@ HEADLINE = [
     "video_shot_boundaries",
     "ffd_sequence_packing",
     "mixture_epoch_sample",
+    "pca_whitening",
+    "feature_drift_psi",
+    "leakage_safe_split",
 ]
 
 

@@ -40,6 +40,14 @@ SCHEMA = {
     "supplier": (["s_suppkey", "s_nationkey"], ["s_name"], []),
 }
 
+UNIQUE_KEY = {
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "supplier": "s_suppkey",
+}
+
 JOINS = [
     ("customer", "nation", "c_nationkey", "n_nationkey"),
     ("nation", "region", "n_regionkey", "r_regionkey"),
@@ -140,7 +148,65 @@ class Gen:
 
     def query(self):
         r = self.r
-        shape = r.choice(["scan", "agg", "agg", "join", "join_agg", "setop", "subq"])
+        shape = r.choice(
+            [
+                "scan", "agg", "agg", "join", "join_agg", "setop", "subq",
+                "window", "rollup", "order_limit",
+            ]
+        )
+        if shape == "window":
+            # deterministic: every ORDER BY is on the table's unique key
+            t = r.choice(list(SCHEMA))
+            i, s, d = SCHEMA[t]
+            uk = UNIQUE_KEY[t]
+            g = r.choice(s + [c for c in i if c != uk])
+            win = f"PARTITION BY {g} ORDER BY {uk}"
+            fns = r.sample(
+                [
+                    f"row_number() OVER ({win})",
+                    f"rank() OVER ({win})",
+                    f"sum({self.int_expr(i)}) OVER ({win} ROWS BETWEEN "
+                    f"UNBOUNDED PRECEDING AND CURRENT ROW)",
+                    f"lag({r.choice(i)}, 1) OVER ({win})",
+                    f"count(*) OVER ({win})",
+                ],
+                2,
+            )
+            items = ", ".join(f"{f} AS w{k}" for k, f in enumerate(fns))
+            return (
+                f"SELECT {uk} AS k0, {g} AS g0, {items} FROM {t} "
+                f"WHERE {self.pred(i, s, d)}"
+            )
+        if shape == "rollup":
+            t = r.choice(list(SCHEMA))
+            i, s, d = SCHEMA[t]
+            a = r.choice(s or i)
+            b = r.choice([c for c in i if c != a] or i)
+            op = r.choice(["ROLLUP", "CUBE", "GROUPING SETS"])
+            spec = f"({a}, {b})" if op != "GROUPING SETS" else f"(({a}, {b}), ({a}), ())"
+            aggs = ", ".join(
+                f"{x} AS a{k}" for k, x in enumerate(self.agg_items(i))
+            )
+            # the OR-tautology keeps the filtered input non-empty:
+            # Spark's expand-based ROLLUP/CUBE/GROUPING SETS emits NO
+            # grand-total row over empty input where the standard (and
+            # DuckDB/PostgreSQL) emit one — pinned as a documented
+            # divergence in test_empty_rollup_divergence below.
+            return (
+                f"SELECT {a} AS g0, {b} AS g1, {aggs} FROM {t} "
+                f"WHERE ({self.pred(i, s, d)} OR {UNIQUE_KEY[t]} % 2 = 0) "
+                f"GROUP BY {op} {spec}"
+            )
+        if shape == "order_limit":
+            t = r.choice(list(SCHEMA))
+            i, s, d = SCHEMA[t]
+            uk = UNIQUE_KEY[t]
+            direction = r.choice(["ASC", "DESC"])
+            return (
+                f"SELECT {uk} AS k0, {self.int_expr(i)} AS c0 FROM {t} "
+                f"WHERE {self.pred(i, s, d)} "
+                f"ORDER BY {uk} {direction} LIMIT {r.randint(1, 40)}"
+            )
         if shape == "scan":
             t = r.choice(list(SCHEMA))
             i, s, d = SCHEMA[t]
@@ -220,7 +286,7 @@ def duck():
     return duck_connection(SF_DIR)
 
 
-SEEDS = list(range(120))
+SEEDS = list(range(200))
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -235,3 +301,22 @@ def test_differential(spark, duck, seed):
         [x[0] for x in cur.description], cur.fetchall()
     )
     assert s_sig == d_sig, f"seed {seed} mismatch:\n{sql}\nspark={s_sig}\nduck={d_sig}"
+
+
+def test_empty_rollup_divergence(spark, duck):
+    """Documented engine divergence the fuzzer surfaced: per the SQL
+    standard, ``GROUP BY ROLLUP(...)`` / ``GROUPING SETS`` including
+    the empty set ``()`` is equivalent to (among others) a global
+    aggregate, which returns exactly one row even over empty input —
+    DuckDB and PostgreSQL emit the grand-total row (count 0);  Spark's
+    expand-then-aggregate implementation emits NOTHING (zero input
+    rows expand to zero rows).  Pinned so a future Spark version
+    changing this (or a regression in our rollup operators' reliance
+    on it) is caught immediately."""
+    _spark_views(spark)
+    sql = (
+        "SELECT r_name AS g0, count(*) AS a0 FROM region "
+        "WHERE r_name LIKE 'ZZZ%' GROUP BY ROLLUP(r_name)"
+    )
+    assert spark.sql(sql).collect() == []
+    assert duck.execute(sql).fetchall() == [(None, 0)]
