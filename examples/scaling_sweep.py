@@ -44,6 +44,8 @@ SLATE = [
     "lsh_candidates",         # MinHash banding self-join
     "knn_brute_force",        # ANN brute-force top-k over embeddings
     "heavy_hitters_tokens",   # explode + agg + TakeOrdered
+    "pca_whitening",          # distributed moments + eigh + matmul UDF
+    "leakage_safe_split",     # content-hash split, distinct-agg groupBy
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
