@@ -2456,48 +2456,6 @@ _shared_sql(
     """,
 )
 
-_shared_sql(
-    "lateral_topk_per_group",
-    # correlated LATERAL derived table (both engines support the
-    # standard syntax): per-nation customer stats computed by a
-    # subquery that references the outer row — the decorrelated plan
-    # is a join+agg, which is exactly what Catalyst rewrites it to.
-    """
-    SELECT n.n_name, s.n_cust, s.max_bal
-    FROM nation n,
-    LATERAL (
-      SELECT count(*) AS n_cust,
-             CAST(max(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
-      FROM customer c WHERE c.c_nationkey = n.n_nationkey
-    ) s
-    WHERE s.n_cust > 0
-    """,
-)
-
-
-@register(
-    "pivot_status_counts",
-    """
-    SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q_pivot_status_counts(spark, sf_dir):
-    """PIVOT — long-to-wide reshaping via the DataFrame pivot API
-    with the value list pinned (no extra distinct-discovery job; one
-    groupBy exchange, map-side partial agg).  Oracle is the universal
-    CASE-sum rewrite, which is also the plan Spark compiles a pinned
-    pivot to."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)))
-        .na.fill(0)
-    )
 
 
 # =====================================================================

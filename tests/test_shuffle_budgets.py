@@ -237,11 +237,6 @@ BUDGETS = {
     "leakage_safe_split": 2,
     # dimension-sized UnionLoop recursion + final min-agg
     "recursive_cte_reach": 1,
-    # decorrelated to agg-on-customer (1) + result agg join (1)
-    "lateral_topk_per_group": 2,
-    # pinned-value pivot = one groupBy agg; second exchange is the
-    # na.fill projection boundary over the agg
-    "pivot_status_counts": 2,
     "orders_profile": 2,
     # one Expand+countDistinct pass for the column-local checks (2
     # single-partition state hops), one dedup of the FK reference
