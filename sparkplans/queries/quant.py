@@ -1054,16 +1054,32 @@ def q_gap_fill_linear(spark, sf_dir):
     .0000005 ties (99 rows at sf0.1) where Spark rounds half-up but
     DuckDB rounds half-even — floor of an identical double is
     tie-free.  Grid endpoints are observed by construction, so
-    interior gaps always have both neighbors."""
+    interior gaps always have both neighbors.
+
+    Explode parallelism: the per-user range table is tiny (one row per
+    user), so AQE coalesces it to ~1 shuffle partition — and the
+    users×hours grid (31M rows at sf3) would then materialize inside a
+    SINGLE task (observed: 438 s at sf3).  Both the range table and the
+    hourly aggregate are therefore explicitly hash-repartitioned on
+    user_id with a FIXED partition count (explicit N disables AQE
+    coalescing): the explode fans out in parallel, the grid⋈hourly join
+    is co-partitioned (HashPartitioning(user_id) on both sides
+    satisfies the join's clustering), and the user-keyed windows reuse
+    the same partitioning — the big grid itself is never shuffled."""
     e = _t(spark, sf_dir, "events")
-    b = e.groupBy(
-        "user_id",
-        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("*")
-        ).alias("avg_v")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    b = (
+        e.groupBy(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_v")
+        )
+        .repartition(n_part, "user_id")
     )
     r = b.groupBy("user_id").agg(
         F.min("hr").alias("mn"), F.max("hr").alias("mx")

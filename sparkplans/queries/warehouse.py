@@ -186,16 +186,31 @@ def q_gap_fill_locf(spark, sf_dir):
     data BEFORE densification, so grid size is users x hours, never
     raw-event-count — the property that keeps this viable at 100 TB.
     The first grid hour always holds an observation, so no leading
-    nulls."""
+    nulls.
+
+    Explode parallelism: the per-user range table is one row per user,
+    so AQE would coalesce it to ~1 shuffle partition and the
+    users×hours grid (31M rows at sf3) would materialize inside a
+    single task (observed: 349 s at sf3).  The hourly aggregate is
+    explicitly hash-repartitioned on user_id with a FIXED count
+    (explicit N disables AQE coalescing); the range table inherits that
+    partitioning shuffle-free, the explode fans out in parallel, the
+    grid⋈hourly join is co-partitioned, and the LOCF window reuses the
+    same partitioning — the big grid itself is never shuffled."""
     e = _t(spark, sf_dir, "events")
-    b = e.groupBy(
-        "user_id",
-        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("*")
-        ).alias("avg_v")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    b = (
+        e.groupBy(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_v")
+        )
+        .repartition(n_part, "user_id")
     )
     r = b.groupBy("user_id").agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
     grid = r.select(

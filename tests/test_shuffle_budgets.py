@@ -190,8 +190,13 @@ BUDGETS = {
     "listagg_customers": 1,
     # fan_out + (doc,tok) counts + per-doc rollup
     "token_entropy": 3,
-    # hourly pre-agg + user-keyed fill window (grid join reuses both)
-    "gap_fill_locf": 2,
+    # 2 per branch: hourly pre-agg + explicit fixed-N user_id
+    # repartition on BOTH the range branch and the hourly branch (the
+    # explicit repartition keeps AQE from coalescing the tiny per-user
+    # agg to 1 partition, which serialized the 31M-row sf3 grid
+    # explode into a single task: 349s -> 2.2s).  Both exchanges carry
+    # only pre-aggregated rows; the exploded grid is never shuffled.
+    "gap_fill_locf": 4,
     # fan_out + per-doc wide agg, subtree repeated under the one-row
     # stats rollup (2x2) + the rollup itself; AQE ReusedExchange
     # collapses the repeat at runtime => 3 physical stages
@@ -347,9 +352,10 @@ BUDGETS = {
     # contingency agg checkpointed (corpus aggregates once); marginal
     # rollups + joins run on types×7 rows
     "event_dow_chisq": 3,
-    # hourly pre-agg + one user-keyed shuffle shared by both IGNORE
-    # NULLS windows (same shape as gap_fill_locf)
-    "gap_fill_linear": 2,
+    # same shape as gap_fill_locf (see above): 2 per branch, fixed-N
+    # user_id repartitions keep the sf3 grid explode parallel
+    # (438s -> 1.5s); both IGNORE NULLS windows share one partitioning
+    "gap_fill_linear": 4,
     # training iterations run at call time (word-count shuffle + tiny
     # vocab aggs); the returned merge table is driver model state
     "bpe_merge_table": 0,
