@@ -52,9 +52,40 @@ def main() -> int:
     # at this scale) instead of hanging the sweep for hours.
     oracle_timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0"))
 
+    # Optional DuckDB resource bounds for big-SF sweeps: an unbounded
+    # in-process DuckDB competes with the Spark JVM for the same RAM
+    # and dies with allocator OOM mid-sweep (observed at sf3); a
+    # memory_limit plus a temp_directory lets the heavy oracles spill
+    # to disk instead.
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "")
+
+    # Optional subset filter (comma-separated query names) for
+    # re-running just the failures of a long sweep.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s
+    }
+
+    # Opt-in (set the env var to enable, costs one extra count() per
+    # query): results larger than this are compared by ROW COUNT
+    # only.  The value hash collects the full result into the driver,
+    # which is infeasible for queries whose output is itself
+    # corpus-sized at big SF (embedding_near_dups emits 84M pairs at
+    # sf3 — the threshold is cardinality-tuned to sf0.01).
+    # Count-vs-count is still an engine-vs-oracle check; the driver's
+    # own sf0.01 gate always hashes.
+    hash_row_limit = int(
+        os.environ.get("SPARK_GRAFT_HASH_ROW_LIMIT", "0") or 0
+    )
+
     assert E.entry(spark).count() > 0, "entry() smoke check failed"
     qs, oracles = E.queries(), E.oracle_sql()
     con = duck_connection(sf_dir)
+    if duck_mem:
+        con.execute(f"SET memory_limit='{duck_mem}'")
+        con.execute("SET temp_directory='/tmp/duckspill'")
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
+        qs = {k: v for k, v in qs.items() if k in only or k in oracles}
     t0 = time.time()
     failures = []
     for i, name in enumerate(sorted(oracles)):
@@ -66,7 +97,40 @@ def main() -> int:
             spark._jvm.System.gc()
         tq = time.time()
         try:
-            s_sig = spark_signature(qs[name](spark, sf_dir))
+            df = qs[name](spark, sf_dir)
+            n_rows = df.count() if hash_row_limit else 0
+            if hash_row_limit and n_rows > hash_row_limit:
+                # too big to collect-and-hash: engine-vs-oracle row
+                # count comparison only (no driver-side materialize
+                # on either engine)
+                ts = time.time()
+                timer = None
+                if oracle_timeout > 0:
+                    timer = threading.Timer(oracle_timeout, con.interrupt)
+                    timer.start()
+                try:
+                    d_n = con.execute(
+                        f"SELECT count(*) FROM ({oracles[name]})"
+                    ).fetchone()[0]
+                finally:
+                    if timer is not None:
+                        timer.cancel()
+                if n_rows != d_n:
+                    failures.append(name)
+                    print(
+                        f"FAIL {name}: count-only spark={n_rows} "
+                        f"duck={d_n}",
+                        flush=True,
+                    )
+                else:
+                    print(
+                        f"ok   {name}: count-only ({n_rows} rows > "
+                        f"hash limit {hash_row_limit}) "
+                        f"{time.time() - tq:.1f}s [{i + 1}/{len(oracles)}]",
+                        flush=True,
+                    )
+                continue
+            s_sig = spark_signature(df)
             ts = time.time()
             timer = None
             if oracle_timeout > 0:

@@ -591,20 +591,92 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    split: int = 8,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold, found within LSH buckets: the
-    self-join shuffles on bucket only.  (Vectors this similar agree on
-    all hyperplane signs with high probability.)"""
-    c = corpus.withColumn("bucket", hyperplane_signs(vec_col, num_planes, dim))
-    a = c.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = c.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """Pairs with cosine >= threshold, found within LSH buckets.
+    (Vectors this similar agree on all hyperplane signs with high
+    probability.)
+
+    Scale shape — two things keep the quadratic core flat:
+
+    * **Norm hoisting**: each vector's L2 norm is computed once per
+      ROW before the join; the per-pair work is a single dot product
+      (``dot/(na*nb)`` is the identical IEEE expression
+      ``cosine_similarity`` evaluates with the self-dots hoisted out
+      of the pair loop, so results are bit-identical).
+    * **Triangle-partitioned self-join**: a plain self-join on
+      ``bucket`` puts each bucket's entire C(n,2) pair loop inside ONE
+      task — at sf3 the largest LSH bucket holds 7.7k vectors, i.e.
+      30M pairs in a single straggler (observed: stage pinned at
+      (11+1)/12 for >15 min).  Instead each row gets a deterministic
+      group ``g = xxhash64(id) mod split`` and is replicated to the
+      ``split`` triangle cells ``(min(g,h), max(g,h))``; the join key
+      becomes ``(bucket, cell)`` so a bucket's pair loop spreads over
+      split·(split+1)/2 independent tasks (worst task drops ~split²/2
+      fold).  Each unordered pair survives in EXACTLY one cell — cell
+      (ga,gb) ordered — so the result set is identical to the plain
+      self-join; replication costs split× on the (tiny, pre-agged)
+      signature rows, never on pairs.  ``split`` grows with corpus
+      size the way LSH band width does; 8 keeps sf3's worst cell
+      under 1M pairs."""
+    c = (
+        corpus.withColumn("bucket", hyperplane_signs(vec_col, num_planes, dim))
+        .withColumn(
+            "__g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(split)).cast("int")
+        )
+        .withColumn("__n", l2_norm(vec_col))
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__g"), F.lit(h)).alias("ti"),
+                F.greatest(F.col("__g"), F.lit(h)).alias("tj"),
+            )
+            for h in range(split)
+        ]
+    )
+    rep = c.select(
+        id_col, vec_col, "bucket", "__g", "__n", F.explode(cells).alias("__t")
+    ).select(
+        id_col,
+        vec_col,
+        "bucket",
+        "__g",
+        "__n",
+        F.col("__t.ti").alias("__ti"),
+        F.col("__t.tj").alias("__tj"),
+    )
+    a = rep.select(
+        "bucket",
+        "__ti",
+        "__tj",
+        F.col("__g").alias("__ga"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("na"),
+    )
+    b = rep.select(
+        "bucket",
+        "__ti",
+        "__tj",
+        F.col("__g").alias("__gb"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    owned = (
+        (F.col("__ga") == F.col("__ti")) & (F.col("__gb") == F.col("__tj"))
+    ) | ((F.col("__ga") == F.col("__tj")) & (F.col("__gb") == F.col("__ti")))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "__ti", "__tj"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(owned)
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+            F.round(
+                dot("va", "vb") / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
