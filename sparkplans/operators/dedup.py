@@ -487,13 +487,30 @@ def prefix_filter_pairs(
         .localCheckpoint()
     )
     pref = ranked.select(
-        "id", F.explode(F.slice("toks", F.lit(1), F.col("pref_len"))).alias("p")
+        "id",
+        "n_tok",
+        F.explode(F.slice("toks", F.lit(1), F.col("pref_len"))).alias("p"),
     )
+    # PPJoin length filter (lossless): J(a,b) >= t implies
+    # |a∩b| >= t·|a∪b| >= t·max(|a|,|b|) and |a∩b| <= min(|a|,|b|),
+    # so min(|a|,|b|) >= ceil(t·max(|a|,|b|)).  Applied inside the
+    # candidate join it prunes cross-length pairs BEFORE the
+    # distinct() shuffle and the array-intersect verify — at sf3 the
+    # shingle buckets are the dominant cost and doc lengths vary 50x.
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.p") == F.col("b.p")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.col("b.n_tok")
+                >= F.ceil(F.lit(float(threshold)) * F.col("a.n_tok"))
+            )
+            & (
+                F.col("a.n_tok")
+                >= F.ceil(F.lit(float(threshold)) * F.col("b.n_tok"))
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -470,16 +470,29 @@ def q_semantic_decontamination(spark, sf_dir):
     Scale: eval sets are small by nature, so the probe side BROADCASTS
     and the corpus is scanned once with a map-side partial max — one
     groupBy(vec_id) shuffle of (id, sim) pairs, no corpus self-join.
-    At very large eval sets, swap the broadcast for the LSH-bucketed
+    Both sides' L2 norms are hoisted out of the pair loop (computed
+    once per row, not once per pair — the probes×corpus loop is 324M
+    pairs at sf3; dot/(nc*np) is the identical IEEE expression
+    cosine_similarity evaluates, so results are bit-identical: 3x
+    fewer higher-order-function folds in the hot loop).  At very
+    large eval sets, swap the broadcast for the LSH-bucketed
     candidate path (embedding_near_dups)."""
+    from sparkplans.functions.vectors import dot, l2_norm
+
     e = _t_cpu(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("label") == 9).select(
-        F.col("vec_id").alias("bid"), F.col("embedding").alias("p")
+    probes = (
+        e.filter(F.col("label") == 9)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("p"))
+        .withColumn("np_", l2_norm("p"))
     )
-    corpus = e.filter(F.col("label") != 9)
+    corpus = e.filter(F.col("label") != 9).withColumn(
+        "nc_", l2_norm("embedding")
+    )
     sims = corpus.join(F.broadcast(probes)).select(
         "vec_id",
-        F.round(cosine_similarity("embedding", "p"), 6).alias("s"),
+        F.round(
+            dot("embedding", "p") / (F.col("nc_") * F.col("np_")), 6
+        ).alias("s"),
     )
     return sims.groupBy("vec_id").agg(
         F.max("s").alias("max_sim"),
