@@ -1212,7 +1212,7 @@ WITH s AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id, n,
-  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 9) AS slope
+  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 9) + 0.0 AS slope
 FROM s
 """
 
@@ -1223,7 +1223,13 @@ def q_user_value_trend(spark, sf_dir):
     from exact DECIMAL moment sums (deterministic across engines; the
     final double arithmetic is the same IEEE ops on identical inputs).
     The applyInPandas grouped-map twin is cross-checked in
-    tests/test_operators.py — same numbers, different engine path."""
+    tests/test_operators.py — same numbers, different engine path.
+
+    The ``+ 0.0`` after round (both engines) canonicalizes signed
+    zero: a numerator like -1e-13 rounds to +0.0 through Spark's
+    BigDecimal HALF_UP but to IEEE -0.0 through DuckDB's round —
+    observed as a 1-row hash mismatch at sf3.  x + 0.0 is exact for
+    every other double, and -0.0 + 0.0 = +0.0 is IEEE-mandated."""
     e = _t(spark, sf_dir, "events")
     # NTZ has no direct long cast; via TIMESTAMP under the UTC session
     # this equals DuckDB's floor(epoch(ts)) on the same wall-clock
@@ -1239,7 +1245,9 @@ def q_user_value_trend(spark, sf_dir):
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
-    return s.select("user_id", "n", F.round(slope, 9).alias("slope"))
+    return s.select(
+        "user_id", "n", (F.round(slope, 9) + F.lit(0.0)).alias("slope")
+    )
 
 
 _CURATION_ORACLE = """

@@ -35,6 +35,10 @@ def _norm_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # canonicalize signed zero: Spark's BigDecimal round
+            # yields +0.0 where DuckDB's IEEE round keeps -0.0
+            return "0"
         return f"{v:.6g}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
