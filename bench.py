@@ -76,6 +76,15 @@ HEADLINE = [
     "pca_whitening",
     "feature_drift_psi",
     "leakage_safe_split",
+    # round-3 scale-fix regression sentinels: each of these had a
+    # super-linear plan at sf3 (single-task grid explode, LSH bucket
+    # straggler, 324M-pair norm recompute) — keeping them in the
+    # headline slate pins the fixed plans at every future bench run
+    "gap_fill_locf",
+    "gap_fill_linear",
+    "embedding_near_dups",
+    "semantic_decontamination",
+    "ssjoin_near_dups",
 ]
 
 

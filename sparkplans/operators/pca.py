@@ -105,7 +105,10 @@ def fit_pca(
     ``components`` (d, k) already scaled by 1/sqrt(eigval) (so
     ``(x - mean) @ components`` IS the whitened vector), and
     ``eigvals`` (k,) descending."""
-    d = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("fit_pca: input has no vectors to fit")
+    d = len(head[0])
     n, s, gram = _combine_partials(moment_partials(df, vec_col), d)
     mean = s / n
     cov = gram / n - np.outer(mean, mean)

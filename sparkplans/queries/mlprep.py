@@ -1363,6 +1363,14 @@ def q_pca_whitening(spark, sf_dir):
 
     k = 16
     e = _t_cpu(spark, sf_dir, "embeddings")
+    # Degenerate input: an empty corpus has no covariance to whiten —
+    # return the empty invariant grid (stable schema) instead of
+    # letting the fit crash on first()=None.  One limit-1 job, the
+    # same price every driver-fit query pays to size its model.
+    if e.select("embedding").first() is None:
+        return spark.createDataFrame(
+            [], "comp int, mean_ok boolean, var_ok boolean, ortho_ok boolean"
+        )
     model = pca.fit_pca(e, k=k)
     white = pca.transform_pca(e, model)
     return pca.whitened_moment_check(white, k=k)
