@@ -9,6 +9,9 @@ built-in DataFrame ops so Catalyst/AQE still optimize them.
 - **range_join**: inequality-band join with a coarse-bucket equi-join
   prefilter so Spark gets an equi-key to shuffle on instead of a
   broadcast-nested-loop over everything.
+- **interval_overlap_join**: interval × interval overlap through the
+  same bucketing trick, with owner-bucket pair dedup (no extra
+  shuffle).
 """
 
 from __future__ import annotations
@@ -128,6 +131,69 @@ def range_join(
     # the left side enumerates consecutive buckets, so a matching pair
     # joins exactly once.  (A trailing distinct() would cost a full-
     # width exchange AND collapse legitimately duplicate input rows.)
+    return joined.select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col("_r")[c].alias(f"right_{c}") for c in right.columns],
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Pairs whose half-open intervals ``[start, end)`` overlap.
+
+    The classic interval-overlap join has no equi-key, so a naive plan
+    is a broadcast-nested-loop over the full cross product.  Instead
+    both sides explode into the coarse time buckets their interval
+    covers and Catalyst gets an equi-join on ``(*keys, bucket)``; the
+    exact overlap predicate (``l.start < r.end AND r.start < l.end``)
+    filters inside the bucket.
+
+    Each overlapping pair shares every bucket in its intersection, so
+    candidates would duplicate — eliminated WITHOUT a dropDuplicates
+    shuffle by the owner-bucket rule: a pair is emitted only from the
+    first bucket both intervals cover, ``max(floor(l.start/w),
+    floor(r.start/w))`` (the bucket of ``greatest(l.start, r.start)``,
+    which both sides provably enumerate when they overlap).
+
+    ``bucket_seconds`` should be on the order of the typical interval
+    length: explode factor per row is ``len/width + 2``, and a too-fine
+    width multiplies the shuffled candidate volume.  Right-side output
+    columns are prefixed ``right_``.
+    """
+    keys = list(keys or [])
+
+    def _b(col: str):
+        return (F.unix_timestamp(F.col(col)) / bucket_seconds).cast("long")
+
+    l = left.select(
+        F.struct(*left.columns).alias("_l"),
+        _b(left_start).alias("_lsb"),
+        F.col(left_start).alias("_ls"),
+        F.col(left_end).alias("_le"),
+        *[F.col(k) for k in keys],
+        F.explode(F.sequence(_b(left_start), _b(left_end))).alias("_bucket"),
+    )
+    r = right.select(
+        F.struct(*right.columns).alias("_r"),
+        _b(right_start).alias("_rsb"),
+        F.col(right_start).alias("_rs"),
+        F.col(right_end).alias("_re"),
+        *[F.col(k) for k in keys],
+        F.explode(F.sequence(_b(right_start), _b(right_end))).alias("_bucket"),
+    )
+    joined = l.join(r, keys + ["_bucket"]).filter(
+        (F.col("_ls") < F.col("_re"))
+        & (F.col("_rs") < F.col("_le"))
+        & (F.col("_bucket") == F.greatest("_lsb", "_rsb"))
+    )
     return joined.select(
         *[F.col("_l")[c].alias(c) for c in left.columns],
         *[F.col("_r")[c].alias(f"right_{c}") for c in right.columns],

@@ -472,3 +472,244 @@ def q_pq_ann_topk(spark, sf_dir):
         "probe_id", "vec_id", F.col("cos_exact").alias("cos_sim")
     )
     return _ann_invariant_wrap(spark, sf_dir, topk, k=10)
+
+
+# ---------------------------------------------------------------------
+# Bucketed range joins — point-in-interval and interval-overlap with
+# NO equi key (the shape where a naive plan is a nested loop over the
+# full cross product; operators/asof.py buckets the time axis so
+# Catalyst gets an equi-join key instead)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "campaign_window_counts",
+    """
+    WITH camp AS (
+      SELECT event_id AS campaign_id, ts AS start_ts
+      FROM events WHERE event_type = 'signup' AND event_id % 37 = 0)
+    SELECT c.campaign_id,
+           count(*) AS n_events,
+           count(CASE WHEN e.event_type = 'purchase' THEN 1 END)
+             AS n_purchases,
+           sum(CAST(e.value AS DECIMAL(18,6))) AS total_value
+    FROM camp c JOIN events e
+      ON e.ts >= c.start_ts
+     AND e.ts <= c.start_ts + INTERVAL 2 HOUR
+    GROUP BY c.campaign_id
+    """,
+)
+def q_campaign_window_counts(spark, sf_dir):
+    """Global point-in-interval join with NO equi key: every sampled
+    signup opens a 2-hour campaign window; count/sum all events
+    falling inside each window.  `operators/asof.range_join` turns the
+    pure inequality predicate into an equi-join on coarse 2-hour time
+    buckets (each event lands in exactly one bucket, each window
+    enumerates the 2 buckets it can span — so pairs join exactly once,
+    no dedup shuffle).  At 100 TB both sides shuffle once on the
+    bucket key and candidate volume is bounded by events-per-window,
+    never corpus².  Totals accumulate in DECIMAL so the sum is
+    order-independent across engines."""
+    from sparkplans.operators import asof
+
+    e = _t(spark, sf_dir, "events")
+    camp = e.filter(
+        (F.col("event_type") == "signup") & (F.col("event_id") % 37 == 0)
+    ).select(F.col("event_id").alias("campaign_id"), F.col("ts").alias("start_ts"))
+    hits = asof.range_join(
+        camp, e.select("event_type", "value", "ts"),
+        left_ts="start_ts", right_ts="ts",
+        lower_seconds=0, upper_seconds=7200,
+    )
+    return hits.groupBy("campaign_id").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("right_event_type") == "purchase", 1)).alias(
+            "n_purchases"
+        ),
+        F.sum(F.col("right_value").cast("decimal(18,6)")).alias("total_value"),
+    )
+
+
+@register(
+    "campaign_incident_overlap",
+    """
+    WITH camp AS (
+      SELECT event_id AS campaign_id, ts AS c_start,
+             ts + INTERVAL 2 HOUR AS c_end
+      FROM events WHERE event_type = 'signup' AND event_id % 37 = 0),
+    inc AS (
+      SELECT event_id AS incident_id, ts AS i_start,
+             ts + INTERVAL 45 MINUTE AS i_end
+      FROM events WHERE event_type = 'error' AND event_id % 11 = 0)
+    SELECT c.campaign_id, i.incident_id,
+           CAST(date_diff('second',
+                greatest(c.c_start, i.i_start),
+                least(c.c_end, i.i_end)) AS BIGINT) AS overlap_seconds
+    FROM camp c JOIN inc i
+      ON c.c_start < i.i_end AND i.i_start < c.c_end
+    """,
+)
+def q_campaign_incident_overlap(spark, sf_dir):
+    """Interval × interval overlap join with NO equi key ("which
+    campaigns were hit by an incident"): campaign windows [signup,
+    +2h) against error-burst windows [error, +45min).
+    `operators/asof.interval_overlap_join` explodes both interval sets
+    into 30-minute buckets, equi-joins on the bucket, verifies the
+    exact overlap predicate, and emits each pair exactly once via the
+    owner-bucket rule — no nested loop, no dropDuplicates shuffle.
+    Candidate volume at 100 TB is pairs-per-coarse-bucket, and the
+    bucket key is time so AQE's skew split handles hot hours."""
+    from sparkplans.operators import asof
+
+    e = _t(spark, sf_dir, "events")
+    camp = e.filter(
+        (F.col("event_type") == "signup") & (F.col("event_id") % 37 == 0)
+    ).select(
+        F.col("event_id").alias("campaign_id"),
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("c_end"),
+    )
+    inc = e.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 11 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTE")).alias("i_end"),
+    )
+    pairs = asof.interval_overlap_join(
+        camp, inc, "c_start", "c_end", "i_start", "i_end", bucket_seconds=1800
+    )
+    return pairs.select(
+        "campaign_id",
+        F.col("right_incident_id").alias("incident_id"),
+        (
+            F.unix_timestamp(F.least("c_end", "right_i_end"))
+            - F.unix_timestamp(F.greatest("c_start", "right_i_start"))
+        ).alias("overlap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Kaplan-Meier survival (time-to-convert with right-censoring)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "kaplan_meier_conversion",
+    """
+    WITH su AS (
+      SELECT user_id, min(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+      GROUP BY e.user_id),
+    mx AS (SELECT max(ts) AS max_ts FROM events),
+    durs AS (
+      SELECT su.user_id, pu.p_ts IS NOT NULL AS converted,
+             CAST(floor(date_diff('second', su.s_ts,
+                        coalesce(pu.p_ts, mx.max_ts)) / 3600) AS BIGINT)
+               AS dur_h
+      FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN mx),
+    ev AS (
+      SELECT dur_h, count(CASE WHEN converted THEN 1 END) AS d,
+             count(*) AS ended
+      FROM durs GROUP BY dur_h),
+    risk AS (
+      SELECT dur_h, d,
+             (SELECT count(*) FROM durs)
+               - coalesce(sum(ended) OVER (ORDER BY dur_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM ev)
+    SELECT dur_h AS t_hours, n_risk, d AS n_conversions,
+           round(CASE WHEN sum(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                        OVER w > 0 THEN 0.0
+                 ELSE exp(sum(CASE WHEN d < n_risk
+                              THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                              ELSE 0.0 END) OVER w) END,
+                 6) AS survival
+    FROM risk WHERE d > 0
+    WINDOW w AS (ORDER BY dur_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_kaplan_meier_conversion(spark, sf_dir):
+    """Kaplan-Meier survival curve for signup→purchase conversion with
+    right-censoring at the observation horizon (Kaplan & Meier 1958).
+    Per user: first signup, first purchase at-or-after it; users who
+    never purchase are censored at the corpus max timestamp.  S(t) =
+    Π_{tᵢ≤t} (1 - dᵢ/nᵢ) over event (conversion) times, computed as
+    exp of a running sum of ln factors so both engines fold the same
+    ordered window.  Scale shape: the heavy work (first-event aggs)
+    shuffles once on user_id; the curve itself has at most one row per
+    distinct duration-hour — bounded by the observation span, NOT the
+    corpus — so the final global-ordered window is a deliberate
+    single-partition pass over a span-bounded frame, and the two
+    scalars (max ts, cohort size) fold in as broadcast 1-row aggs
+    rather than driver-side collects."""
+    e = _t(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    durs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("p_ts").isNotNull().alias("converted"),
+            F.floor(
+                (
+                    F.unix_timestamp(F.coalesce("p_ts", "max_ts"))
+                    - F.unix_timestamp("s_ts")
+                )
+                / 3600
+            ).alias("dur_h"),
+        )
+    )
+    ntot = durs.agg(F.count("*").alias("n_total"))
+    ev = durs.groupBy("dur_h").agg(
+        F.count(F.when(F.col("converted"), 1)).alias("d"),
+        F.count("*").alias("ended"),
+    )
+    w_prev = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = ev.crossJoin(F.broadcast(ntot)).select(
+        "dur_h",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("ended").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hit_zero = F.sum(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    ln_sum = F.sum(
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(w_cum)
+    return risk.filter(F.col("d") > 0).select(
+        F.col("dur_h").alias("t_hours"),
+        "n_risk",
+        F.col("d").alias("n_conversions"),
+        F.round(
+            F.when(hit_zero > 0, F.lit(0.0)).otherwise(F.exp(ln_sum)), 6
+        ).alias("survival"),
+    )

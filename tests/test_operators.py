@@ -2535,6 +2535,90 @@ def test_range_join_preserves_duplicates_no_dedup_shuffle(spark):
     assert plans.num_exchanges(big) <= 2, plans.physical_plan_str(big)
 
 
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketed interval-overlap equals the nested-loop oracle on a
+    small frame — including intervals spanning MANY buckets (the
+    owner-bucket rule must emit each overlapping pair exactly once,
+    with no dropDuplicates exchange in the plan)."""
+    from sparkplans import plans
+
+    mk = lambda rows, s, e: spark.createDataFrame(  # noqa: E731
+        rows, f"id int, {s} string, {e} string"
+    ).select(
+        "id",
+        F.col(s).cast("timestamp").alias(s),
+        F.col(e).cast("timestamp").alias(e),
+    )
+    left = mk(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-01 10:00:00"),  # 20 buckets
+            (2, "2024-01-01 03:00:00", "2024-01-01 03:10:00"),
+            (3, "2024-01-02 00:00:00", "2024-01-02 01:00:00"),
+            (4, "2024-01-01 09:59:59", "2024-01-01 23:00:00"),
+        ],
+        "ls",
+        "le",
+    )
+    right = mk(
+        [
+            (10, "2024-01-01 02:00:00", "2024-01-01 04:00:00"),
+            (11, "2024-01-01 09:00:00", "2024-01-01 12:00:00"),
+            (12, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),  # abuts 1
+            (13, "2024-01-03 00:00:00", "2024-01-03 01:00:00"),
+        ],
+        "rs",
+        "re",
+    )
+    got = asof.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_seconds=1800
+    )
+    pairs = sorted((r.id, r.right_id) for r in got.collect())
+    want = sorted(
+        (l.id, r.id)
+        for l in left.collect()
+        for r in right.collect()
+        if l.ls < r.re and r.rs < l.le  # half-open: abutting ≠ overlap
+    )
+    assert pairs == want == [(1, 10), (1, 11), (2, 10), (4, 11), (4, 12)]
+    assert "dropDuplicates" not in plans.physical_plan_str(got)
+
+
+def test_interval_overlap_join_with_keys(spark):
+    """Per-key overlap: pairs must share the extra equi-key, and the
+    multiset contract holds (duplicate inputs each pair up)."""
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k int, id int, s string, e string"
+    ).select(
+        "k",
+        "id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    left = mk(
+        [
+            (1, 1, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+            (2, 1, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+            (1, 2, "2024-01-01 00:30:00", "2024-01-01 01:00:00"),
+            (1, 2, "2024-01-01 00:30:00", "2024-01-01 01:00:00"),  # dup row
+        ]
+    )
+    right = mk([(1, 9, "2024-01-01 01:00:00", "2024-01-01 03:00:00")])
+    got = asof.interval_overlap_join(
+        left,
+        right.select("k", F.col("id").alias("rid"), "s", "e"),
+        "s",
+        "e",
+        "s",
+        "e",
+        bucket_seconds=3600,
+        keys=["k"],
+    )
+    # key 2's identical interval must NOT match key 1's right row; the
+    # [00:30, 01:00) interval abuts [01:00, ...) => no overlap; dup of
+    # it contributes nothing either.  Only (k=1, id=1) overlaps.
+    assert [(r.id, r.right_rid) for r in got.collect()] == [(1, 9)]
+
+
 def test_jpeg_ac_successive_approximation_refinement():
     """The AC-SA refinement scans (Ah=1, Al=0) are exercised and
     bit-exact: content crafted so refinement hits every structural

@@ -454,6 +454,17 @@ BUDGETS = {
     # ONE corpus shuffle into the checkpointed (key,cnt) frame; the 3
     # rollup branches shuffle slim checkpoint scans only
     "key_skew_report": 3,
+    # bucketed range join: the (tiny) campaign side broadcasts at this
+    # scale, leaving only the per-campaign agg exchange; at corpus
+    # scale the stats would flip it to a shuffle on the bucket key
+    "campaign_window_counts": 1,
+    # both exploded interval sides broadcast-sized here; owner-bucket
+    # dedup adds NO exchange by design
+    "campaign_incident_overlap": 0,
+    # 2-3 corpus exchanges (first-event aggs on user_id); the rest are
+    # single-partition windows/aggs over the span-bounded curve frame
+    # (≤1 row per duration-hour) — slim by construction
+    "kaplan_meier_conversion": 9,
 }
 
 
