@@ -85,6 +85,10 @@ HEADLINE = [
     "embedding_near_dups",
     "semantic_decontamination",
     "ssjoin_near_dups",
+    # round-3 additions: no-equi-key bucketed range joins + survival
+    "campaign_window_counts",
+    "campaign_incident_overlap",
+    "kaplan_meier_conversion",
 ]
 
 

@@ -2619,6 +2619,57 @@ def test_interval_overlap_join_with_keys(spark):
     assert [(r.id, r.right_rid) for r in got.collect()] == [(1, 9)]
 
 
+def test_interval_overlap_join_randomized_trials(spark):
+    """40 seeded random interval sets — varied lengths (zero-width to
+    many-bucket spans), clustered starts, boundary abutments — all run
+    as ONE bucketed join (trial id as the extra equi-key) and compared
+    trial-by-trial against a python nested-loop oracle."""
+    import random
+
+    rng = random.Random(20260815)
+    base = 1_700_000_000
+    rows_l, rows_r, want = [], [], set()
+    trials = []
+    for t in range(40):
+        nl, nr = rng.randint(0, 8), rng.randint(0, 8)
+        mk = lambda n: [  # noqa: E731
+            (s, s + rng.choice([0, 1, 59, 60, 1800, 3600, 7200, 40000]))
+            for s in (
+                base + rng.randrange(0, 90000, 30) for _ in range(n)
+            )
+        ]
+        L, R = mk(nl), mk(nr)
+        trials.append((t, L, R))
+        rows_l += [(t, i, s, e) for i, (s, e) in enumerate(L)]
+        rows_r += [(t, i, s, e) for i, (s, e) in enumerate(R)]
+        want |= {
+            (t, i, j)
+            for i, (ls, le) in enumerate(L)
+            for j, (rs, re) in enumerate(R)
+            if ls < re and rs < le
+        }
+    to_df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "trial int, id int, s long, e long"
+    ).select(
+        "trial",
+        "id",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+    )
+    got = asof.interval_overlap_join(
+        to_df(rows_l),
+        to_df(rows_r).withColumnRenamed("id", "rid"),
+        "s",
+        "e",
+        "s",
+        "e",
+        bucket_seconds=3600,
+        keys=["trial"],
+    )
+    assert {(r.trial, r.id, r.right_rid) for r in got.collect()} == want
+    assert got.count() == len(want)  # exactly-once even across buckets
+
+
 def test_jpeg_ac_successive_approximation_refinement():
     """The AC-SA refinement scans (Ah=1, Al=0) are exercised and
     bit-exact: content crafted so refinement hits every structural
