@@ -122,9 +122,23 @@ def range_join(
         F.col(right_ts).alias("_rts"),
         (F.unix_timestamp(F.col(right_ts)) / bucket).cast("long").alias("_bucket"),
     )
+    # Exact band check in MICROSECONDS: unix_timestamp() truncates to
+    # whole seconds, which silently widens the band by up to 1s at the
+    # boundary (a sub-second event just past start+upper would join).
+    # Caught by the sf3 oracle sweep — at small SF no row sits on the
+    # boundary.  The coarse bucket enumeration above still covers the
+    # exact band: buckets are second-truncated, and truncation moves a
+    # timestamp down by <1s, never across a bucket more than the
+    # sequence already spans.
+    def _us(c: str):
+        # cast: unix_micros rejects TIMESTAMP_NTZ (what parquet nanos
+        # read as here); the NTZ->TZ shift is identical on both sides
+        # of the comparison so the band is unaffected
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
     cond = (
-        (F.unix_timestamp("_rts") >= F.unix_timestamp("_lts") + lower_seconds)
-        & (F.unix_timestamp("_rts") <= F.unix_timestamp("_lts") + upper_seconds)
+        (_us("_rts") >= _us("_lts") + lower_seconds * 1_000_000)
+        & (_us("_rts") <= _us("_lts") + upper_seconds * 1_000_000)
     )
     joined = l.join(r, "_bucket").filter(cond)
     # No dedup needed: the right row lives in exactly ONE bucket and

@@ -866,3 +866,87 @@ def q_key_skew_report(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return skew_report(e, "user_id")
+
+
+@register(
+    "holt_trend_forecast",
+    """
+    WITH lv AS (
+      SELECT user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS vals,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    f AS (
+      SELECT user_id,
+             list_reduce(
+               list_transform(vals, v -> [v, 0.0]),
+               (acc, x) -> [
+                 0.4 * x[1] + 0.6 * (acc[1] + acc[2]),
+                 0.3 * ((0.4 * x[1] + 0.6 * (acc[1] + acc[2])) - acc[1])
+                      + 0.7 * acc[2]]) AS st
+      FROM lv WHERE rn = 1)
+    SELECT user_id, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[1] + 3 * st[2], 6) AS forecast3
+    FROM f
+    """,
+)
+def q_holt_trend_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend, alpha=0.4,
+    beta=0.3) per user over the last 12 events, plus a 3-step-ahead
+    forecast — the trend-aware sibling of `ewma_user_value`.  The
+    coupled recurrence (level feeds trend feeds level) can't be a
+    window sum, so the bounded frame is collected and folded with
+    `F.aggregate` over a STRUCT accumulator; DuckDB's `list_reduce`
+    folds the identical expressions in the identical order over a
+    LIST accumulator, so the doubles match bit-for-bit (l_new appears
+    twice in the lambda — deliberately, since lambdas can't bind
+    intermediates; both engines evaluate the same expression tree).
+    The oracle deliberately avoids a struct accumulator: DuckDB
+    v1.0.0's list_reduce updates struct fields sequentially, so a
+    later field reading acc.l observes the NEW level — a cross-engine
+    trap this query's first draft hit.  One user-keyed shuffle;
+    <=12-element arrays bound executor memory."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    lv = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.collect_list("value").over(w).alias("vals"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+    )
+
+    def step(acc, x):
+        l_new = F.lit(0.4) * x + F.lit(0.6) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (
+                F.lit(0.3) * (l_new - acc["l"]) + F.lit(0.7) * acc["b"]
+            ).alias("b"),
+        )
+
+    st = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        F.struct(
+            F.element_at(F.col("vals"), 1).alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        step,
+    )
+    return lv.select(
+        "user_id",
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + F.lit(3) * st["b"], 6).alias("forecast3"),
+    )

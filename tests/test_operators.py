@@ -428,12 +428,15 @@ def test_range_join_band(spark):
     a = ev.select("event_id", "ts")
     b = ev.select(F.col("event_id").alias("eb"), F.col("ts").alias("tsb"))
     got = asof.range_join(a, b, "ts", "tsb", 0, 3600)
-    # oracle: plain conditional join (fine at this size)
+    # oracle: plain conditional join (fine at this size); micros-exact
+    # band, same contract as the operator
     want = (
         a.join(b)
         .filter(
-            (F.unix_timestamp("tsb") >= F.unix_timestamp("ts"))
-            & (F.unix_timestamp("tsb") <= F.unix_timestamp("ts") + 3600)
+            (F.unix_micros(F.col("tsb").cast("timestamp"))
+             >= F.unix_micros(F.col("ts").cast("timestamp")))
+            & (F.unix_micros(F.col("tsb").cast("timestamp"))
+               <= F.unix_micros(F.col("ts").cast("timestamp")) + 3600 * 1_000_000)
         )
         .count()
     )

@@ -219,6 +219,9 @@ BUDGETS = {
     "bow_duplicate_groups": 2,
     # one user-keyed window partitioning shared by frame + rank
     "ewma_user_value": 1,
+    # same shape as ewma_user_value: one user-keyed window shuffle,
+    # fold is a JVM lambda over a <=12-element array
+    "holt_trend_forecast": 1,
     # lang census + one-row totals rollup + broadcast-back
     "lang_mixture_weights": 3,
     # one keyed shuffle of fixed-size sketch states
