@@ -442,25 +442,54 @@ def prefix_filter_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (the
-    SSJoin/PPJoin family): every pair with shingle-Jaccard >=
-    ``threshold`` — unlike MinHash/LSH banding this has ZERO false
-    negatives, and unlike `jaccard_pairs` it needs no probabilistic
-    candidate stage.
+    SSJoin/PPJoin family, Xiao et al. 2008): every pair with
+    shingle-Jaccard >= ``threshold`` — unlike MinHash/LSH banding this
+    has ZERO false negatives, and unlike `jaccard_pairs` it needs no
+    probabilistic candidate stage.
 
-    Filter: order each doc's shingles globally by rarity (document
-    frequency asc, shingle asc); any pair with J >= t must share a
-    shingle inside each other's first `|d| - ceil(t*|d|) + 1`
-    elements, so joining only on prefix shingles is lossless.
+    Three lossless filters, applied in candidate-cost order:
+
+    1. **Asymmetric prefixes.** Shingles are globally ordered by
+       rarity (document frequency asc, shingle asc).  Pairs are
+       canonicalized so side *a* is the SMALLER record (ties by id).
+       The larger side is indexed on its first
+       ``|b| - ceil(t*|b|) + 1`` shingles, but the smaller side only
+       probes with its first ``|a| - ceil(2t/(1+t)*|a|) + 1`` — valid
+       because a partner at least as large forces overlap >=
+       2t/(1+t)*|a|.  At t=0.5 the probe prefix is ~|a|/3 instead of
+       ~|a|/2, which shrinks every shingle bucket's cross product.
+    2. **Length filter.** J >= t implies |a| >= t*|b|; applied inside
+       the join condition, before the pair shuffle.
+    3. **Positional filter.** For each candidate pair the FIRST shared
+       prefix shingle (both arrays sort in the same global order, so
+       min(pos_a) and min(pos_b) name the same shingle) bounds the
+       overlap: |a∩b| <= 1 + min(|a|-1-pos_a, |b|-1-pos_b).  Pairs
+       whose bound cannot reach minoverlap = ceil(t/(1+t)*(|a|+|b|))
+       die before the array-intersect verify.  The pair aggregation
+       that computes the min positions replaces the old distinct() —
+       same shuffle, strictly more pruning.
 
     Scale: the candidate join is keyed on *rare* shingles (rarity
     ordering puts low-df shingles in prefixes), so bucket sizes stay
     small on natural corpora; verification intersects the full sorted
-    shingle arrays for candidates only.  The ranked arrays are
-    checkpointed once and reused by the prefix and verify stages.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    shingle arrays only for pairs that survive all three filters.
+    The ranked arrays are checkpointed once and reused by the prefix
+    and verify stages.  Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
+
+    Numeric safety: every ceil() that feeds a pruning bound subtracts
+    1e-9 first, so FP rounding can only weaken a filter (extra
+    candidates the verify kills), never strengthen one (lost pairs).
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
+    t = float(threshold)
+    probe_frac = 2.0 * t / (1.0 + t)
+    mo_frac = t / (1.0 + t)
+
+    def _ceil(expr):
+        return F.ceil(expr - F.lit(1e-9)).cast("int")
+
     sh = shingle_rows(df, text_col=text_col, id_col=id_col, n=n)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     ranked = (
@@ -477,43 +506,60 @@ def prefix_filter_pairs(
         )
         .withColumn("n_tok", F.size("toks"))
         .withColumn(
-            "pref_len",
-            (
-                F.col("n_tok")
-                - F.ceil(F.lit(float(threshold)) * F.col("n_tok")).cast("int")
-                + 1
-            ),
+            "idx_len",
+            F.col("n_tok") - _ceil(F.lit(t) * F.col("n_tok")) + 1,
+        )
+        .withColumn(
+            "probe_len",
+            F.col("n_tok") - _ceil(F.lit(probe_frac) * F.col("n_tok")) + 1,
         )
         .localCheckpoint()
     )
+    # One posexplode serves both roles: rows with pos < probe_len are
+    # the (shorter-side) probe prefix, all rows are the index prefix.
     pref = ranked.select(
         "id",
         "n_tok",
-        F.explode(F.slice("toks", F.lit(1), F.col("pref_len"))).alias("p"),
+        "probe_len",
+        F.posexplode(F.slice("toks", F.lit(1), F.col("idx_len"))).alias(
+            "pos", "p"
+        ),
     )
-    # PPJoin length filter (lossless): J(a,b) >= t implies
-    # |a∩b| >= t·|a∪b| >= t·max(|a|,|b|) and |a∩b| <= min(|a|,|b|),
-    # so min(|a|,|b|) >= ceil(t·max(|a|,|b|)).  Applied inside the
-    # candidate join it prunes cross-length pairs BEFORE the
-    # distinct() shuffle and the array-intersect verify — at sf3 the
-    # shingle buckets are the dominant cost and doc lengths vary 50x.
+    probe = pref.filter(F.col("pos") < F.col("probe_len")).select(
+        "id", "n_tok", "pos", "p"
+    )
+    smaller = (F.col("a.n_tok") < F.col("b.n_tok")) | (
+        (F.col("a.n_tok") == F.col("b.n_tok")) & (F.col("a.id") < F.col("b.id"))
+    )
     cand = (
-        pref.alias("a")
+        probe.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.col("b.n_tok")
-                >= F.ceil(F.lit(float(threshold)) * F.col("a.n_tok"))
-            )
-            & (
-                F.col("a.n_tok")
-                >= F.ceil(F.lit(float(threshold)) * F.col("b.n_tok"))
-            ),
+            & smaller
+            & (F.col("a.n_tok") >= _ceil(F.lit(t) * F.col("b.n_tok"))),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.id").alias("cid_a"),
+            F.col("b.id").alias("cid_b"),
+        )
+        .agg(
+            F.max("a.n_tok").alias("cna"),
+            F.max("b.n_tok").alias("cnb"),
+            F.min("a.pos").alias("pa"),
+            F.min("b.pos").alias("pb"),
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("cna") - 1 - F.col("pa"),
+                F.col("cnb") - 1 - F.col("pb"),
+            )
+            >= _ceil(F.lit(mo_frac) * (F.col("cna") + F.col("cnb")))
+        )
+        .select(
+            F.col("cid_a").alias("id_a"), F.col("cid_b").alias("id_b")
+        )
     )
     ver = (
         cand.join(
@@ -540,8 +586,12 @@ def prefix_filter_pairs(
         )
         .filter(F.col("j") >= threshold)
     )
+    # Internally pairs are size-canonical (a = smaller record); the
+    # output contract is id-canonical.
     return ver.select(
-        "id_a", "id_b", F.round("j", 6).alias("jaccard")
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.round("j", 6).alias("jaccard"),
     )
 
 

@@ -80,6 +80,66 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (Raghavan et al. 2007) over an undirected edge list; returns
+    (node, label) where nodes sharing a label form one community.
+
+    Deterministic variant: every node starts labeled with its own id;
+    each round it adopts the most frequent label among its neighbors,
+    breaking count ties toward the SMALLEST label (the classic
+    random tie-break would make results run-dependent, which no
+    oracle could pin).  A fixed iteration count keeps the output
+    deterministic even on structures where synchronous LPA
+    oscillates (e.g. bipartite cores flip labels every round).
+
+    Guarantees the invariant twin checks: labels are always node ids
+    (they only ever copy), and a label can never cross a connected-
+    component boundary (it travels one edge per round).
+
+    Scale shape per round: one src-keyed join (E rows), then
+    groupBy(node, label).count() — map-side combinable, so a node
+    with 10M same-labeled neighbors contributes one row per map
+    partition — then a groupBy(node) argmax of |V| x avg_labels rows.
+    Lineage is cut every round (localCheckpoint), same discipline as
+    `pagerank`/`connected_components`; on a cluster, persist the
+    symmetrized edges bucketed by src so every round's join reuses
+    one partitioning.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    e = (
+        sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        nbr = e.join(labels, e.b == labels.node).select(
+            F.col("a").alias("node"), "label"
+        )
+        votes = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
     """Count undirected triangles via the ordered-edge triple join.
 

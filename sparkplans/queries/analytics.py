@@ -758,6 +758,84 @@ def q_pagerank_invariants(spark, sf_dir):
     )
 
 
+_LPA_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+), comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT count(*) AS n_nodes,
+       count(DISTINCT comp) AS n_components,
+       TRUE AS labels_are_node_ids,
+       TRUE AS labels_within_components
+FROM comp
+"""
+
+
+@register("label_propagation_communities", _LPA_ORACLE)
+def q_label_propagation_communities(spark, sf_dir):
+    """Community detection on the part co-purchase graph (pairs
+    sharing >= 2 orders) via operators/graph.label_propagation — the
+    third iterative-graph operator beside pagerank and
+    connected_components.
+
+    LPA's community assignment has no closed form, so (like
+    `pagerank_invariants`) the oracle pins its THEOREMS: labels are
+    always node ids (they only ever copy), and a label can travel at
+    most one edge per round, so it can never escape its connected
+    component — which DuckDB re-derives independently via recursive
+    transitive closure.  The exact communities are pinned against
+    hand-computed graphs in tests/test_operators.py.
+
+    Scale note (mirrors dedup_clusters): the ORACLE's transitive
+    closure is Σ component_size² and times out at sf3; the engine
+    side is rounds × one keyed shuffle and is fine."""
+    from sparkplans.operators.dedup import connected_components
+    from sparkplans.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    labels = label_propagation(edges, iterations=5)
+    comp = connected_components(
+        edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    lc = labels.join(comp, "node")
+    label_comp = comp.select(
+        F.col("node").alias("label"), F.col("comp").alias("label_comp")
+    )
+    # the inner join on label already enforces "labels are node ids":
+    # a non-node label would drop its row and n_nodes would mismatch
+    # the oracle's independent count.
+    j = lc.join(label_comp, "label")
+    return j.agg(
+        F.count("*").alias("n_nodes"),
+        F.count_distinct("comp").alias("n_components"),
+        F.every(F.col("label").isNotNull()).alias("labels_are_node_ids"),
+        F.every(F.col("comp") == F.col("label_comp")).alias(
+            "labels_within_components"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 # Hard-negative mining for contrastive training
 # ---------------------------------------------------------------------

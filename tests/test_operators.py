@@ -1222,6 +1222,47 @@ def test_triangle_count_known_graphs(spark):
     assert (empty.n_edges, empty.n_triangles) == (0, 0)
 
 
+def test_label_propagation_known_graphs(spark):
+    """Two triangles bridged by one edge resolve to two communities
+    led by each triangle's min id; a clique collapses to its min id;
+    direction/duplicate edges don't matter; results are deterministic
+    across calls (min-label tie-break, fixed iterations)."""
+    from sparkplans.operators.graph import label_propagation
+
+    # triangles {1,2,3} and {7,8,9}, bridge 3-7
+    tri = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)]
+    messy = tri + [(b, a) for a, b in tri] + [(2, 1)]
+    got = {
+        r.node: r.label
+        for r in label_propagation(
+            spark.createDataFrame(messy, "src long, dst long"), iterations=8
+        ).collect()
+    }
+    # hand-simulated fixed point: the left triangle keeps label 1;
+    # min-tie-breaks pull the bridge node's id (3) into the right
+    # triangle, which stabilizes as its own community labeled 3 —
+    # two distinct communities, both labels real node ids
+    assert {got[1], got[2], got[3]} == {1}, got
+    assert {got[7], got[8], got[9]} == {3}, got
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    gk = {
+        r.node: r.label
+        for r in label_propagation(
+            spark.createDataFrame(k4, "src long, dst long"), iterations=6
+        ).collect()
+    }
+    assert set(gk.values()) == {1}, gk
+
+    again = {
+        r.node: r.label
+        for r in label_propagation(
+            spark.createDataFrame(messy, "src long, dst long"), iterations=8
+        ).collect()
+    }
+    assert again == got
+
+
 def test_weighted_sample_properties(spark):
     """Deterministic across calls and seeds partition the choice;
     higher weight wins more often (statistical sanity on a planted
@@ -1376,6 +1417,52 @@ def test_prefix_filter_join_matches_brute_force(spark):
 
     with pytest.raises(ValueError):
         prefix_filter_pairs(df, threshold=0.0)
+
+
+def test_prefix_filter_randomized_lengths_vs_brute_force(spark):
+    """Randomized SSJoin completeness across skewed length ratios: the
+    asymmetric probe/index prefixes, the length filter, and the
+    positional filter are each only lossless under specific bounds
+    (probe prefix needs the partner to be >= as large; the positional
+    bound needs min(pos) to name the FIRST shared token), so this
+    corpus mixes 5..60-word docs from a 12-word vocabulary (heavy
+    shingle collisions) and checks exact pair equality against
+    brute force at three thresholds."""
+    import itertools
+    import random
+
+    from sparkplans.operators.dedup import prefix_filter_pairs, shingles
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        n_words = rng.randint(5, 60)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n_words))))
+    # planted: exact dup of a long doc, near-dup of a short doc, and a
+    # doc that is a strict prefix of another (extreme length ratio)
+    rows.append((100, rows[3][1]))
+    rows.append((101, rows[5][1] + " extra"))
+    rows.append((102, rows[7][1].rsplit(" ", 3)[0]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = {
+        r.doc_id: set(r.s)
+        for r in df.select("doc_id", shingles(F.col("text")).alias("s")).collect()
+    }
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_pairs(df, threshold=t).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            inter = len(sh[a] & sh[b])
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= t:
+                want[(a, b)] = round(j, 6)
+        assert want, f"fixture must contain pairs above threshold {t}"
+        assert got == want, (t, got.keys() ^ want.keys())
 
 
 # -- Misra-Gries heavy hitters ----------------------------------------------

@@ -113,6 +113,10 @@ BUDGETS = {
     "join_implicit_equi": 0,
     "json_extract_agg": 1,
     "knn_brute_force": 0,
+    # invariant join of two iterative outputs (labels ⋈ comp ⋈ comp):
+    # both sides are node-sized at 100 TB so neither broadcasts; the
+    # iterations themselves are behind localCheckpoint cuts
+    "label_propagation_communities": 8,
     "lang_id_heuristic": 0,
     "left_join_agg": 1,
     "length_histogram": 1,
