@@ -89,6 +89,12 @@ HEADLINE = [
     "campaign_window_counts",
     "campaign_incident_overlap",
     "kaplan_meier_conversion",
+    # round-3 eval-metric family: retrieval nDCG (salted two-phase
+    # top-k), calibration table, categorical MI, Zipf corpus fit
+    "ndcg_at_k",
+    "calibration_bins",
+    "mutual_information_features",
+    "zipf_fit_tokens",
 ]
 
 

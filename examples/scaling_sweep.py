@@ -54,6 +54,7 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf
 EXTRA_SF_DIRS = [
     os.path.join(repo, ".localdata", "sf1"),
     os.path.join(repo, ".localdata", "sf3"),
+    os.path.join(repo, ".localdata", "sf10"),
 ]
 
 

@@ -1525,3 +1525,341 @@ def q_leakage_safe_split(spark, sf_dir):
             F.countDistinct("fp").alias("n_groups"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Retrieval / model evaluation metrics (round 3)
+# ---------------------------------------------------------------------
+
+# nDCG@10 integer micro-gains: W6[i] = round(1e6 / log2(i+2)) for rank
+# i+1, C6[r] = ideal DCG with r relevant docs.  Computed once in
+# Python and inlined VERBATIM into both the Spark expression and the
+# DuckDB oracle, so the transcendental log2 is evaluated in exactly
+# one place and the per-rank gains are integers — DCG sums are then
+# exact 64-bit arithmetic on both engines, order-free.
+_NDCG_W6 = [1000000, 630930, 500000, 430677, 386853, 356207,
+            333333, 315465, 301030, 289065]
+_NDCG_C6 = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
+            3638000, 3953465, 4254495, 4543560]
+
+_NDCG_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, label AS probe_label, embedding AS p
+  FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT pr.probe_id, pr.probe_label, e.vec_id, e.label,
+         round(list_dot_product(e.embedding::DOUBLE[], pr.p::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(pr.p::DOUBLE[], pr.p::DOUBLE[]))),
+               6) AS sim
+  FROM embeddings e JOIN probes pr ON e.vec_id <> pr.probe_id),
+r AS (
+  SELECT probe_id, probe_label, vec_id, label, sim,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM s),
+t AS (
+  SELECT probe_id, rn,
+         CASE WHEN label = probe_label THEN 1 ELSE 0 END AS rel
+  FROM r WHERE rn <= 10),
+a AS (
+  SELECT probe_id,
+         sum(rel * ({_NDCG_W6})[rn]) AS dcg6,
+         sum(rel) AS n_rel
+  FROM t GROUP BY probe_id)
+SELECT probe_id,
+       CAST(n_rel AS BIGINT) AS n_rel,
+       CASE WHEN n_rel = 0 THEN 0.0
+            ELSE round(CAST(dcg6 AS DOUBLE) /
+                       ({_NDCG_C6})[CAST(n_rel AS INT)], 6)
+       END AS ndcg10
+FROM a
+"""
+
+
+@register("ndcg_at_k", _NDCG_ORACLE)
+def q_ndcg_at_k(spark, sf_dir):
+    """nDCG@10 retrieval evaluation: for each probe vector, rank the
+    corpus by cosine, mark results sharing the probe's label as
+    relevant, and score the top-10 ranking quality — the standard
+    embedding-retrieval eval beside `roc_auc_cosine` (pairwise) and
+    `rrf_hybrid_retrieval` (fusion).
+
+    Numeric discipline: similarity rounded to 6 dp BEFORE ranking
+    (total order (sim desc, vec_id) identical on both engines); the
+    per-rank log2 gains are precomputed integer micro-gains inlined
+    into both engines, so every DCG is exact int64 arithmetic with
+    one final division.  IDCG normalizes against the ideal ordering
+    of the retrieved list (n_rel of the top-10 moved to the front).
+
+    Scale shape: probes broadcast (a training batch); top-10 per
+    probe is the salted two-phase top-k — row_number inside
+    (probe, vec_id%64) cells (corpus/64 rows each, no corpus-sized
+    window partition), survivors (probes x 64 x 10 rows) re-ranked in
+    a second tiny window.  Lossless: the global top-10 is a subset of
+    the per-salt top-10s under a total order."""
+    from sparkplans.functions import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("p"),
+    )
+    scored = e.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "probe_label",
+        "vec_id",
+        "label",
+        F.round(cosine_similarity("embedding", "p"), 6).alias("sim"),
+        F.pmod("vec_id", F.lit(64)).alias("salt"),
+    )
+    w1 = Window.partitionBy("probe_id", "salt").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        scored.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= 10)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 10)
+    )
+    gains = F.array(*[F.lit(w) for w in _NDCG_W6])
+    ideal = F.array(*[F.lit(c) for c in _NDCG_C6])
+    rel = (F.col("label") == F.col("probe_label")).cast("long")
+    agg = top.groupBy("probe_id").agg(
+        F.sum(rel * F.element_at(gains, F.col("rn"))).alias("dcg6"),
+        F.sum(rel).alias("n_rel"),
+    )
+    return agg.select(
+        "probe_id",
+        "n_rel",
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("dcg6").cast("double")
+                / F.element_at(ideal, F.col("n_rel").cast("int")),
+                6,
+            )
+        )
+        .alias("ndcg10"),
+    )
+
+
+_MI_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, count(*) AS nxy
+  FROM orders GROUP BY 1, 2),
+tx AS (SELECT x, sum(nxy) AS nx FROM c GROUP BY x),
+ty AS (SELECT y, sum(nxy) AS ny FROM c GROUP BY y),
+tot AS (SELECT sum(nxy) AS n FROM c),
+terms AS (
+  SELECT c.nxy,
+         CAST(round(ln((CAST(tot.n AS DOUBLE) * c.nxy) /
+                       (CAST(tx.nx AS DOUBLE) * ty.ny)), 6)
+              AS DECIMAL(18, 6)) AS l6
+  FROM c JOIN tx USING (x) JOIN ty USING (y) CROSS JOIN tot)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_rows,
+       (SELECT count(*) FROM c) AS n_cells,
+       round(CAST(sum(nxy * l6) AS DOUBLE) /
+             (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS mi_nats
+FROM terms
+"""
+
+
+@register("mutual_information_features", _MI_ORACLE)
+def q_mutual_information_features(spark, sf_dir):
+    """Mutual information between two categorical features
+    (order priority x order status) — the feature-selection /
+    redundancy-detection primitive beside `event_dow_chisq`
+    (independence test) and `feature_drift_psi` (distribution shift):
+    MI = sum p(x,y) * ln(p(x,y) / (p(x) p(y))).
+
+    Numeric discipline: counts stay integer through every join; the
+    single transcendental is evaluated once per CELL (|x| x |y| = 15
+    cells, never per row) on an argument that is a ratio of exact
+    int64 products — identical doubles on both engines — then rounded
+    to 6 dp and re-widened to DECIMAL so the weighted sum
+    sum(nxy * l6) is exact and order-free.  One division at the end.
+
+    Scale shape: ONE shuffle (the (x,y) groupBy, map-side combined to
+    |x| x |y| rows per partition); marginals and the total derive from
+    the 15-row cell table, so everything after the scan is
+    model-state sized."""
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count("*").alias("nxy"))
+        .localCheckpoint()
+    )
+    tx = c.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    ty = c.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = c.agg(F.sum("nxy").alias("n"))
+    terms = (
+        c.join(F.broadcast(tx), "x")
+        .join(F.broadcast(ty), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nxy",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") * F.col("nxy"))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("l6"),
+        )
+    )
+    return terms.agg(
+        F.max("n").alias("n_rows"),
+        F.count("*").alias("n_cells"),
+        F.round(
+            F.sum(F.col("nxy") * F.col("l6")).cast("double")
+            / F.max("n").cast("double"),
+            6,
+        ).alias("mi_nats"),
+    )
+
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT tok, count(*) AS cnt
+  FROM documents,
+       unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(tok)
+  GROUP BY tok),
+r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+  FROM toks ORDER BY cnt DESC, tok LIMIT 500),
+xy AS (
+  SELECT CAST(round(ln(rnk) * 1000000.0, 0) AS BIGINT) AS x6,
+         CAST(round(ln(cnt) * 1000000.0, 0) AS BIGINT) AS y6
+  FROM r),
+s AS (
+  SELECT count(*) AS n, sum(x6) AS sx, sum(y6) AS sy,
+         sum(x6 * y6) AS sxy, sum(x6 * x6) AS sxx
+  FROM xy)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+FROM s
+"""
+
+
+@register("zipf_fit_tokens", _ZIPF_ORACLE)
+def q_zipf_fit_tokens(spark, sf_dir):
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) for the top-500 tokens — the corpus-
+    health diagnostic (natural text ~ -1; templated/boilerplate
+    corpora flatten) beside `token_entropy` and `repetition_ratio`.
+
+    Numeric discipline: ln(rank) / ln(count) are integers in micro-nat
+    units (round(ln * 1e6)), so all five OLS sums are exact; the
+    closed-form slope (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is combined in
+    DECIMAL(38,0) (the cross products overflow int64 at n=500) with
+    ONE double division at the end — no engine's regr_slope
+    implementation details involved.
+
+    Scale shape: token counts are one map-side-combined groupBy
+    (vocab-sized output); the top-500 cut is TakeOrdered (no global
+    sort materialization) and the rank window runs over exactly 500
+    rows, so the lint's bounded-frame rule holds structurally."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(500)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    xy = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.round(F.log("rnk") * 1e6, 0).cast("bigint").alias("x6"),
+        F.round(F.log("cnt") * 1e6, 0).cast("bigint").alias("y6"),
+    )
+    s = xy.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x6").cast("decimal(38,0)").alias("sx"),
+        F.sum("y6").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_ranks"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+_CALIB_ORACLE = """
+WITH s AS (
+  SELECT round(1.0 / (1.0 + exp(-(o_totalprice - 150000.0) / 50000.0)),
+               6) AS score,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders),
+b AS (
+  SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+         CAST(score AS DECIMAL(9, 6)) AS s6, y
+  FROM s)
+SELECT bin,
+       count(*) AS n,
+       round(CAST(sum(s6) AS DOUBLE) / count(*), 6) AS mean_score,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register("calibration_bins", _CALIB_ORACLE)
+def q_calibration_bins(spark, sf_dir):
+    """Model-calibration reliability table: a deterministic logistic
+    score over order value, bucketed into 10 equal-width probability
+    bins, each reporting predicted (mean score) vs observed (positive
+    rate, positive = fulfilled order) — the eval that catches a
+    classifier whose AUC is fine but whose probabilities aren't
+    (pairs with `roc_auc_cosine`: ranking vs calibration).
+
+    Numeric discipline: the single transcendental (exp) is rounded to
+    6 dp per row and that ROUNDED score drives both the binning
+    (floor(score*10), identical on both engines) and the per-bin mean
+    (DECIMAL(9,6) sum — exact, order-free; one division per bin).
+
+    Scale shape: score and bin are scan-side projections (whole-stage
+    codegen); ONE map-side-combined groupBy on a 10-value key."""
+    o = _t(spark, sf_dir, "orders")
+    score = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.col("o_totalprice") - 150000.0) / 50000.0)),
+        6,
+    )
+    b = o.select(
+        F.least(F.floor(score * 10).cast("int"), F.lit(9)).alias("bin"),
+        score.cast("decimal(9,6)").alias("s6"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("s6").cast("double") / F.count("*"), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.sum("y").cast("double") / F.count("*"), 6).alias(
+                "frac_pos"
+            ),
+        )
+        .orderBy("bin")
+    )

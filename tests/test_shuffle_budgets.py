@@ -472,6 +472,18 @@ BUDGETS = {
     # single-partition windows/aggs over the span-bounded curve frame
     # (≤1 row per duration-hour) — slim by construction
     "kaplan_meier_conversion": 9,
+    # salted two-phase top-k: (probe,salt) window + probe window; the
+    # final agg reuses the probe partitioning
+    "ndcg_at_k": 2,
+    # marginals/total/final all re-aggregate the checkpointed 15-row
+    # cell table — tiny shuffles; the one corpus shuffle is the
+    # checkpointed (x,y) groupBy
+    "mutual_information_features": 4,
+    # vocab-sized count groupBy; top-500 is TakeOrdered and the rank
+    # window runs over exactly 500 rows
+    "zipf_fit_tokens": 1,
+    # scan-side score projection, 10-key groupBy + ORDER BY bin
+    "calibration_bins": 2,
 }
 
 
