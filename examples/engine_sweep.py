@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Engine-only full-registry sweep at any scale factor — the scale
+smoke test::
+
+    python examples/engine_sweep.py [sf_dir] [ceiling_sec]
+
+Runs EVERY ``queries()`` entry end-to-end through the noop sink (no
+DuckDB oracle, no driver-side collect) and reports per-query wall
+time, sorted slowest-first.  This is the cheap half of
+``verify_all.py`` for SFs where the deliberately naive oracles are
+super-linear (sf10's 60M-row lineitem makes a recursive-CTE oracle
+infeasible, but the engine side should stay sub-linear everywhere).
+
+The sf3 oracle sweep caught three scale bugs whose symptom was WALL
+TIME, not wrong answers (single-task grid explode, LSH bucket
+straggler, driver OOM on a corpus-sized collect) — this sweep detects
+exactly that class at any SF in minutes.  Queries slower than the
+ceiling (default 120 s) are listed as FLAGged and exit code 1, so a
+scheduled run fails loudly when a plan regresses at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf10"
+    ceiling = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+
+    from sparkplans.session import EngineOptions, build_session
+    import sparkplans.queries as Q
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = build_session(
+        EngineOptions(
+            target_partitions=cpus,
+            extra_conf={
+                "spark.driver.memory": os.environ.get(
+                    "SPARK_GRAFT_DRIVER_MEM", "16g"
+                )
+            },
+        ),
+        app_name="sparkplans-engine-sweep",
+        master=f"local[{cpus}]",
+    )
+
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n
+    }
+    names = sorted(only or Q.queries())
+
+    # warm footers once so timings measure queries, not session startup
+    Q.REGISTRY["agg_count_star"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            Q.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 — sweep must finish
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        print(
+            f"{name}: {timings.get(name, 'ERR')}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    flagged = {n: s for n, s in timings.items() if s > ceiling}
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_queries": len(names),
+                "total_sec": round(sum(timings.values()), 1),
+                "slowest": dict(
+                    sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+                ),
+                "flagged_over_ceiling": flagged,
+                "errors": errors,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if (flagged or errors) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
