@@ -61,6 +61,13 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    def _alive(s) -> bool:
+        try:
+            s.range(1).count()
+            return True
+        except Exception:
+            return False
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -72,6 +79,27 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # noqa: BLE001 — sweep must finish
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            # A heap OOM kills the whole local JVM; without a fresh
+            # session every later query would report a phantom error
+            # (observed on the first sf10 sweep).  Rebuild and move on
+            # so one fatal query costs one data point, not the sweep.
+            if not _alive(spark):
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = build_session(
+                    EngineOptions(
+                        target_partitions=cpus,
+                        extra_conf={
+                            "spark.driver.memory": os.environ.get(
+                                "SPARK_GRAFT_DRIVER_MEM", "16g"
+                            )
+                        },
+                    ),
+                    app_name="sparkplans-engine-sweep",
+                    master=f"local[{cpus}]",
+                )
         print(
             f"{name}: {timings.get(name, 'ERR')}",
             file=sys.stderr,

@@ -31,9 +31,25 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 RELIABLE_FLAG = "spark.sparkplans.reliableCheckpoints"
 DIR_KEY = "spark.sparkplans.checkpointDir"
+STORAGE_KEY = "spark.sparkplans.materializeStorage"
+
+# localCheckpoint's stock storage level keeps DESERIALIZED rows in
+# the unified memory store; its unroll-size estimates are loose
+# enough that a corpus-sized frame (25M tokenized rows at sf10) can
+# OOM the executor heap before the spill path engages — observed:
+# bigram_lm_scores killed a 16g local[32] JVM at sf10.  Serialized
+# storage accounts exact bytes per batch and spills incrementally, so
+# it is the safe default; `disk` removes the memory store from the
+# equation entirely for one local write+read.
+_LEVELS = {
+    "memory_deser": StorageLevel.MEMORY_AND_DISK_DESER,
+    "memory_ser": StorageLevel.MEMORY_AND_DISK,
+    "disk": StorageLevel.DISK_ONLY,
+}
 
 
 def reliable_enabled(spark) -> bool:
@@ -64,11 +80,20 @@ def _ensure_checkpoint_dir(spark) -> None:
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut lineage and materialize ``df`` once for multiple consumers.
 
-    ``localCheckpoint(eager)`` by default; a reliable ``checkpoint``
-    to distributed storage when ``spark.sparkplans.reliableCheckpoints``
-    is true (see module docstring for the trade)."""
+    ``localCheckpoint(eager)`` by default — at the SERIALIZED
+    memory+disk level (see ``_LEVELS``: exact byte accounting,
+    incremental spill; ``spark.sparkplans.materializeStorage`` picks
+    ``memory_ser`` (default) / ``disk`` / ``memory_deser``) — or a
+    reliable ``checkpoint`` to distributed storage when
+    ``spark.sparkplans.reliableCheckpoints`` is true (see module
+    docstring for the trade)."""
     spark = df.sparkSession
     if reliable_enabled(spark):
         _ensure_checkpoint_dir(spark)
         return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    try:
+        key = spark.conf.get(STORAGE_KEY, "memory_ser")
+    except Exception:
+        key = "memory_ser"
+    level = _LEVELS.get((key or "memory_ser").lower(), _LEVELS["memory_ser"])
+    return df.localCheckpoint(eager=eager, storageLevel=level)
