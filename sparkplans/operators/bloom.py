@@ -85,24 +85,54 @@ def bloom_build(
     One distributed pass: explode each value to its k (byte, mask)
     pairs, ``bit_or`` by byte.  Partial aggregation ORs masks map-side,
     so the shuffle is bounded by the filter size, not the data.
+
+    The driver never loops over per-byte rows: the (byte, mask) rows
+    are assembled into 1 MiB binary chunks EXECUTOR-side (Arrow-batched
+    ``applyInPandas``, one numpy scatter per chunk) and the driver
+    collects ``ceil(num_bits / 2^23)`` chunk rows — a corpus-sized
+    filter (sf10 decontamination sizes 2^30 bits = 128 MiB) arrives as
+    ~128 rows instead of the up-to-128M per-byte rows that OOM'd the
+    driver on the first sf10 sweep.
     """
     if num_bits % 8:
         raise ValueError("num_bits must be a multiple of 8")
+    import numpy as np
+    import pandas as pd
+
     pairs = [
         F.struct(*(lambda b_m: (b_m[0].alias("b"), b_m[1].alias("m")))(
             _byte_mask(p)
         ))
         for p in _positions(F.col(col), num_bits, num_hashes, seed)
     ]
+    chunk_bytes = 1 << 20
+    n_bytes = num_bits // 8
     sparse = (
         df.select(F.explode(F.array(*pairs)).alias("p"))
         .groupBy(F.col("p.b").alias("b"))
         .agg(F.bit_or("p.m").alias("mask"))
+        .select(
+            F.shiftright("b", 20).alias("chunk"),
+            F.pmod("b", F.lit(chunk_bytes)).cast("int").alias("off"),
+            F.col("mask").cast("int").alias("mask"),
+        )
+    )
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        size = min(chunk_bytes, n_bytes - int(key[0]) * chunk_bytes)
+        arr = np.zeros(size, dtype=np.uint8)
+        arr[pdf["off"].to_numpy()] = pdf["mask"].to_numpy().astype(np.uint8)
+        return pd.DataFrame({"chunk": [int(key[0])], "data": [arr.tobytes()]})
+
+    chunks = (
+        sparse.groupBy("chunk")
+        .applyInPandas(_assemble, "chunk long, data binary")
         .collect()
     )
-    buf = bytearray(num_bits // 8)
-    for r in sparse:
-        buf[int(r["b"])] = int(r["mask"])
+    buf = bytearray(n_bytes)
+    for r in chunks:
+        start = int(r["chunk"]) * chunk_bytes
+        buf[start : start + len(r["data"])] = r["data"]
     return bytes(buf)
 
 

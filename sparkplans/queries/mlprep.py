@@ -776,7 +776,10 @@ def q_bloom_prefilter_dedup(spark, sf_dir):
     from sparkplans.queries import _rowcount
 
     n_est = max(64, _rowcount(sf_dir, "documents") // 2)
-    num_bits = ((n_est * 16 + 63) // 64) * 64
+    # same plan-literal cap as bloom_decontamination (one item per doc
+    # here, so it binds only past ~8M docs; FP degrades gracefully and
+    # the anti-join verify keeps the result exact regardless)
+    num_bits = min(((n_est * 16 + 63) // 64) * 64, 1 << 27)
     words = bloom_build(seen, "fingerprint", num_bits=num_bits)
 
     batch = fp.filter(F.col("doc_id") % 2 == 1)
@@ -863,15 +866,21 @@ def q_bloom_decontamination(spark, sf_dir):
     # the distinct train grams once — tokenize/shingle/distinct run one
     # time, the stand-in for the persisted gram index a production
     # decontamination deployment maintains.
-    train_grams = (
-        g.filter(F.col("split") == "train")
-        .select("gram")
-        .distinct()
-        .localCheckpoint(eager=True)
+    train_grams = materialize(
+        g.filter(F.col("split") == "train").select("gram").distinct()
     )
-    # ~128 distinct grams per doc at 16 bits/item, sized from footers.
+    # ~128 distinct grams per doc at 16 bits/item, sized from footers —
+    # CAPPED at 2^27 bits (16 MiB).  The filter rides the plan as one
+    # binary literal that every task deserializes; an uncapped
+    # corpus-proportional filter (sf10 sizes 2^30 bits = 128 MiB)
+    # multiplies across 32 concurrent tasks and OOMs the executor
+    # heap.  Past the cap the FP rate degrades gracefully (~6% at
+    # sf10's 23M distinct grams) — false positives only add rows to
+    # the exact-verify join, never wrong answers; a 100 TB deployment
+    # that needs sub-1% FP at billions of grams would shard the filter
+    # by gram-hash range instead of growing one literal.
     n_est = max(1024, _rowcount(sf_dir, "documents") * 128)
-    num_bits = ((n_est * 16 + 63) // 64) * 64
+    num_bits = min(((n_est * 16 + 63) // 64) * 64, 1 << 27)
     words = bloom_build(train_grams, "gram", num_bits=num_bits)
     probed = g.filter(F.col("split") == "test").withColumn(
         "bloom_hit", bloom_member("gram", words)
