@@ -403,11 +403,15 @@ def q_edit_distance_near_dups(spark, sf_dir):
         )
         .dropDuplicates(["left_id", "right_id"])
     )
+    # 3-arg levenshtein runs the banded DP (O(threshold·len), early
+    # exit) and returns -1 past the threshold — exact distance for
+    # every surviving pair, ~3x less DP work per candidate than the
+    # full 48x48 matrix at sf10's candidate volume.
     return cand.select(
         "left_id",
         "right_id",
-        F.levenshtein("pa", "pb").alias("edit_distance"),
-    ).filter(F.col("edit_distance") <= 16)
+        F.levenshtein("pa", "pb", 16).alias("edit_distance"),
+    ).filter(F.col("edit_distance") >= 0)
 
 
 @register(
