@@ -646,39 +646,70 @@ def embedding_near_dup_pairs(
         F.col("__t.ti").alias("__ti"),
         F.col("__t.tj").alias("__tj"),
     )
-    a = rep.select(
-        "bucket",
-        "__ti",
-        "__tj",
-        F.col("__g").alias("__ga"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("__n").alias("na"),
-    )
-    b = rep.select(
-        "bucket",
-        "__ti",
-        "__tj",
-        F.col("__g").alias("__gb"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("__n").alias("nb"),
-    )
-    owned = (
-        (F.col("__ga") == F.col("__ti")) & (F.col("__gb") == F.col("__tj"))
-    ) | ((F.col("__ga") == F.col("__tj")) & (F.col("__gb") == F.col("__ti")))
-    return (
-        a.join(b, ["bucket", "__ti", "__tj"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(owned)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot("va", "vb") / (F.col("na") * F.col("nb")), 6
-            ).alias("cos_sim"),
+    # Each (bucket, ti, tj) cell scores its pair block as ONE BLAS
+    # matmul (Arrow-batched applyInPandas — the same sanctioned
+    # numpy-for-matmul exception as fit_pca): rows with g==ti form the
+    # A block, g==tj the B block, and (A/||a||) @ (B/||b||).T scores
+    # every owned pair at once.  The previous formulation joined the
+    # two block relations and evaluated one codegen'd fold per pair —
+    # correct, but 5.8 µs/pair: at sf10 (~930M candidate pairs) the
+    # scoring stage alone pinned 32 cores for over an hour; the BLAS
+    # block path does the identical arithmetic at memory bandwidth.
+    # Cosines are rounded to 6 dp BEFORE thresholding on both paths
+    # (and in the DuckDB oracle), which absorbs summation-order ulps.
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def _score_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(key[1]), int(key[2])
+        a_rows = pdf[pdf["__g"] == ti]
+        b_rows = pdf[pdf["__g"] == tj] if tj != ti else a_rows
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
         )
-        .filter(F.col("cos_sim") >= threshold)
+        if not len(a_rows) or not len(b_rows):
+            return empty
+        A = np.stack(a_rows["__v"].to_numpy()).astype(np.float64)
+        B = np.stack(b_rows["__v"].to_numpy()).astype(np.float64)
+        ids_a = a_rows["__id"].to_numpy()
+        ids_b = b_rows["__id"].to_numpy()
+        S = np.round(
+            (A @ B.T)
+            / np.outer(a_rows["__n"].to_numpy(), b_rows["__n"].to_numpy()),
+            6,
+        )
+        ia, ib = np.nonzero(S >= thr)
+        if not len(ia):
+            return empty
+        id1, id2 = ids_a[ia], ids_b[ib]
+        if ti == tj:
+            # diagonal cell holds the full gram: keep one orientation
+            keep = id1 < id2
+        else:
+            # cross cell: each unordered pair appears exactly once
+            keep = id1 != id2
+        lo = np.minimum(id1[keep], id2[keep])
+        hi = np.maximum(id1[keep], id2[keep])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": S[ia[keep], ib[keep]]}
+        )
+
+    return (
+        rep.select(
+            "bucket",
+            "__ti",
+            "__tj",
+            "__g",
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            "__n",
+        )
+        .groupBy("bucket", "__ti", "__tj")
+        .applyInPandas(_score_cell, "id_a long, id_b long, cos_sim double")
     )
 
 

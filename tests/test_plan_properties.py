@@ -152,6 +152,11 @@ def test_no_python_in_any_query_hot_path(spark):
         # bin packing is sequential decision logic — the numpy FFD
         # inside applyInPandas is the idiomatic Spark plan for it
         "ffd_sequence_packing",
+        # per-cell pair scoring is one BLAS matmul per triangle cell;
+        # the codegen'd per-pair fold it replaced cost 5.8 µs/pair and
+        # pinned 32 cores for an hour at sf10's ~930M candidate pairs
+        # (same matmul-heavy exception as fit_pca's moment pass)
+        "embedding_near_dups",
     }
     offenders = []
     for name, spec in sorted(Q.REGISTRY.items()):
