@@ -68,9 +68,38 @@ def main() -> int:
         except Exception:
             return False
 
+    def _fresh_session(old):
+        try:
+            old.stop()
+        except Exception:
+            pass
+        return build_session(
+            EngineOptions(
+                target_partitions=cpus,
+                extra_conf={
+                    "spark.driver.memory": os.environ.get(
+                        "SPARK_GRAFT_DRIVER_MEM", "16g"
+                    )
+                },
+            ),
+            app_name="sparkplans-engine-sweep",
+            master=f"local[{cpus}]",
+        )
+
+    import gc
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        # localCheckpoint blocks from prior queries stay pinned in the
+        # unified memory store until their Python DataFrame refs are
+        # collected; across a couple hundred corpus-sized queries the
+        # storage pool starves execution and the JVM GC-thrashes
+        # (observed: a 58 s query straggling >15 min late in a sweep).
+        # Collect per query, recycle the whole session every 25.
+        gc.collect()
+        if i and i % 25 == 0:
+            spark = _fresh_session(spark)
         t0 = time.perf_counter()
         try:
             Q.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -84,22 +113,7 @@ def main() -> int:
             # (observed on the first sf10 sweep).  Rebuild and move on
             # so one fatal query costs one data point, not the sweep.
             if not _alive(spark):
-                try:
-                    spark.stop()
-                except Exception:
-                    pass
-                spark = build_session(
-                    EngineOptions(
-                        target_partitions=cpus,
-                        extra_conf={
-                            "spark.driver.memory": os.environ.get(
-                                "SPARK_GRAFT_DRIVER_MEM", "16g"
-                            )
-                        },
-                    ),
-                    app_name="sparkplans-engine-sweep",
-                    master=f"local[{cpus}]",
-                )
+                spark = _fresh_session(spark)
         print(
             f"{name}: {timings.get(name, 'ERR')}",
             file=sys.stderr,
