@@ -1094,10 +1094,19 @@ def q_gap_fill_linear(spark, sf_dir):
         .orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wfut = (
+    # The forward neighbor is a RUNNING frame over hr DESC, not a
+    # (currentRow, unboundedFollowing) frame over hr ASC: Spark's
+    # UnboundedFollowing frame implementation rescans current-row→end
+    # for EVERY row — O(rows²) per user partition, observed as 265 s
+    # vs the LOCF twin's 28.5 s at sf10's 720-hour grids.  last() over
+    # the reversed running frame returns the identical value
+    # (first non-null at-or-after == last non-null at-or-before in
+    # reverse order, both frames include the current row) in O(rows),
+    # at the cost of one extra in-partition sort — no extra exchange.
+    wfut_rev = (
         Window.partitionBy("user_id")
-        .orderBy("hr")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("hr").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_hr = F.when(F.col("avg_v").isNotNull(), F.col("hr"))
     x = j.select(
@@ -1106,8 +1115,8 @@ def q_gap_fill_linear(spark, sf_dir):
         "avg_v",
         F.last("avg_v", ignorenulls=True).over(wpast).alias("pv"),
         F.last(obs_hr, ignorenulls=True).over(wpast).alias("phr"),
-        F.first("avg_v", ignorenulls=True).over(wfut).alias("nv"),
-        F.first(obs_hr, ignorenulls=True).over(wfut).alias("nhr"),
+        F.last("avg_v", ignorenulls=True).over(wfut_rev).alias("nv"),
+        F.last(obs_hr, ignorenulls=True).over(wfut_rev).alias("nhr"),
     )
     sec = lambda c: F.unix_timestamp(F.col(c)).cast("bigint")  # noqa: E731
     blend = F.col("pv") + (F.col("nv") - F.col("pv")) * (
