@@ -26,6 +26,7 @@ word the training corpus has seen.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from sparkplans.materialize import materialize
 
 
 def _char_split(col) -> F.Column:
@@ -83,7 +84,7 @@ def bpe_train(
     vocab = (
         _word_freq(docs, text_col)
         .withColumn("symbols", _char_split(F.col("word")))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     merges: list = []
     for _ in range(num_merges):
@@ -121,7 +122,7 @@ def bpe_train(
         merges.append((a, b, w))
         vocab = vocab.withColumn(
             "symbols", _merge_fold(F.col("symbols"), a, b)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     return merges, vocab
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from sparkplans.functions.text import doc_fingerprint
+from sparkplans.materialize import materialize
 
 # MinHash modulus: largest 31-bit prime; keeps a*h+b < 2^62 (no
 # overflow under ANSI mode) for a < 2^31.
@@ -238,10 +239,10 @@ def connected_components(
         e1.select(F.col("src").alias("node"))
         .unionByName(e1.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     edges = (
-        e1.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+        e1.filter(F.col("src") != F.col("dst")).distinct().transform(materialize)
     )
 
     def _adj(e: DataFrame) -> DataFrame:
@@ -274,7 +275,7 @@ def connected_components(
 
     converged = False
     for _ in range(max_iter):
-        new = _star(_star(edges, large=True), large=False).localCheckpoint()
+        new = _star(_star(edges, large=True), large=False).transform(materialize)
         # fixed point = identical edge sets (both are distinct sets)
         if (
             new.count() == edges.count()
@@ -362,7 +363,7 @@ def near_dup_pairs(
     for every one of the three places the verify references it (same
     lineage-cut discipline as connected_components and ivf_build)."""
     wide = minhash_wide(df, text_col, id_col, num_perm, shingle_n)
-    cand = lsh_candidate_pairs_wide(wide, id_col, num_perm, bands).localCheckpoint()
+    cand = lsh_candidate_pairs_wide(wide, id_col, num_perm, bands).transform(materialize)
     return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
@@ -513,7 +514,7 @@ def prefix_filter_pairs(
             "probe_len",
             F.col("n_tok") - _ceil(F.lit(probe_frac) * F.col("n_tok")) + 1,
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     # One posexplode serves both roles: rows with pos < probe_len are
     # the (shorter-side) probe prefix, all rows are the index prefix.

@@ -15,6 +15,7 @@ join reuses the same partitioning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from sparkplans.materialize import materialize
 
 
 def pagerank(
@@ -42,16 +43,16 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     n_total = nodes.count()
     if n_total == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # edges annotated once; reused every iteration
-    e_deg = e.join(outdeg, "src").localCheckpoint()
+    e_deg = e.join(outdeg, "src").transform(materialize)
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total)).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total)).transform(materialize)
     for _ in range(iterations):
         with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
         dangling = (
@@ -75,7 +76,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
     return ranks
 
@@ -118,13 +119,13 @@ def label_propagation(
     e = (
         sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     for _ in range(iterations):
         nbr = e.join(labels, e.b == labels.node).select(
@@ -135,7 +136,7 @@ def label_propagation(
             votes.groupBy("node")
             .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
             .select("node", (-F.col("m.nl")).alias("label"))
-            .localCheckpoint()
+            .transform(materialize)
         )
     return labels
 
@@ -163,7 +164,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))

@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from sparkplans.materialize import materialize
 
 
 def salted_join(
@@ -81,7 +82,7 @@ def skew_report(df, key: str):
     counts = (
         df.groupBy(key)
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     return counts.agg(
         F.sum("cnt").cast("bigint").alias("n_rows"),

@@ -146,7 +146,7 @@ def q_temperature_mixture_weights(spark, sf_dir):
         # the mixing table and its total both derive from this 20-row
         # frame; materialize it once so the corpus is scanned once,
         # not once per consumer
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     w = pc.select(
         "source",
@@ -369,7 +369,7 @@ def q_roc_auc_cosine(spark, sf_dir):
             F.sum("y").alias("np_s"),
             F.sum(F.lit(1) - F.col("y")).alias("nn_s"),
         )
-        .localCheckpoint(eager=True)  # feeds quantiles, offsets, final
+        .transform(materialize)  # feeds quantiles, offsets, final
     )
     n_buckets = max(spark.sparkContext.defaultParallelism, 2)
     bounds = sorted(
@@ -569,7 +569,7 @@ def q_ccnet_perplexity_buckets(spark, sf_dir):
     dt = (
         toks.groupBy("doc_id", "lang", "tok")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)  # feeds vocabulary AND scoring
+        .transform(materialize)  # feeds vocabulary AND scoring
     )
     freq = dt.groupBy("tok").agg(F.sum("c").alias("cnt"))
     tot = freq.agg(F.sum("cnt").alias("t"))
@@ -674,7 +674,7 @@ def q_token_budget_epochs(spark, sf_dir):
         )
         .groupBy("source")
         .agg(F.sum("nt").cast("bigint").alias("n"))
-        .localCheckpoint(eager=True)  # 20-row frame feeding 3 consumers
+        .transform(materialize)  # 20-row frame feeding 3 consumers
     )
     caps = pc.select("source", "n", (F.lit(4) * F.col("n")).alias("cap"))
     tot = caps.agg(
@@ -934,7 +934,7 @@ def q_cms_token_counts(spark, sf_dir):
     # One tokenize pass feeds both the sketch build and the exact
     # top-20 (the sketch is the scale artifact; the exact side is the
     # oracle's half of the tolerance contract).
-    toks = toks.localCheckpoint(eager=True)
+    toks = toks.transform(materialize)
     cms = cms_build(toks, "tok", depth=4, width=4096)
     top = (
         toks.groupBy("tok")
@@ -1212,7 +1212,7 @@ def q_mixture_epoch_sample(spark, sf_dir):
         .agg(F.sum("nt").alias("src_tokens"))
         # 20-row mixing state feeds the max AND the rate table;
         # materialize once so the corpus is counted once, not twice
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     mx = per_src.agg(F.max("src_tokens").alias("max_tokens"))
     rates = per_src.crossJoin(F.broadcast(mx)).select(
@@ -1707,7 +1707,7 @@ def q_mutual_information_features(spark, sf_dir):
             F.col("o_orderstatus").alias("y"),
         )
         .agg(F.count("*").alias("nxy"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     tx = c.groupBy("x").agg(F.sum("nxy").alias("nx"))
     ty = c.groupBy("y").agg(F.sum("nxy").alias("ny"))

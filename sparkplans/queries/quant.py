@@ -240,7 +240,7 @@ def q_revenue_gini(spark, sf_dir):
         o.groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
         .withColumn("sd", F.col("s").cast("double"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_buckets = max(spark.sparkContext.defaultParallelism, 2)
     bounds = sorted(
@@ -382,7 +382,7 @@ def q_psi_value_drift(spark, sf_dir):
             F.sum(F.when(F.col("half") == "a", F.col("n")).otherwise(0)).alias("na"),
             F.sum(F.when(F.col("half") == "b", F.col("n")).otherwise(0)).alias("nb"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     t = p.groupBy().agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
     ra = F.col("na").cast("double") / F.col("ta")
@@ -452,7 +452,7 @@ def q_ks_doc_length_drift(spark, sf_dir):
                 F.when(F.col("source") == "src1", F.col("n")).otherwise(0)
             ).alias("nb"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tot = g.groupBy().agg(
         F.sum("na").alias("ta"), F.sum("nb").alias("tb")
@@ -849,7 +849,7 @@ def q_source_vocab_jaccard(spark, sf_dir):
             ).alias("tok"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sz = st.groupBy("source").agg(F.count("*").alias("n"))
     a = st.select(F.col("source").alias("source_a"), "tok")
@@ -1202,7 +1202,7 @@ def q_event_dow_chisq(spark, sf_dir):
     o = (
         ev.groupBy("event_type", (F.weekday("ts") + 1).alias("dow"))
         .agg(F.count("*").alias("obs"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )  # types×7 rows; the corpus aggregates ONCE across the 4 branches
     m = o.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
     d = o.groupBy("dow").agg(F.sum("obs").alias("col_tot"))

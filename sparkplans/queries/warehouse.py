@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sparkplans.queries import _shared_sql, _t, _t_cpu, register
+from sparkplans.materialize import materialize
 
 
 # ---------------------------------------------------------------------
@@ -539,7 +540,7 @@ def q_rfm_segments(spark, sf_dir):
             F.count("*").alias("freq"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     maxd = c.agg(F.max("last_order")).collect()[0][0]
     r = c.select(
@@ -547,7 +548,7 @@ def q_rfm_segments(spark, sf_dir):
         "freq",
         F.col("mon").cast("double").alias("mon_d"),
         F.datediff(F.lit(maxd), F.col("last_order")).alias("rec"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     qrow = r.agg(
         *[
             F.round(F.expr(f"percentile({col}, {p})"), 6).alias(f"{col}_{i}")
