@@ -816,9 +816,15 @@ def q_multi_fact_join(spark, sf_dir):
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(18,2)")
+    # The SHUFFLE_HASH hint marks the BUILD side: it must be orders
+    # (the smaller fact), not lineitem — building the 60M-row side's
+    # per-partition hash map exhausted the task memory slice at sf10
+    # ("Can't acquire 128MB to build hash relation" across 32
+    # concurrent builds).  Probe-the-bigger-side is also what AQE
+    # picks on a cluster; SMJ remains the spill-safe fallback the
+    # fact-broadcast guard test pins when hints are ignored.
     j = (
-        li.hint("shuffle_hash")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
     )
     return j.groupBy("o_orderpriority", "l_returnflag").agg(
