@@ -657,6 +657,9 @@ def embedding_near_dup_pairs(
     # block path does the identical arithmetic at memory bandwidth.
     # Cosines are rounded to 6 dp BEFORE thresholding on both paths
     # (and in the DuckDB oracle), which absorbs summation-order ulps.
+    # Trade, measured: at sf0.1 (small cells) the Arrow round trip
+    # costs ~2.6 s the codegen fold didn't — the price of being
+    # 100×+ faster where it matters (sf10: >75 min → 39 s).
     import numpy as np
     import pandas as pd
 
