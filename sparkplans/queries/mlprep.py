@@ -467,36 +467,55 @@ def q_semantic_decontamination(spark, sf_dir):
     knn_brute_force expression), and max() over an identical rounded
     set is order-free, so both engines agree bit-for-bit.
 
-    Scale: eval sets are small by nature, so the probe side BROADCASTS
-    and the corpus is scanned once with a map-side partial max — one
-    groupBy(vec_id) shuffle of (id, sim) pairs, no corpus self-join.
-    Both sides' L2 norms are hoisted out of the pair loop (computed
-    once per row, not once per pair — the probes×corpus loop is 324M
-    pairs at sf3; dot/(nc*np) is the identical IEEE expression
-    cosine_similarity evaluates, so results are bit-identical: 3x
-    fewer higher-order-function folds in the hot loop).  At very
-    large eval sets, swap the broadcast for the LSH-bucketed
-    candidate path (embedding_near_dups)."""
-    from sparkplans.functions.vectors import dot, l2_norm
+    Scale: eval sets are small by nature, so the probe matrix is
+    model state (like IVF centroids): collected once (KB–MB), shipped
+    inside the Arrow UDF closure, and each corpus partition scores
+    ALL its probes as chunked BLAS matmuls in ``mapInPandas`` — the
+    per-row max needs no groupBy, so the whole query is ZERO
+    exchanges.  This replaced the broadcast-join + per-pair codegen
+    fold (324M pairs at sf3, 3.6B at sf10) after the sf10 sweep
+    showed the fold's per-pair cost dominating the twin query
+    `embedding_near_dups`; chunking (512 corpus rows × all probes)
+    bounds each task's transient score block.  Cosines are rounded
+    to 6 dp before the max, identical to the oracle.  At very large
+    eval sets, swap for the LSH-bucketed candidate path
+    (embedding_near_dups)."""
+    import numpy as np
+    import pandas as pd
 
     e = _t_cpu(spark, sf_dir, "embeddings")
-    probes = (
-        e.filter(F.col("label") == 9)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("p"))
-        .withColumn("np_", l2_norm("p"))
+    probe_rows = (
+        e.filter(F.col("label") == 9).select("embedding").collect()
     )
-    corpus = e.filter(F.col("label") != 9).withColumn(
-        "nc_", l2_norm("embedding")
-    )
-    sims = corpus.join(F.broadcast(probes)).select(
-        "vec_id",
-        F.round(
-            dot("embedding", "p") / (F.col("nc_") * F.col("np_")), 6
-        ).alias("s"),
-    )
-    return sims.groupBy("vec_id").agg(
-        F.max("s").alias("max_sim"),
-        (F.max("s") >= 0.35).cast("int").alias("contaminated"),
+    out_schema = "vec_id long, max_sim double, contaminated int"
+    if not probe_rows:
+        # max over an empty probe set: the old probes-join produced
+        # zero rows, so the empty frame is the contract
+        return spark.createDataFrame([], out_schema)
+    P = np.stack([r["embedding"] for r in probe_rows]).astype(np.float64)
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            out = np.empty(len(ids))
+            for lo in range(0, len(ids), 512):
+                S = np.round(Xn[lo : lo + 512] @ Pn.T, 6)
+                out[lo : lo + 512] = S.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "max_sim": out,
+                    "contaminated": (out >= 0.35).astype("int32"),
+                }
+            )
+
+    return (
+        e.filter(F.col("label") != 9)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, out_schema)
     )
 
 

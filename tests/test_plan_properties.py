@@ -157,6 +157,10 @@ def test_no_python_in_any_query_hot_path(spark):
         # pinned 32 cores for an hour at sf10's ~930M candidate pairs
         # (same matmul-heavy exception as fit_pca's moment pass)
         "embedding_near_dups",
+        # probes are collected model state; each corpus partition
+        # scores all of them as chunked matmuls — zero exchanges,
+        # replacing the 3.6B-pair codegen fold at sf10
+        "semantic_decontamination",
     }
     offenders = []
     for name, spec in sorted(Q.REGISTRY.items()):
