@@ -104,6 +104,17 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Quiet-bench protocol: record the 1-min load average around the
+    # run so a reader can attribute round-over-round deltas to machine
+    # noise vs real regressions (BENCH_r03's driver run was taken at
+    # ambient load and read 27% slower than a quiet re-run of the
+    # identical slate).  min-of-3 below already filters transient
+    # spikes within a query; the load field exposes sustained ones.
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
+
     opts = EngineOptions(target_partitions=cpus)
     spark = build_session(opts, app_name="sparkplans-bench", master=f"local[{cpus}]")
 
@@ -124,6 +135,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
     print(
         json.dumps(
             {
@@ -132,6 +147,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # ambient 1-min load average before the session started
+                # and after the slate finished (the during-run value is
+                # dominated by the bench's own 32 threads); reps is the
+                # min-of-N count each per-query number survived
+                "load": {"start_1m": load_start, "end_1m": load_end},
+                "reps": 3,
             }
         )
     )

@@ -300,7 +300,7 @@ class Engine:
                     version=int(ver)
                 ).createOrReplaceTempView(view)
                 query = _re.sub(
-                    rf"\b{name}\s+VERSION\s+AS\s+OF\s+{ver}\b",
+                    rf"\b{_re.escape(name)}\s+VERSION\s+AS\s+OF\s+{_re.escape(ver)}\b",
                     view, query, flags=_re.IGNORECASE,
                 )
         return self.spark.sql(query)

@@ -36,6 +36,7 @@ from pyspark.storagelevel import StorageLevel
 RELIABLE_FLAG = "spark.sparkplans.reliableCheckpoints"
 DIR_KEY = "spark.sparkplans.checkpointDir"
 STORAGE_KEY = "spark.sparkplans.materializeStorage"
+ADAPTIVE_BYTES_KEY = "spark.sparkplans.materializeAdaptiveBytes"
 
 # localCheckpoint's stock storage level keeps DESERIALIZED rows in
 # the unified memory store; its unroll-size estimates are loose
@@ -43,13 +44,42 @@ STORAGE_KEY = "spark.sparkplans.materializeStorage"
 # OOM the executor heap before the spill path engages — observed:
 # bigram_lm_scores killed a 16g local[32] JVM at sf10.  Serialized
 # storage accounts exact bytes per batch and spills incrementally, so
-# it is the safe default; `disk` removes the memory store from the
-# equation entirely for one local write+read.
+# it is the safe choice above a size estimate; below it, deserialized
+# rows skip a serialize+deserialize round trip per consumer — the
+# measured cost of always-serialized was 1.8-2.4x on materialize-heavy
+# queries at sf0.1 (roc_auc_cosine 1.01->2.40 s).  `adaptive` (the
+# default) picks per-frame using the Catalyst plan-size estimate;
+# `disk` removes the memory store from the equation entirely for one
+# local write+read.
 _LEVELS = {
     "memory_deser": StorageLevel.MEMORY_AND_DISK_DESER,
     "memory_ser": StorageLevel.MEMORY_AND_DISK,
     "disk": StorageLevel.DISK_ONLY,
 }
+# Catalyst's estimate is of the UNCOMPRESSED row width off a
+# compressed-parquet leaf, propagated through joins/generates with
+# loose multipliers; when it cannot estimate it returns
+# spark.sql.defaultSizeInBytes (Long.Max), which adaptively picks the
+# serialized level — exactly the safe failure mode.  512 MiB
+# estimated ~= low-GiB deserialized heap worst case: fine on any
+# executor profile this repo targets, while every sf<=0.1 frame
+# (file scans are tens of MB) stays deserialized.
+_ADAPTIVE_DEFAULT_BYTES = 512 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df``'s optimized plan, in bytes
+    (no job is run).  ``None`` when the estimate is unavailable.
+    Leaf-based: file scans report (compressed) file bytes scaled by
+    row-width ratios; unknown nodes inherit ``defaultSizeInBytes``
+    (Long.Max), so "can't tell" reads as "huge" — callers using this
+    to pick a small-input fast path fail safe to the scale path."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
 
 
 def reliable_enabled(spark) -> bool:
@@ -80,20 +110,46 @@ def _ensure_checkpoint_dir(spark) -> None:
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut lineage and materialize ``df`` once for multiple consumers.
 
-    ``localCheckpoint(eager)`` by default — at the SERIALIZED
-    memory+disk level (see ``_LEVELS``: exact byte accounting,
-    incremental spill; ``spark.sparkplans.materializeStorage`` picks
-    ``memory_ser`` (default) / ``disk`` / ``memory_deser``) — or a
-    reliable ``checkpoint`` to distributed storage when
-    ``spark.sparkplans.reliableCheckpoints`` is true (see module
+    ``localCheckpoint(eager)`` by default — at an ADAPTIVE storage
+    level: deserialized memory+disk when the Catalyst size estimate is
+    below ``spark.sparkplans.materializeAdaptiveBytes`` (default
+    512 MiB — fast re-reads for the model-state and slim frames that
+    dominate at bench scale), SERIALIZED memory+disk above it (exact
+    byte accounting + incremental spill — the level that kept the sf10
+    corpus frames from OOMing a deserialized memory store).
+    ``spark.sparkplans.materializeStorage`` forces a level
+    (``memory_ser`` / ``disk`` / ``memory_deser``) instead of
+    ``adaptive``; ``spark.sparkplans.reliableCheckpoints=true`` routes
+    to a reliable ``checkpoint`` on distributed storage (see module
     docstring for the trade)."""
     spark = df.sparkSession
     if reliable_enabled(spark):
         _ensure_checkpoint_dir(spark)
         return df.checkpoint(eager=eager)
+    return df.localCheckpoint(
+        eager=eager, storageLevel=_LEVELS[storage_level_key(df)]
+    )
+
+
+def storage_level_key(df: DataFrame) -> str:
+    """The ``_LEVELS`` key :func:`materialize` will use for ``df``:
+    an explicit ``spark.sparkplans.materializeStorage`` wins;
+    otherwise adaptive — deserialized iff the Catalyst estimate is at
+    most ``spark.sparkplans.materializeAdaptiveBytes`` (an
+    unavailable estimate reads as huge -> serialized, the safe side)."""
+    spark = df.sparkSession
     try:
-        key = spark.conf.get(STORAGE_KEY, "memory_ser")
+        key = spark.conf.get(STORAGE_KEY, "adaptive")
     except Exception:
-        key = "memory_ser"
-    level = _LEVELS.get((key or "memory_ser").lower(), _LEVELS["memory_ser"])
-    return df.localCheckpoint(eager=eager, storageLevel=level)
+        key = "adaptive"
+    key = (key or "adaptive").lower()
+    if key in _LEVELS:
+        return key
+    try:
+        limit = int(
+            spark.conf.get(ADAPTIVE_BYTES_KEY, None) or _ADAPTIVE_DEFAULT_BYTES
+        )
+    except Exception:
+        limit = _ADAPTIVE_DEFAULT_BYTES
+    est = plan_size_bytes(df)
+    return "memory_deser" if est is not None and est <= limit else "memory_ser"

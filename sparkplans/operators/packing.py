@@ -144,4 +144,8 @@ def pack_sequences(
         res["seq_pos"] = pos_of
         return res
 
-    return keyed.groupBy(part_col).applyInPandas(_ffd, schema=out_schema)
+    return (
+        keyed.groupBy(part_col)
+        .applyInPandas(_ffd, schema=out_schema)
+        .drop(part_col)
+    )

@@ -76,10 +76,16 @@ def moment_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.select(vec_col).mapInPandas(acc, _PARTIAL_SCHEMA)
 
 
-def _combine_partials(partials: DataFrame, d: int) -> Tuple[int, np.ndarray, np.ndarray]:
+def _combine_partials(partials: DataFrame) -> Tuple[int, np.ndarray, np.ndarray]:
     """Element-wise sum of the partials IN SPARK (explode -> groupBy
     pos -> sum; map-side partial agg keeps the shuffle at
-    num_partitions x (d^2+d) rows), then collect d^2+d+1 doubles."""
+    num_partitions x (d^2+d) rows), then collect d^2+d+1 doubles.
+
+    The dimensionality is INFERRED from the collected row count
+    (1 + d + d^2 positions, every partial emits all of them), so the
+    fit needs no separate limit-1 sizing job — the moment pass is the
+    only job.  Raises ``ValueError`` on an empty input (no partials,
+    hence no rows)."""
     summed = (
         partials.select(
             F.posexplode(
@@ -89,8 +95,14 @@ def _combine_partials(partials: DataFrame, d: int) -> Tuple[int, np.ndarray, np.
         .groupBy("pos")
         .agg(F.sum("val").alias("val"))
     )
+    rows = summed.collect()
+    if not rows:
+        raise ValueError("moment pass saw no vectors (empty input)")
+    d = round(((4 * len(rows) - 3) ** 0.5 - 1) / 2)  # 1 + d + d^2 rows
+    if 1 + d + d * d != len(rows):
+        raise ValueError(f"malformed moment partials: {len(rows)} positions")
     flat = np.zeros(1 + d + d * d)
-    for pos, val in summed.collect():
+    for pos, val in rows:
         flat[pos] = val
     return int(flat[0]), flat[1 : 1 + d], flat[1 + d :].reshape(d, d)
 
@@ -104,12 +116,12 @@ def fit_pca(
     """Fit a PCA-whitening model: returns dict with ``mean`` (d,),
     ``components`` (d, k) already scaled by 1/sqrt(eigval) (so
     ``(x - mean) @ components`` IS the whitened vector), and
-    ``eigvals`` (k,) descending."""
-    head = df.select(vec_col).first()
-    if head is None or head[0] is None:
-        raise ValueError("fit_pca: input has no vectors to fit")
-    d = len(head[0])
-    n, s, gram = _combine_partials(moment_partials(df, vec_col), d)
+    ``eigvals`` (k,) descending.
+
+    One distributed job total: the moment pass both sizes and fits
+    the model (d is inferred from the partial layout), so there is no
+    limit-1 sizing probe.  Raises ``ValueError`` on empty input."""
+    n, s, gram = _combine_partials(moment_partials(df, vec_col))
     mean = s / n
     cov = gram / n - np.outer(mean, mean)
     cov = (cov + cov.T) / 2.0
@@ -155,7 +167,7 @@ def whitened_moment_check(
     other component ~ 0).  Recomputed with the same distributed
     moment machinery the fit used — the check is independent of the
     driver-side eigh."""
-    n, s, gram = _combine_partials(moment_partials(df, out_col), k)
+    n, s, gram = _combine_partials(moment_partials(df, out_col))
     mean = s / n
     cov = gram / n - np.outer(mean, mean)
     off = np.abs(cov - np.diag(np.diag(cov))).max(axis=1)

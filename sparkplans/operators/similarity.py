@@ -24,7 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from sparkplans.functions.vectors import cosine_similarity, dot, l2_norm
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, plan_size_bytes
+
+# Below this estimated input size the triangle pair scorer uses the
+# pure-codegen fold join (no Python stage, no Arrow round trip — the
+# measured ~2.6 s Arrow overhead at sf0.1 outweighs BLAS); at or
+# above it, one BLAS matmul per triangle cell (sf10: >75 min of
+# per-pair codegen fold -> 38.8 s).  4 MiB of compressed parquet
+# (~sf0.5 of the embeddings table) is where the pair count crosses
+# ~10M and the matmul starts winning.
+BLAS_MIN_BYTES_KEY = "spark.sparkplans.blasMinBytes"
+_BLAS_MIN_BYTES = 4 << 20
 
 
 def brute_force_topk(
@@ -584,47 +594,81 @@ def pq_topk(
     )
 
 
-def embedding_near_dup_pairs(
+def triangle_pair_scores(
     corpus: DataFrame,
-    threshold: float = 0.95,
-    num_planes: int = 8,
-    dim: int = 64,
-    vec_col: str = "embedding",
+    group_col: str,
+    *,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
     split: int = 8,
+    engine: str = "auto",
+    size_hint: int | None = None,
+    row_chunk: int = 2048,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold, found within LSH buckets.
-    (Vectors this similar agree on all hyperplane signs with high
-    probability.)
-
-    Scale shape — two things keep the quadratic core flat:
+    """Unordered pairs ``(id_a < id_b, cos_sim)`` with rounded cosine
+    >= ``threshold``, scored only WITHIN each ``group_col`` value —
+    the quadratic core shared by the LSH near-dup and SemDeDup
+    operators.  Three scale properties:
 
     * **Norm hoisting**: each vector's L2 norm is computed once per
-      ROW before the join; the per-pair work is a single dot product
-      (``dot/(na*nb)`` is the identical IEEE expression
+      ROW before any pairing; the per-pair work is a single dot
+      product (``dot/(na*nb)`` is the identical IEEE expression
       ``cosine_similarity`` evaluates with the self-dots hoisted out
-      of the pair loop, so results are bit-identical).
-    * **Triangle-partitioned self-join**: a plain self-join on
-      ``bucket`` puts each bucket's entire C(n,2) pair loop inside ONE
-      task — at sf3 the largest LSH bucket holds 7.7k vectors, i.e.
-      30M pairs in a single straggler (observed: stage pinned at
-      (11+1)/12 for >15 min).  Instead each row gets a deterministic
-      group ``g = xxhash64(id) mod split`` and is replicated to the
-      ``split`` triangle cells ``(min(g,h), max(g,h))``; the join key
-      becomes ``(bucket, cell)`` so a bucket's pair loop spreads over
-      split·(split+1)/2 independent tasks (worst task drops ~split²/2
-      fold).  Each unordered pair survives in EXACTLY one cell — cell
-      (ga,gb) ordered — so the result set is identical to the plain
-      self-join; replication costs split× on the (tiny, pre-agged)
-      signature rows, never on pairs.  ``split`` grows with corpus
-      size the way LSH band width does; 8 keeps sf3's worst cell
-      under 1M pairs."""
+      of the pair loop).  Zero-norm vectors have no defined cosine
+      and are EXCLUDED up front — this also pins one semantics across
+      engines (Spark comparisons order NaN above everything, numpy
+      below, so an unguarded zero norm would make the two paths
+      disagree).
+    * **Triangle partitioning**: a plain self-join on ``group_col``
+      puts each group's entire C(n,2) pair loop inside ONE task — at
+      sf3 the largest LSH bucket holds 7.7k vectors, i.e. 30M pairs
+      in a single straggler (observed: stage pinned at (11+1)/12 for
+      >15 min).  Instead each row gets a deterministic group
+      ``g = xxhash64(id) mod split`` and is replicated to the
+      ``split`` triangle cells ``(min(g,h), max(g,h))``; the
+      pair loop spreads over split·(split+1)/2 independent cells and
+      each unordered pair survives in EXACTLY one cell, so the result
+      set is identical to the plain self-join.  Replication costs
+      split× on the slim (id, vec, norm) rows, never on pairs.
+    * **Adaptive scoring engine.**  ``engine="fold"`` joins the two
+      block relations and evaluates one whole-stage-codegen fold per
+      pair — no Python stage, fastest when the pair count is small.
+      ``engine="blas"`` scores each cell as numpy matmuls inside an
+      Arrow-batched ``applyInPandas`` (the sanctioned
+      numpy-for-matmul exception, same as fit_pca): rows with g==ti
+      form the A block, g==tj the B block, and (A/||a||)@(B/||b||).T
+      scores every owned pair at memory bandwidth — at sf10 the fold
+      took >75 min where BLAS takes 38.8 s, while at sf0.1 the Arrow
+      round trip costs ~2.6 s the fold doesn't.  ``engine="auto"``
+      (default) picks by the Catalyst size estimate of ``corpus``
+      (or ``size_hint`` when the caller holds a better number, e.g.
+      the pre-materialize estimate) against
+      ``spark.sparkplans.blasMinBytes`` (default 4 MiB); an
+      unavailable estimate reads as huge, choosing BLAS — the engine
+      that survives scale.  Both engines round cosines to 6 dp BEFORE
+      thresholding (as does the DuckDB oracle), absorbing
+      summation-order ulps, and produce identical pair sets.
+
+    ``row_chunk`` bounds the BLAS transient: cells score in
+    ``row_chunk``-row A-slabs so the score block is at most
+    ``row_chunk x |B|`` doubles regardless of cell size."""
+    if engine == "auto":
+        est = size_hint if size_hint is not None else plan_size_bytes(corpus)
+        try:
+            limit = int(
+                corpus.sparkSession.conf.get(BLAS_MIN_BYTES_KEY, None)
+                or _BLAS_MIN_BYTES
+            )
+        except Exception:
+            limit = _BLAS_MIN_BYTES
+        engine = "fold" if est is not None and est < limit else "blas"
     c = (
-        corpus.withColumn("bucket", hyperplane_signs(vec_col, num_planes, dim))
+        corpus.withColumn("__n", l2_norm(vec_col))
+        .filter(F.col("__n") > 0)
         .withColumn(
             "__g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(split)).cast("int")
         )
-        .withColumn("__n", l2_norm(vec_col))
     )
     cells = F.array(
         *[
@@ -636,74 +680,106 @@ def embedding_near_dup_pairs(
         ]
     )
     rep = c.select(
-        id_col, vec_col, "bucket", "__g", "__n", F.explode(cells).alias("__t")
+        id_col, vec_col, group_col, "__g", "__n", F.explode(cells).alias("__t")
     ).select(
         id_col,
         vec_col,
-        "bucket",
+        group_col,
         "__g",
         "__n",
         F.col("__t.ti").alias("__ti"),
         F.col("__t.tj").alias("__tj"),
     )
-    # Each (bucket, ti, tj) cell scores its pair block as ONE BLAS
-    # matmul (Arrow-batched applyInPandas — the same sanctioned
-    # numpy-for-matmul exception as fit_pca): rows with g==ti form the
-    # A block, g==tj the B block, and (A/||a||) @ (B/||b||).T scores
-    # every owned pair at once.  The previous formulation joined the
-    # two block relations and evaluated one codegen'd fold per pair —
-    # correct, but 5.8 µs/pair: at sf10 (~930M candidate pairs) the
-    # scoring stage alone pinned 32 cores for over an hour; the BLAS
-    # block path does the identical arithmetic at memory bandwidth.
-    # Cosines are rounded to 6 dp BEFORE thresholding on both paths
-    # (and in the DuckDB oracle), which absorbs summation-order ulps.
-    # Trade, measured: at sf0.1 (small cells) the Arrow round trip
-    # costs ~2.6 s the codegen fold didn't — the price of being
-    # 100×+ faster where it matters (sf10: >75 min → 39 s).
+    if engine == "fold":
+        a = rep.select(
+            group_col,
+            "__ti",
+            "__tj",
+            F.col("__g").alias("__ga"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("__n").alias("na"),
+        )
+        b = rep.select(
+            group_col,
+            "__ti",
+            "__tj",
+            F.col("__g").alias("__gb"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("__n").alias("nb"),
+        )
+        # a pair (ga, gb) is OWNED by exactly the cell (min, max) of
+        # its two groups; the filter keeps each unordered pair once
+        owned = (
+            (F.col("__ga") == F.col("__ti")) & (F.col("__gb") == F.col("__tj"))
+        ) | ((F.col("__ga") == F.col("__tj")) & (F.col("__gb") == F.col("__ti")))
+        return (
+            a.join(b, [group_col, "__ti", "__tj"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(owned)
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    dot("va", "vb") / (F.col("na") * F.col("nb")), 6
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
     import numpy as np
     import pandas as pd
 
     thr = float(threshold)
 
-    def _score_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_cell(key, pdf):
         ti, tj = int(key[1]), int(key[2])
         a_rows = pdf[pdf["__g"] == ti]
         b_rows = pdf[pdf["__g"] == tj] if tj != ti else a_rows
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64"),
-             "cos_sim": pd.Series(dtype="float64")}
-        )
-        if not len(a_rows) or not len(b_rows):
-            return empty
-        A = np.stack(a_rows["__v"].to_numpy()).astype(np.float64)
-        B = np.stack(b_rows["__v"].to_numpy()).astype(np.float64)
-        ids_a = a_rows["__id"].to_numpy()
-        ids_b = b_rows["__id"].to_numpy()
-        S = np.round(
-            (A @ B.T)
-            / np.outer(a_rows["__n"].to_numpy(), b_rows["__n"].to_numpy()),
-            6,
-        )
-        ia, ib = np.nonzero(S >= thr)
-        if not len(ia):
-            return empty
-        id1, id2 = ids_a[ia], ids_b[ib]
-        if ti == tj:
-            # diagonal cell holds the full gram: keep one orientation
-            keep = id1 < id2
-        else:
-            # cross cell: each unordered pair appears exactly once
-            keep = id1 != id2
-        lo = np.minimum(id1[keep], id2[keep])
-        hi = np.maximum(id1[keep], id2[keep])
+        out_ids_a, out_ids_b, out_sims = [], [], []
+        if len(a_rows) and len(b_rows):
+            A = np.stack(a_rows["__v"].to_numpy()).astype(np.float64)
+            B = np.stack(b_rows["__v"].to_numpy()).astype(np.float64)
+            ids_a = a_rows["__id"].to_numpy()
+            ids_b = b_rows["__id"].to_numpy()
+            na = a_rows["__n"].to_numpy()
+            nb = b_rows["__n"].to_numpy()
+            for lo in range(0, len(ids_a), row_chunk):
+                hi = lo + row_chunk
+                S = np.round(
+                    (A[lo:hi] @ B.T) / np.outer(na[lo:hi], nb), 6
+                )
+                ia, ib = np.nonzero(S >= thr)
+                if not len(ia):
+                    continue
+                id1, id2 = ids_a[lo:hi][ia], ids_b[ib]
+                if ti == tj:
+                    # diagonal cell holds the full gram: one orientation
+                    keep = id1 < id2
+                else:
+                    # cross cell: each unordered pair appears once
+                    keep = id1 != id2
+                out_ids_a.append(np.minimum(id1[keep], id2[keep]))
+                out_ids_b.append(np.maximum(id1[keep], id2[keep]))
+                out_sims.append(S[ia[keep], ib[keep]])
+        if not out_ids_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cos_sim": S[ia[keep], ib[keep]]}
+            {
+                "id_a": np.concatenate(out_ids_a),
+                "id_b": np.concatenate(out_ids_b),
+                "cos_sim": np.concatenate(out_sims),
+            }
         )
 
     return (
         rep.select(
-            "bucket",
+            group_col,
             "__ti",
             "__tj",
             "__g",
@@ -711,8 +787,38 @@ def embedding_near_dup_pairs(
             F.col(vec_col).alias("__v"),
             "__n",
         )
-        .groupBy("bucket", "__ti", "__tj")
+        .groupBy(group_col, "__ti", "__tj")
         .applyInPandas(_score_cell, "id_a long, id_b long, cos_sim double")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    split: int = 8,
+) -> DataFrame:
+    """Pairs with cosine >= threshold, found within LSH buckets.
+    (Vectors this similar agree on all hyperplane signs with high
+    probability.)  The quadratic core — norm hoisting, triangle
+    partitioning, adaptive fold/BLAS cell scoring, zero-norm guard —
+    is :func:`triangle_pair_scores` grouped by the LSH bucket;
+    ``split`` grows with corpus size the way LSH band width does
+    (8 keeps sf3's worst cell under 1M pairs)."""
+    c = corpus.withColumn(
+        "bucket", hyperplane_signs(vec_col, num_planes, dim)
+    )
+    return triangle_pair_scores(
+        c,
+        "bucket",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        split=split,
+        size_hint=plan_size_bytes(corpus),
     )
 
 
@@ -723,6 +829,7 @@ def semdedup(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    split: int = 8,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via k-means clustering of embeddings, then pairwise
@@ -735,7 +842,8 @@ def semdedup(
     coarse quantizer is exactly the IVF build (driver-held kilobyte
     centroid model re-entered as literals), so cluster assignment is
     a broadcast-join projection, and the only corpus-sized shuffles
-    are the assignment argmax and the cluster-keyed self-join.
+    are the assignment argmax and the cluster-keyed triangle cells
+    (:func:`triangle_pair_scores` grouped by ``cid``).
 
     Scale: the paper runs ~11k clusters over 100M+ docs precisely so
     each cluster's pairwise step stays small; ``num_centroids`` is
@@ -747,6 +855,11 @@ def semdedup(
     Returns the corpus plus ``cid`` (cluster), ``kept`` (boolean) and
     ``dup_of`` (nullable id of the earlier near-duplicate).
     """
+    # The Catalyst estimate is taken on the RAW corpus: after the
+    # localCheckpoint below the lineage is an RDD scan whose stats
+    # degenerate to defaultSizeInBytes (huge), which would force BLAS
+    # even at test scale.
+    hint = plan_size_bytes(corpus)
     assigned, _ = ivf_build(
         corpus,
         num_centroids=num_centroids,
@@ -754,39 +867,28 @@ def semdedup(
         vec_col=vec_col,
         id_col=id_col,
     )
-    # assigned feeds three consumers (both self-join sides + the final
-    # join-back); materialize it once — the stand-in for the persisted
-    # cid-bucketed table a production deployment would read.
+    # assigned feeds three consumers (both pairwise block sides + the
+    # final join-back); materialize it once — the stand-in for the
+    # persisted cid-bucketed table a production deployment would read.
     assigned = materialize(assigned)
-    # Per-row norms computed ONCE before the pairwise join: the
-    # per-pair work drops to a single dot product.  dot/(na*nb) is the
-    # identical IEEE expression cosine_similarity evaluates, just with
-    # the self-dots hoisted out of the pair loop.
-
-    a = assigned.select(
+    # The within-cluster quadratic is the shared triangle core
+    # (norm hoisting, triangle cells, adaptive fold/BLAS scoring,
+    # zero-norm exclusion — a zero-norm vector near-dups nothing and
+    # is always kept).  min(id_a) per dropped id collapses map-side
+    # (partial min agg), so the post-pairwise shuffle carries one row
+    # per dropped id, not one per near-dup pair.
+    pairs = triangle_pair_scores(
+        assigned,
         "cid",
-        F.col(id_col).alias("__id_a"),
-        F.col(vec_col).alias("__va"),
-        l2_norm(vec_col).alias("__na"),
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        split=split,
+        size_hint=hint,
     )
-    b = assigned.select(
-        "cid",
-        F.col(id_col).alias("__id_b"),
-        F.col(vec_col).alias("__vb"),
-        l2_norm(vec_col).alias("__nb"),
-    )
-    # min(id_a) per dropped id collapses map-side (partial min agg),
-    # so the shuffle after the self-join carries one row per dropped
-    # id, not one per near-dup pair.
     dup_of = (
-        a.join(b, "cid")
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(
-            F.round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)
-            >= threshold
-        )
-        .groupBy(F.col("__id_b").alias(id_col))
-        .agg(F.min("__id_a").alias("dup_of"))
+        pairs.groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("dup_of"))
     )
     # dup_of is one slim row per dropped id; checkpointing it means
     # the expensive pairwise scan runs exactly once no matter how many

@@ -1823,24 +1823,27 @@ def q_semantic_dedup(spark, sf_dir):
     # checkpointed inside the operator (assigned corpus-sized once,
     # dup_of slim once), so each re-read is a cheap join of two
     # materialized frames — no pairwise recompute.
-    s = res.select(
-        "cid",
-        F.col("vec_id").alias("__id_s"),
-        F.col("embedding").alias("__vs"),
-        l2_norm("embedding").alias("__ns"),
-    )
+    #
+    # The re-derivation enumerates the same within-cluster pair set
+    # through the shared triangle core, but under a DIFFERENT cell
+    # partitioning (split=5 vs the operator's 8) so the two runs
+    # never agree by sharing a partition layout; at sf10 the previous
+    # per-pair codegen re-join was the query's dominant cost (the
+    # same quadratic the operator itself had already retired).
+    # Brute-force numpy parity at small scale lives in
+    # tests/test_semdedup.py.
     m = (
-        res.withColumn("__n", l2_norm("embedding"))
-        .join(s, "cid")
-        .filter(F.col("__id_s") < F.col("vec_id"))
-        .filter(
-            F.round(
-                dot("embedding", "__vs") / (F.col("__n") * F.col("__ns")), 6
-            )
-            >= thr
+        similarity.triangle_pair_scores(
+            res.select("cid", "vec_id", "embedding"),
+            "cid",
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=thr,
+            split=5,
+            size_hint=similarity.plan_size_bytes(e),
         )
-        .groupBy("vec_id")
-        .agg(F.min("__id_s").alias("__m"))
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("__m"))
     )
     return res.join(m, "vec_id", "left").select(
         "vec_id",

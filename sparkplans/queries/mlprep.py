@@ -493,13 +493,29 @@ def q_semantic_decontamination(spark, sf_dir):
         # zero rows, so the empty frame is the contract
         return spark.createDataFrame([], out_schema)
     P = np.stack([r["embedding"] for r in probe_rows]).astype(np.float64)
+    # zero-norm guard (both sides): cosine is undefined for zero-norm
+    # vectors, so they are EXCLUDED — the same semantics as the
+    # triangle pair core (similarity.triangle_pair_scores), keeping
+    # the BLAS and codegen paths in agreement (Spark comparisons
+    # order NaN above everything, numpy below).
+    P = P[np.linalg.norm(P, axis=1) > 0]
+    if not len(P):
+        return spark.createDataFrame([], out_schema)
     Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf["vec_id"].to_numpy()
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            nx = np.linalg.norm(X, axis=1)
+            if not (nx > 0).all():
+                keep = nx > 0
+                ids, X, nx = ids[keep], X[keep], nx[keep]
+                if not len(ids):
+                    continue
+            Xn = X / nx[:, None]
             out = np.empty(len(ids))
             for lo in range(0, len(ids), 512):
                 S = np.round(Xn[lo : lo + 512] @ Pn.T, 6)
@@ -1392,14 +1408,14 @@ def q_pca_whitening(spark, sf_dir):
     k = 16
     e = _t_cpu(spark, sf_dir, "embeddings")
     # Degenerate input: an empty corpus has no covariance to whiten —
-    # return the empty invariant grid (stable schema) instead of
-    # letting the fit crash on first()=None.  One limit-1 job, the
-    # same price every driver-fit query pays to size its model.
-    if e.select("embedding").first() is None:
+    # the fit's own moment pass detects it (zero partial rows) at no
+    # extra job; return the empty invariant grid (stable schema).
+    try:
+        model = pca.fit_pca(e, k=k)
+    except ValueError:
         return spark.createDataFrame(
             [], "comp int, mean_ok boolean, var_ok boolean, ortho_ok boolean"
         )
-    model = pca.fit_pca(e, k=k)
     white = pca.transform_pca(e, model)
     return pca.whitened_moment_check(white, k=k)
 

@@ -97,3 +97,72 @@ def test_empty_corpus(spark):
     res = similarity.semdedup(e, num_centroids=4, threshold=0.9, iters=1)
     assert res.count() == 0
     assert set(res.columns) == {"vec_id", "cid", "embedding", "kept", "dup_of"}
+
+
+def test_triangle_pair_scores_fold_blas_identical(spark):
+    """The two scoring engines of the shared triangle core (pure
+    codegen fold vs per-cell BLAS matmul) must produce the IDENTICAL
+    pair set — same ids, same 6-dp cosines — including under a
+    planted zero-norm vector, which has no defined cosine and must
+    appear in NO pair on either path (Spark orders NaN above
+    everything, numpy below; the explicit norm>0 guard is what keeps
+    the engines in agreement)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(120, 8)
+    base[49] = base[7] * 1.7  # planted colinear pair (cos = 1, same grp)
+    base[99] = 0.0            # planted zero-norm vector
+    rows = [
+        (i, i % 3, [float(x) for x in base[i]]) for i in range(len(base))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp int, embedding array<double>"
+    )
+
+    def run(engine):
+        out = similarity.triangle_pair_scores(
+            df,
+            "grp",
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.5,
+            split=3,
+            engine=engine,
+        ).collect()
+        return sorted((r.id_a, r.id_b, r.cos_sim) for r in out)
+
+    fold, blas = run("fold"), run("blas")
+    assert fold == blas
+    assert len(fold) > 0
+    assert all(a < b for a, b, _ in fold)
+    assert (7, 49, 1.0) in fold  # colinear plant found (7%3 == 49%3)
+    assert not any(99 in (a, b) for a, b, _ in fold)
+
+
+def test_triangle_pair_scores_blas_row_chunking(spark):
+    """Cell scoring in row_chunk slabs must not change the pair set
+    (slab boundaries cut only the A side of the matmul)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(90, 6)
+    rows = [(i, 0, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp int, embedding array<double>"
+    )
+
+    def run(chunk):
+        out = similarity.triangle_pair_scores(
+            df,
+            "grp",
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.2,
+            split=2,
+            engine="blas",
+            row_chunk=chunk,
+        ).collect()
+        return sorted((r.id_a, r.id_b, r.cos_sim) for r in out)
+
+    assert run(7) == run(100000)
