@@ -90,35 +90,58 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for i, name in enumerate(names):
-        # localCheckpoint blocks from prior queries stay pinned in the
-        # unified memory store until their Python DataFrame refs are
-        # collected; across a couple hundred corpus-sized queries the
-        # storage pool starves execution and the JVM GC-thrashes
-        # (observed: a 58 s query straggling >15 min late in a sweep).
-        # Collect per query, recycle the whole session every 25.
-        gc.collect()
-        if i and i % 25 == 0:
-            spark = _fresh_session(spark)
-        t0 = time.perf_counter()
-        try:
-            Q.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - t0, 2)
-        except Exception as exc:  # noqa: BLE001 — sweep must finish
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            # A heap OOM kills the whole local JVM; without a fresh
-            # session every later query would report a phantom error
-            # (observed on the first sf10 sweep).  Rebuild and move on
-            # so one fatal query costs one data point, not the sweep.
-            if not _alive(spark):
+    try:
+        for i, name in enumerate(names):
+            # localCheckpoint blocks from prior queries stay pinned in
+            # the unified memory store until their Python DataFrame
+            # refs are collected; across a couple hundred corpus-sized
+            # queries the storage pool starves execution and the JVM
+            # GC-thrashes (observed: a 58 s query straggling >15 min
+            # late in a sweep).  Collect per query, recycle the whole
+            # session every 25.
+            gc.collect()
+            if i and i % 25 == 0:
                 spark = _fresh_session(spark)
+            t0 = time.perf_counter()
+            try:
+                Q.REGISTRY[name].fn(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 2)
+            except Exception as exc:  # noqa: BLE001 — sweep must finish
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                # A heap OOM kills the whole local JVM; without a
+                # fresh session every later query would report a
+                # phantom error (observed on the first sf10 sweep).
+                # Rebuild and move on so one fatal query costs one
+                # data point, not the sweep.
+                if not _alive(spark):
+                    spark = _fresh_session(spark)
+            print(
+                f"{name}: {timings.get(name, 'ERR')}",
+                file=sys.stderr,
+                flush=True,
+            )
+    except BaseException as exc:  # noqa: BLE001
+        # A session rebuild can itself fail when a heap-dead JVM's
+        # stop() times out and the old context lingers ("Only one
+        # SparkContext per JVM", observed once at sf10) — the partial
+        # timings are still the product of minutes-to-hours of sweep:
+        # emit them before propagating instead of dying silently.
+        errors["__aborted__"] = f"{type(exc).__name__}: {exc}"[:200]
         print(
-            f"{name}: {timings.get(name, 'ERR')}",
-            file=sys.stderr,
-            flush=True,
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "partial": True,
+                    "completed": len(timings) + len(errors) - 1,
+                    "timings": timings,
+                    "errors": errors,
+                }
+            )
         )
+        raise
 
     flagged = {n: s for n, s in timings.items() if s > ceiling}
     print(

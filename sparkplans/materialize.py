@@ -131,12 +131,32 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     )
 
 
+def _has_row_multiplier(df: DataFrame) -> bool:
+    """True when the optimized plan contains an operator whose output
+    can be LARGER than its inputs — Join (self-joins fan out),
+    Generate (explode), Expand (rollup/cube).  Catalyst's size
+    estimate scales leaf bytes by projection ratios and cannot see
+    join/explode multiplicity: at sf10 the LSH candidate-pair frame
+    is estimated at 38 MB while actually holding 31.5M pairs
+    (observed heap OOM when the first adaptive cut trusted it)."""
+    try:
+        tree = str(df._jdf.queryExecution().optimizedPlan().treeString())
+    except Exception:
+        return True  # can't inspect -> assume the worst
+    return any(
+        line.lstrip(" :+-").startswith(("Join", "Generate", "Expand"))
+        for line in tree.splitlines()
+    )
+
+
 def storage_level_key(df: DataFrame) -> str:
     """The ``_LEVELS`` key :func:`materialize` will use for ``df``:
     an explicit ``spark.sparkplans.materializeStorage`` wins;
     otherwise adaptive — deserialized iff the Catalyst estimate is at
-    most ``spark.sparkplans.materializeAdaptiveBytes`` (an
-    unavailable estimate reads as huge -> serialized, the safe side)."""
+    most ``spark.sparkplans.materializeAdaptiveBytes``, SHRUNK 64x
+    when the plan contains a row-multiplying operator (the estimate
+    is then only a lower bound — see ``_has_row_multiplier``).  An
+    unavailable estimate reads as huge -> serialized, the safe side."""
     spark = df.sparkSession
     try:
         key = spark.conf.get(STORAGE_KEY, "adaptive")
@@ -152,4 +172,8 @@ def storage_level_key(df: DataFrame) -> str:
     except Exception:
         limit = _ADAPTIVE_DEFAULT_BYTES
     est = plan_size_bytes(df)
-    return "memory_deser" if est is not None and est <= limit else "memory_ser"
+    if est is None:
+        return "memory_ser"
+    if _has_row_multiplier(df):
+        limit //= 64
+    return "memory_deser" if est <= limit else "memory_ser"

@@ -32,11 +32,27 @@ def pagerank(
                                 + dangling_mass_t / N)
 
     Duplicate edges are collapsed first; dangling nodes (no
-    out-edges) spread their rank uniformly.  Each iteration: one
-    broadcast of the constant-size dangling total + one dst-keyed
-    aggregate.  Ranks sum within double tolerance, not bit-exactly —
-    this is a fixed-point iteration, so verification is numeric
-    (|r - r_ref| < 1e-9), never hash-equality.
+    out-edges) spread their rank uniformly.  Ranks sum within double
+    tolerance, not bit-exactly — this is a fixed-point iteration, so
+    verification is numeric (|r - r_ref| < 1e-9), never
+    hash-equality.
+
+    Shuffle shape (the sf10 rework — 180M edges x 5 iterations made
+    every avoidable exchange a ~30 s line item):
+
+    * ``e_deg`` (edges + out-degree) is hash-partitioned on ``src``
+      ONCE and materialized; localCheckpoint preserves the physical
+      partitioning, so each iteration's src==node join needs to
+      shuffle only the |V|-row ranks side — the |E|-row edge list
+      never moves again (the in-repo stand-in for bucketing the edge
+      table by src on a cluster, per the module docstring).
+    * ranks carry the static ``outdeg`` column, so the per-iteration
+      dangling mass is a filter + 1-row agg over ranks — the old
+      version paid a |V|x|V| join per iteration just to re-discover
+      which nodes were dangling.
+    * contributions pre-aggregate map-side (partial sum per (dst,
+      task)), so the one per-iteration corpus shuffle carries at most
+      one row per distinct dst per task, not one per edge.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -48,29 +64,42 @@ def pagerank(
     n_total = nodes.count()
     if n_total == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # edges annotated once; reused every iteration
-    e_deg = e.join(outdeg, "src").transform(materialize)
+    # edges annotated + src-partitioned once; reused every iteration
+    e_deg = e.join(outdeg, "src").repartition(parts, "src").transform(materialize)
+    # (node, outdeg) — outdeg NULL marks dangling; static per run
+    nodes_deg = (
+        nodes.join(outdeg, nodes.node == outdeg.src, "left")
+        .select("node", "outdeg")
+        .repartition(parts, "node")
+        .transform(materialize)
+    )
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total)).transform(materialize)
+    ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n_total)).transform(
+        materialize
+    )
     for _ in range(iterations):
-        with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
         dangling = (
-            with_deg.filter(F.col("outdeg").isNull())
+            ranks.filter(F.col("outdeg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
             .collect()[0]["m"]
         )
         contribs = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
+            e_deg.join(
+                ranks.select("node", "rank"), e_deg.src == F.col("node")
+            )
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
         base = (1.0 - damping) / n_total + damping * dangling / n_total
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes_deg.join(contribs, nodes_deg.node == contribs.dst, "left")
             .select(
                 "node",
+                "outdeg",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
@@ -78,7 +107,7 @@ def pagerank(
             )
             .transform(materialize)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def label_propagation(

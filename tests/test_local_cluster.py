@@ -1,0 +1,57 @@
+"""Multi-process execution gate (examples/cluster_proof.py): the same
+slate must hash identically on local[N] (one JVM, thread boundaries)
+and local-cluster[2,C,M] (separate executor JVM processes + their own
+python workers — real serialization, RPC task dispatch, per-executor
+block managers).  The reference defers distributed plans
+(docs/9_what_next.md:7); this repo claims them, so a process-boundary
+divergence — broadcast model state that doesn't serialize, an
+executor python worker that can't resolve a UDF closure, executor-
+local checkpoint state gone missing — must fail CI, not a cluster.
+
+The proof script runs each mode in its own subprocess (fresh
+SparkContext, no py4j gateway reuse), so this test is safe beside the
+session-scoped fixture other tests share.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# compact slate, one query per process-boundary shape: two-phase agg,
+# broadcast join, bloom build->literal->probe round trip, Arrow UDF
+# closure on executor python workers (BLAS cells), driver-fit model
+# state (PCA eigenbasis), materialize()-backed lineage cut
+SLATE = [
+    "pricing_summary",
+    "broadcast_join_agg",
+    "bloom_prefilter_dedup",
+    "embedding_near_dups",
+    "pca_whitening",
+    "cms_token_counts",
+]
+
+
+def test_local_cluster_hash_identical():
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "cluster_proof.py"),
+            "/root/testdata/sf0.001",
+            "local-cluster[2,2,1024]",
+            *SLATE,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"cluster proof failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert "FAIL" not in proc.stdout, proc.stdout[-3000:]

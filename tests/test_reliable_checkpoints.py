@@ -97,6 +97,29 @@ def test_adaptive_storage_level_picks_by_size(spark):
     finally:
         spark.conf.unset(ADAPTIVE_BYTES_KEY)
 
+    # row-multiplying plans (join/explode) shrink the threshold 64x:
+    # Catalyst can't see their output multiplicity, so the estimate
+    # is only a lower bound (the sf10 LSH candidate frame measured
+    # 38 MB estimated vs 31.5M actual pairs — a real OOM)
+    from sparkplans.materialize import _has_row_multiplier
+
+    joined = df.join(df.withColumnRenamed("x", "y"), "id")
+    assert not _has_row_multiplier(df)
+    assert _has_row_multiplier(joined)
+    assert _has_row_multiplier(
+        spark.createDataFrame([([1, 2],)], "a array<int>").select(
+            F.explode("a")
+        )
+    )
+    spark.conf.set(ADAPTIVE_BYTES_KEY, str((512 << 20)))
+    try:
+        assert storage_level_key(joined) == "memory_deser"  # tiny est
+        spark.conf.set(ADAPTIVE_BYTES_KEY, str(plan_size_bytes(joined) * 63))
+        # est > limit/64 -> serialized even though est < limit
+        assert storage_level_key(joined) == "memory_ser"
+    finally:
+        spark.conf.unset(ADAPTIVE_BYTES_KEY)
+
     # explicit level overrides adaptivity in both directions
     for forced in ("memory_ser", "disk", "memory_deser"):
         spark.conf.set(STORAGE_KEY, forced)
