@@ -60,11 +60,15 @@ _LEVELS = {
 # compressed-parquet leaf, propagated through joins/generates with
 # loose multipliers; when it cannot estimate it returns
 # spark.sql.defaultSizeInBytes (Long.Max), which adaptively picks the
-# serialized level — exactly the safe failure mode.  512 MiB
-# estimated ~= low-GiB deserialized heap worst case: fine on any
-# executor profile this repo targets, while every sf<=0.1 frame
-# (file scans are tens of MB) stays deserialized.
-_ADAPTIVE_DEFAULT_BYTES = 512 << 20
+# serialized level — exactly the safe failure mode.  The threshold
+# must absorb DESERIALIZED inflation on top of estimate error: a
+# narrow-row frame (two longs) costs 4-10x its serialized bytes as
+# JVM objects, and 32 tasks unroll concurrently — a 512 MiB trust
+# limit let sf10's 60M-row basket table (estimated 306 MB) OOM a
+# 16 GiB heap.  64 MiB estimated ~= sub-GiB deserialized worst case,
+# while every bench-scale frame (sf0.1 estimates run 0.2-3 MB) stays
+# comfortably deserialized.
+_ADAPTIVE_DEFAULT_BYTES = 64 << 20
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:
@@ -113,7 +117,7 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     ``localCheckpoint(eager)`` by default — at an ADAPTIVE storage
     level: deserialized memory+disk when the Catalyst size estimate is
     below ``spark.sparkplans.materializeAdaptiveBytes`` (default
-    512 MiB — fast re-reads for the model-state and slim frames that
+    64 MiB — fast re-reads for the model-state and slim frames that
     dominate at bench scale), SERIALIZED memory+disk above it (exact
     byte accounting + incremental spill — the level that kept the sf10
     corpus frames from OOMing a deserialized memory store).

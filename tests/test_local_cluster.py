@@ -55,3 +55,27 @@ def test_local_cluster_hash_identical():
         f"cluster proof failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
     )
     assert "FAIL" not in proc.stdout, proc.stdout[-3000:]
+
+
+def test_executor_loss_recovery_contract():
+    """materialize()'s documented trade, proven with a real SIGKILL'd
+    executor JVM (examples/executor_loss_proof.py): localCheckpoint
+    state dies with its executor (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND —
+    truncated lineage cannot recompute), reliableCheckpoints survives
+    with an identical result.  Both directions are asserted: if Spark
+    ever started recomputing truncated lineage, the expected failure
+    disappearing would flag this contract as stale."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "executor_loss_proof.py"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"loss proof failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert "PROOF OK" in proc.stdout

@@ -87,7 +87,7 @@ def test_adaptive_storage_level_picks_by_size(spark):
 
     df = spark.range(1000).withColumn("x", F.col("id") * 2)
     est = plan_size_bytes(df)
-    assert est is not None and 0 < est < (512 << 20)
+    assert est is not None and 0 < est < (64 << 20)
     assert storage_level_key(df) == "memory_deser"
 
     # shrink the threshold below the frame's estimate -> serialized
@@ -111,7 +111,7 @@ def test_adaptive_storage_level_picks_by_size(spark):
             F.explode("a")
         )
     )
-    spark.conf.set(ADAPTIVE_BYTES_KEY, str((512 << 20)))
+    spark.conf.set(ADAPTIVE_BYTES_KEY, str((64 << 20)))
     try:
         assert storage_level_key(joined) == "memory_deser"  # tiny est
         spark.conf.set(ADAPTIVE_BYTES_KEY, str(plan_size_bytes(joined) * 63))
