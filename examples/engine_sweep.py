@@ -98,9 +98,14 @@ def main() -> int:
             # queries the storage pool starves execution and the JVM
             # GC-thrashes (observed: a 58 s query straggling >15 min
             # late in a sweep).  Collect per query, recycle the whole
-            # session every 25.
+            # session every SPARK_GRAFT_RECYCLE queries (default 25;
+            # data-heavy SFs want a shorter interval — a 16 GiB heap
+            # carrying ~2 dozen queries of leftover checkpoint blocks
+            # OOM'd under pagerank's 4-5 GiB edge cache at sf10,
+            # while the same query on a fresh session passes).
             gc.collect()
-            if i and i % 25 == 0:
+            recycle = int(os.environ.get("SPARK_GRAFT_RECYCLE", "25"))
+            if i and i % recycle == 0:
                 spark = _fresh_session(spark)
             t0 = time.perf_counter()
             try:
