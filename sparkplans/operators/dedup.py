@@ -441,6 +441,8 @@ def prefix_filter_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 3,
+    slices: int = 1,
+    slice_dir: str | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (the
     SSJoin/PPJoin family, Xiao et al. 2008): every pair with
@@ -481,6 +483,14 @@ def prefix_filter_pairs(
     Numeric safety: every ceil() that feeds a pruning bound subtracts
     1e-9 first, so FP rounding can only weaken a filter (extra
     candidates the verify kills), never strengthen one (lost pairs).
+
+    ``slices > 1`` runs the join as that many sequential sub-jobs,
+    each owning the pairs whose LARGER record hashes into the slice
+    — bit-identical output, ~1/slices the peak shuffle-disk footprint
+    (see the inline comment at the slicing loop).  Use it when the
+    lossless candidate enumeration is Ω(pairs) and a single job's
+    shuffle would exhaust local disk; on a cluster the same knob
+    bounds scratch per executor.
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
@@ -532,68 +542,106 @@ def prefix_filter_pairs(
     smaller = (F.col("a.n_tok") < F.col("b.n_tok")) | (
         (F.col("a.n_tok") == F.col("b.n_tok")) & (F.col("a.id") < F.col("b.id"))
     )
-    cand = (
-        probe.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.p") == F.col("b.p"))
-            & smaller
-            & (F.col("a.n_tok") >= _ceil(F.lit(t) * F.col("b.n_tok"))),
-        )
-        .groupBy(
-            F.col("a.id").alias("cid_a"),
-            F.col("b.id").alias("cid_b"),
-        )
-        .agg(
-            F.max("a.n_tok").alias("cna"),
-            F.max("b.n_tok").alias("cnb"),
-            F.min("a.pos").alias("pa"),
-            F.min("b.pos").alias("pb"),
-        )
-        .filter(
-            F.lit(1)
-            + F.least(
-                F.col("cna") - 1 - F.col("pa"),
-                F.col("cnb") - 1 - F.col("pb"),
+
+    def _pairs_for(index_side: DataFrame) -> DataFrame:
+        cand = (
+            probe.alias("a")
+            .join(
+                index_side.alias("b"),
+                (F.col("a.p") == F.col("b.p"))
+                & smaller
+                & (F.col("a.n_tok") >= _ceil(F.lit(t) * F.col("b.n_tok"))),
             )
-            >= _ceil(F.lit(mo_frac) * (F.col("cna") + F.col("cnb")))
+            .groupBy(
+                F.col("a.id").alias("cid_a"),
+                F.col("b.id").alias("cid_b"),
+            )
+            .agg(
+                F.max("a.n_tok").alias("cna"),
+                F.max("b.n_tok").alias("cnb"),
+                F.min("a.pos").alias("pa"),
+                F.min("b.pos").alias("pb"),
+            )
+            .filter(
+                F.lit(1)
+                + F.least(
+                    F.col("cna") - 1 - F.col("pa"),
+                    F.col("cnb") - 1 - F.col("pb"),
+                )
+                >= _ceil(F.lit(mo_frac) * (F.col("cna") + F.col("cnb")))
+            )
+            .select(
+                F.col("cid_a").alias("id_a"), F.col("cid_b").alias("id_b")
+            )
         )
-        .select(
-            F.col("cid_a").alias("id_a"), F.col("cid_b").alias("id_b")
+        ver = (
+            cand.join(
+                ranked.select(
+                    F.col("id").alias("id_a"),
+                    F.col("toks").alias("ta"),
+                    F.col("n_tok").alias("na"),
+                ),
+                "id_a",
+            )
+            .join(
+                ranked.select(
+                    F.col("id").alias("id_b"),
+                    F.col("toks").alias("tb"),
+                    F.col("n_tok").alias("nb"),
+                ),
+                "id_b",
+            )
+            .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+            .withColumn(
+                "j",
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+            )
+            .filter(F.col("j") >= threshold)
         )
-    )
-    ver = (
-        cand.join(
-            ranked.select(
-                F.col("id").alias("id_a"),
-                F.col("toks").alias("ta"),
-                F.col("n_tok").alias("na"),
-            ),
-            "id_a",
+        # Internally pairs are size-canonical (a = smaller record); the
+        # output contract is id-canonical.
+        return ver.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round("j", 6).alias("jaccard"),
         )
-        .join(
-            ranked.select(
-                F.col("id").alias("id_b"),
-                F.col("toks").alias("tb"),
-                F.col("n_tok").alias("nb"),
-            ),
-            "id_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
-        .withColumn(
-            "j",
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
-        .filter(F.col("j") >= threshold)
-    )
-    # Internally pairs are size-canonical (a = smaller record); the
-    # output contract is id-canonical.
-    return ver.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-        F.round("j", 6).alias("jaccard"),
-    )
+
+    if slices <= 1:
+        return _pairs_for(pref)
+
+    # Sliced execution: each canonical pair (a = smaller record, b =
+    # larger) is OWNED by exactly one slice — the one holding
+    # xxhash64(b.id) % slices — because every index-prefix row of b
+    # lands in b's slice while the probe side stays whole.  Results
+    # are therefore the bit-identical union of the per-slice runs
+    # (no cross-slice duplicates, no lost pairs, and the per-pair
+    # min-position aggregation sees every candidate row it saw
+    # unsliced).  What changes is the PEAK shuffle footprint: the
+    # candidate-pair shuffle — Ω(candidate pairs), the disk killer on
+    # saturated corpora (SCALE.md: sf10 exhausted 74 GB twice) — is
+    # split into `slices` sequential jobs of ~1/slices the size, and
+    # each job's shuffle files are released to the ContextCleaner
+    # before the next starts.  Per-slice results land in parquet under
+    # `slice_dir` (a temp dir by default) and the returned frame reads
+    # them back, so the only data alive across slices is real output.
+    import gc as _gc
+    import tempfile
+    import time as _time
+
+    spark = df.sparkSession
+    out_dir = slice_dir or tempfile.mkdtemp(prefix="sparkplans_ssjoin_")
+    owner = F.pmod(F.xxhash64(F.col("id")), F.lit(slices))
+    for k in range(slices):
+        part = _pairs_for(pref.filter(owner == k))
+        part.write.mode("overwrite").parquet(f"{out_dir}/slice={k}")
+        del part
+        # Drop py4j refs, then ask the JVM to GC so the ContextCleaner
+        # reclaims this slice's shuffle files before the next slice.
+        _gc.collect()
+        spark._jvm.System.gc()
+        _time.sleep(1.0)
+    return spark.read.parquet(f"{out_dir}/slice=*")
 
 
 def segment_dedup(

@@ -341,11 +341,20 @@ def q_ssjoin_near_dups(spark, sf_dir):
     the MinHash/LSH probabilistic path (`near_dup_pairs`): prefix
     filtering on rarity-ordered shingles guarantees no false
     negatives, so this is the ground-truth recall audit for the
-    sketch-based dedup operators."""
+    sketch-based dedup operators.
+
+    ``SPARK_GRAFT_SSJOIN_SLICES`` (default 1) runs the exact join in
+    that many disk-bounded sequential slices — bit-identical pairs,
+    ~1/slices peak shuffle footprint — for data-dominated SFs where
+    the lossless candidate shuffle would exhaust local scratch."""
+    import os
+
     from sparkplans.operators.dedup import prefix_filter_pairs
 
     return prefix_filter_pairs(
-        _t_cpu(spark, sf_dir, "documents"), threshold=0.5
+        _t_cpu(spark, sf_dir, "documents"),
+        threshold=0.5,
+        slices=int(os.environ.get("SPARK_GRAFT_SSJOIN_SLICES", "1")),
     )
 
 

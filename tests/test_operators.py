@@ -1465,6 +1465,40 @@ def test_prefix_filter_randomized_lengths_vs_brute_force(spark):
         assert got == want, (t, got.keys() ^ want.keys())
 
 
+def test_prefix_filter_sliced_identical_pairs(spark, tmp_path):
+    """Disk-bounded sliced SSJoin: slices=3 (index side split by
+    xxhash64(id) % 3, one sequential sub-job per slice) must return
+    the bit-identical pair set of the single-job run — each canonical
+    pair is owned by exactly one slice via its LARGER record, so the
+    union has no duplicates and no losses."""
+    import random
+
+    from sparkplans.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40))))
+        for i in range(50)
+    ]
+    rows.append((200, rows[2][1]))
+    rows.append((201, rows[9][1] + " tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(df, threshold=0.4).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(
+            df, threshold=0.4, slices=3, slice_dir=str(tmp_path / "sl")
+        ).collect()
+    )
+    assert want, "fixture must contain pairs above threshold"
+    assert got == want, (len(got), len(want))
+
+
 # -- Misra-Gries heavy hitters ----------------------------------------------
 
 
