@@ -115,8 +115,19 @@ def main() -> None:
     except OSError:
         load_start = None
 
-    opts = EngineOptions(target_partitions=cpus)
-    spark = build_session(opts, app_name="sparkplans-bench", master=f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER overrides the single-JVM default — e.g.
+    # "local-cluster[4,8,4096]" benches the same slate across real
+    # executor JVM + python-worker process boundaries (SCALE.md
+    # "Multi-process execution").  Worker JVMs do not inherit the
+    # driver's sys.path, so the repo root must ride executorEnv.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    extra = (
+        {"spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
+        if master.startswith("local-cluster")
+        else {}
+    )
+    opts = EngineOptions(target_partitions=cpus, extra_conf=extra)
+    spark = build_session(opts, app_name="sparkplans-bench", master=master)
 
     # Warm the JVM + parquet footers once with a trivial action so the
     # per-query timings measure query execution, not session warmup.
