@@ -1199,20 +1199,19 @@ def q_ffd_sequence_packing(spark, sf_dir):
     mx AS (SELECT max(src_tokens) AS max_tokens FROM src),
     rates AS (
       SELECT source,
-             round(0.75 * least(2.0,
-                   round(sqrt(CAST(max_tokens AS DOUBLE) / src_tokens), 6)),
-                   6) AS rate
+             CAST(floor((0.75 * least(2.0,
+                    sqrt(CAST(max_tokens AS DOUBLE) / src_tokens)))
+                  * 1000000.0) AS BIGINT) AS rate_ppm
       FROM src CROSS JOIN mx)
-    SELECT t.doc_id, t.source, CAST(t.nt AS BIGINT) AS n_tokens, r.rate,
-           CAST(floor(r.rate) AS BIGINT)
-           + CASE WHEN (t.doc_id * 2654435761) % 1000000
-                       < CAST(floor((r.rate - floor(r.rate)) * 1000000) AS BIGINT)
-                  THEN 1 ELSE 0 END AS n_copies
-    FROM tok t JOIN rates r USING (source)
-    WHERE CAST(floor(r.rate) AS BIGINT)
-          + CASE WHEN (t.doc_id * 2654435761) % 1000000
-                      < CAST(floor((r.rate - floor(r.rate)) * 1000000) AS BIGINT)
-                 THEN 1 ELSE 0 END >= 1
+    SELECT doc_id, source, n_tokens, rate, n_copies FROM (
+      SELECT t.doc_id, t.source, CAST(t.nt AS BIGINT) AS n_tokens,
+             r.rate_ppm / 1000000.0 AS rate,
+             (r.rate_ppm // 1000000)
+             + CASE WHEN (t.doc_id * 2654435761) % 1000000
+                         < r.rate_ppm % 1000000
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM tok t JOIN rates r USING (source))
+    WHERE n_copies >= 1
     """,
 )
 def q_mixture_epoch_sample(spark, sf_dir):
@@ -1230,9 +1229,16 @@ def q_mixture_epoch_sample(spark, sf_dir):
     production pipeline wants for resumable/auditable mixing.
 
     Numeric discipline: sqrt and the double division are IEEE
-    correctly-rounded (no pow, no cross-source normalizing sum), the
-    rate is rounded to 6 dp once, and the epoch threshold uses
-    floor() into exact integer comparison — no engine-divergent tie.
+    correctly-rounded (no pow, no cross-source normalizing sum), and
+    the rate is quantized ONCE by flooring into integer ppm —
+    floor((0.75 * min(2, sqrt(...))) * 1e6), the identical IEEE
+    double-op sequence in both engines, so the same bits go in and
+    the same integer comes out.  round(x, 6) is deliberately NOT used:
+    Spark rounds the exact decimal expansion (BigDecimal HALF_UP)
+    while DuckDB rounds via double multiplication, and the sf1 sweep
+    caught a real half-way tie (src4's rate: 0.7772655) where the two
+    disagree in the last ulp.  All epoch/fraction decisions are exact
+    integer arithmetic on the ppm value.
 
     Scale shape: one groupBy(source) over per-doc counts (map-side
     combined) + a 1-row max — the 20-row rate table broadcasts back;
@@ -1252,25 +1258,24 @@ def q_mixture_epoch_sample(spark, sf_dir):
     mx = per_src.agg(F.max("src_tokens").alias("max_tokens"))
     rates = per_src.crossJoin(F.broadcast(mx)).select(
         "source",
-        F.round(
-            F.lit(0.75)
-            * F.least(
-                F.lit(2.0),
-                F.round(
+        F.floor(
+            (
+                F.lit(0.75)
+                * F.least(
+                    F.lit(2.0),
                     F.sqrt(
-                        F.col("max_tokens").cast("double") / F.col("src_tokens")
+                        F.col("max_tokens").cast("double")
+                        / F.col("src_tokens")
                     ),
-                    6,
-                ),
-            ),
-            6,
-        ).alias("rate"),
+                )
+            )
+            * F.lit(1000000.0)
+        ).alias("rate_ppm"),
     )
     bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000000))
-    frac_ppm = F.floor((F.col("rate") - F.floor("rate")) * F.lit(1000000))
     n_copies = (
-        F.floor("rate").cast("bigint")
-        + (bucket < frac_ppm).cast("bigint")
+        F.expr("rate_ppm DIV 1000000")
+        + (bucket < F.pmod(F.col("rate_ppm"), F.lit(1000000))).cast("bigint")
     )
     return (
         d.join(F.broadcast(rates), "source")
@@ -1278,7 +1283,7 @@ def q_mixture_epoch_sample(spark, sf_dir):
             "doc_id",
             "source",
             F.col("nt").cast("bigint").alias("n_tokens"),
-            "rate",
+            (F.col("rate_ppm") / F.lit(1000000.0)).alias("rate"),
             n_copies.alias("n_copies"),
         )
         .filter(F.col("n_copies") >= 1)
