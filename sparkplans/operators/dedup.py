@@ -441,7 +441,7 @@ def prefix_filter_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 3,
-    slices: int = 1,
+    slices: int | str = 1,
     slice_dir: str | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (the
@@ -490,7 +490,11 @@ def prefix_filter_pairs(
     (see the inline comment at the slicing loop).  Use it when the
     lossless candidate enumeration is Ω(pairs) and a single job's
     shuffle would exhaust local disk; on a cluster the same knob
-    bounds scratch per executor.
+    bounds scratch per executor.  ``slices="auto"`` measures the exact
+    candidate-volume upper bound (one cheap aggregation over the
+    prefix rows) and derives the slice count from the
+    ``spark.sparkplans.ssjoinSliceBytes`` scratch budget — the knob
+    becomes a measured decision instead of a guess.
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
@@ -606,6 +610,37 @@ def prefix_filter_pairs(
             F.greatest("id_a", "id_b").alias("id_b"),
             F.round("j", 6).alias("jaccard"),
         )
+
+    if slices == "auto":
+        # Size the slicing from the EXACT candidate-volume upper bound
+        # sum_p count_index(p) * count_probe(p) — the raw row count of
+        # the candidate join before the length filter — computed with
+        # one small aggregation over the (materialized) prefix rows.
+        # Measured calibration at sf10 (SCALE.md): 7.1e9 raw rows, and
+        # a 1/64 slice held ~8 GB of transient spill+shuffle on disk,
+        # i.e. ~72 bytes of peak disk per raw row (unsafe rows written
+        # twice: sorter spill runs + shuffle files, zstd).  The budget
+        # knob is spark.sparkplans.ssjoinSliceBytes (default 8 GiB of
+        # peak scratch per slice — per EXECUTOR's local disk on a real
+        # cluster, where each executor only hosts its share).
+        budget = int(
+            df.sparkSession.conf.get(
+                "spark.sparkplans.ssjoinSliceBytes", str(8 << 30)
+            )
+        )
+        raw_ub = (
+            pref.groupBy("p")
+            .agg(
+                F.count("*").alias("ci"),
+                F.sum(
+                    (F.col("pos") < F.col("probe_len")).cast("long")
+                ).alias("cp"),
+            )
+            .agg(F.sum(F.col("ci") * F.col("cp")).alias("raw"))
+            .collect()[0]["raw"]
+            or 0
+        )
+        slices = max(1, min(1024, -(-int(raw_ub) * 72 // max(budget, 1))))
 
     if slices <= 1:
         return _pairs_for(pref)

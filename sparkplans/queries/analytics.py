@@ -343,18 +343,21 @@ def q_ssjoin_near_dups(spark, sf_dir):
     negatives, so this is the ground-truth recall audit for the
     sketch-based dedup operators.
 
-    ``SPARK_GRAFT_SSJOIN_SLICES`` (default 1) runs the exact join in
-    that many disk-bounded sequential slices — bit-identical pairs,
-    ~1/slices peak shuffle footprint — for data-dominated SFs where
-    the lossless candidate shuffle would exhaust local scratch."""
+    ``SPARK_GRAFT_SSJOIN_SLICES`` (default 1; an integer or ``auto``)
+    runs the exact join in disk-bounded sequential slices —
+    bit-identical pairs, ~1/slices peak shuffle footprint — for
+    data-dominated SFs where the lossless candidate shuffle would
+    exhaust local scratch.  ``auto`` sizes the count from the measured
+    candidate volume against spark.sparkplans.ssjoinSliceBytes."""
     import os
 
     from sparkplans.operators.dedup import prefix_filter_pairs
 
+    sl = os.environ.get("SPARK_GRAFT_SSJOIN_SLICES", "1")
     return prefix_filter_pairs(
         _t_cpu(spark, sf_dir, "documents"),
         threshold=0.5,
-        slices=int(os.environ.get("SPARK_GRAFT_SSJOIN_SLICES", "1")),
+        slices="auto" if sl == "auto" else int(sl),
     )
 
 

@@ -1499,6 +1499,50 @@ def test_prefix_filter_sliced_identical_pairs(spark, tmp_path):
     assert got == want, (len(got), len(want))
 
 
+def test_prefix_filter_auto_slices(spark, tmp_path):
+    """slices='auto' sizes the slicing from the measured candidate
+    volume vs the spark.sparkplans.ssjoinSliceBytes budget: a tiny
+    budget forces a multi-slice run (same pairs), the default budget
+    resolves to a single-job plan (same pairs)."""
+    import random
+
+    from sparkplans.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 30))))
+        for i in range(40)
+    ]
+    rows.append((300, rows[4][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(df, threshold=0.4).collect()
+    )
+    assert want
+
+    spark.conf.set("spark.sparkplans.ssjoinSliceBytes", "50000")
+    try:
+        got_forced = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in prefix_filter_pairs(
+                df, threshold=0.4, slices="auto",
+                slice_dir=str(tmp_path / "auto"),
+            ).collect()
+        )
+    finally:
+        spark.conf.unset("spark.sparkplans.ssjoinSliceBytes")
+    assert got_forced == want
+
+    got_default = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(df, threshold=0.4, slices="auto").collect()
+    )
+    assert got_default == want
+
+
 # -- Misra-Gries heavy hitters ----------------------------------------------
 
 
