@@ -38,15 +38,25 @@ def main() -> int:
     import sparkplans.queries as Q
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    def _conf() -> dict[str, str]:
+        # SPARK_GRAFT_EXTRA_CONF="k=v,k=v" for static session confs a
+        # particular sweep needs (e.g. spark.io.compression.codec=zstd
+        # halves the shuffle/spill footprint of the disk-bound exact
+        # SSJoin at sf10 vs the lz4 default).
+        conf = {
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"
+            )
+        }
+        for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(","):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                conf[k.strip()] = v.strip()
+        return conf
+
     spark = build_session(
-        EngineOptions(
-            target_partitions=cpus,
-            extra_conf={
-                "spark.driver.memory": os.environ.get(
-                    "SPARK_GRAFT_DRIVER_MEM", "16g"
-                )
-            },
-        ),
+        EngineOptions(target_partitions=cpus, extra_conf=_conf()),
         app_name="sparkplans-engine-sweep",
         master=f"local[{cpus}]",
     )
@@ -74,14 +84,7 @@ def main() -> int:
         except Exception:
             pass
         return build_session(
-            EngineOptions(
-                target_partitions=cpus,
-                extra_conf={
-                    "spark.driver.memory": os.environ.get(
-                        "SPARK_GRAFT_DRIVER_MEM", "16g"
-                    )
-                },
-            ),
+            EngineOptions(target_partitions=cpus, extra_conf=_conf()),
             app_name="sparkplans-engine-sweep",
             master=f"local[{cpus}]",
         )
