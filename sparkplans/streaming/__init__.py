@@ -169,8 +169,21 @@ def sessionize(
                 out.append((user_id, _us_ts(start_us), _us_ts(end_us), n))
                 start_us, end_us, n = t, t, 1
         if start_us is not None:
-            state.update((start_us, end_us, n))
-            state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+            timeout_ms = end_us // 1000 + gap_seconds * 1000
+            if timeout_ms <= state.getCurrentWatermarkMs():
+                # The batch's own span already advanced the watermark
+                # past this session's close time (one micro-batch can
+                # cover hours of event time at scale — found by the
+                # sf1 streaming run, where arming the timer throws
+                # INVALID_TIMEOUT_TIMESTAMP): the session is closed by
+                # definition, so emit it now instead of arming a timer
+                # that could never legally fire.
+                out.append((user_id, _us_ts(start_us), _us_ts(end_us), n))
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((start_us, end_us, n))
+                state.setTimeoutTimestamp(timeout_ms)
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "session_start", "session_end", "n_events"]
