@@ -1061,3 +1061,72 @@ def test_sessionize_restart_resumes_state(spark, tmp_path):
     assert (1, at(0), at(20), 3) in got          # closed by the gap
     assert (1, at(180), at(180), 1) in got       # closed by event-time timeout
     assert all(u == 1 for (u, *_rest) in got), got  # user 2 still open
+
+
+def test_sessionize_wide_batch_no_invalid_timeout(spark, tmp_path):
+    """Scale finding (sf1 streaming run): one micro-batch can span far
+    more event time than the session gap, so the post-batch watermark
+    passes session_end + gap for sessions that closed early in the
+    batch — the old code then armed an event-time timer BEHIND the
+    watermark and every task died with INVALID_TIMEOUT_TIMESTAMP.
+    Such sessions are closed by definition and must be emitted
+    immediately; sessions still inside the watermark horizon stay in
+    state."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two events, session ends 10h before the batch max —
+        # watermark (max - 30min) passes end + gap by hours
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=60)),
+        # user 2: a single event AT the batch max — its timer is ahead
+        # of the watermark and must stay open in state
+        (2, t0 + dt.timedelta(hours=10)),
+    ]
+    src = tmp_path / "wide_events"
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        str(src)
+    )
+    sess = streaming.sessionize(stream, gap_seconds=1800)
+    streaming.run_available_now(sess, "wide_sessions", output_mode="append")
+    got = {
+        r.user_id: r.n_events
+        for r in spark.table("wide_sessions").collect()
+    }
+    assert got.get(1) == 2, got  # closed-by-watermark session emitted
+    assert 2 not in got, got  # open session stays in state
+
+
+def test_streaming_scale_harness_all_ok():
+    """CI gate for examples/streaming_scale.py — the measured streaming
+    evidence (SCALE.md 'Streaming at scale') must keep passing its own
+    exactness gates at test scale: windowed emissions bit-equal to the
+    batch aggregation, dedup ingest landing the exact batch-truth
+    corpus, session event conservation."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "streaming_scale.py"),
+            SF_DIR,
+            "1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g"),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["all_ok"], out
+    assert out["pipelines"]["windowed_counts"]["emitted_mismatches"] == 0
+    assert out["pipelines"]["dedup_ingest"]["exact_vs_batch_ok"]
