@@ -84,7 +84,13 @@ def _orderdate(okey):
                       F.pmod(F.xxhash64(okey, F.lit("odate")), F.lit(2404)).cast("int"))
 
 
-def generate(spark: SparkSession, sf: float, out: str, partitions: int | None = None) -> None:
+def generate(
+    spark: SparkSession,
+    sf: float,
+    out: str,
+    partitions: int | None = None,
+    tables: set[str] | None = None,
+) -> None:
     n = counts_for(sf)
     p = partitions or max(spark.sparkContext.defaultParallelism, 8)
 
@@ -92,6 +98,11 @@ def generate(spark: SparkSession, sf: float, out: str, partitions: int | None = 
         return spark.range(0, count, 1, parts or p)
 
     def write(df, name):
+        # tables=None generates everything; a subset generates only the
+        # named tables (e.g. documents/embeddings/events for an
+        # ML-family-only scale decade without 18M-row lineitem cost)
+        if tables is not None and name not in tables:
+            return
         df.write.mode("overwrite").parquet(os.path.join(out, name + ".parquet"))
         print(f"  {name}: {n.get(name, 'fixed')} rows")
 
@@ -240,6 +251,11 @@ def main() -> None:
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--tables",
+        default="",
+        help="comma-separated subset to generate (default: all tables)",
+    )
     args = ap.parse_args()
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -251,7 +267,12 @@ def main() -> None:
         .getOrCreate()
     )
     print(f"generating sf={args.sf} -> {args.out}")
-    generate(spark, args.sf, args.out)
+    generate(
+        spark,
+        args.sf,
+        args.out,
+        tables={t for t in args.tables.split(",") if t} or None,
+    )
     spark.stop()
 
 
