@@ -67,9 +67,14 @@ def main() -> int:
     names = sorted(only or Q.queries())
 
     # warm footers once so timings measure queries, not session startup
-    Q.REGISTRY["agg_count_star"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # (subset data dirs — e.g. --tables ML-family-only SFs — may lack
+    # the warmup table; the first swept query then absorbs the warmup)
+    try:
+        Q.REGISTRY["agg_count_star"].fn(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
 
     def _alive(s) -> bool:
         try:
