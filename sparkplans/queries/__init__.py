@@ -81,9 +81,17 @@ _ALL_TABLES = (
 
 
 def _register_needed_views(spark: SparkSession, sf_dir: str, sql: str) -> None:
+    # Word-boundary match, not substring: "part" lives inside
+    # "PARTITION BY" and "nation" inside "decontamination", so a
+    # substring test over-registers views — harmless when every table
+    # exists, but it loads footers nobody asked for and fails outright
+    # on subset data dirs (generate_sf --tables; sessionize_batch at
+    # sf30 tried to load part.parquet because of its window clause).
+    import re as _re
+
     low = sql.lower()
     for t in _ALL_TABLES:
-        if t in low:
+        if _re.search(rf"\b{t}\b", low):
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
