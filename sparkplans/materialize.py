@@ -169,6 +169,14 @@ def storage_level_key(df: DataFrame) -> str:
     key = (key or "adaptive").lower()
     if key in _LEVELS:
         return key
+    if key != "adaptive":
+        # An explicit-but-unknown value must fail loudly: silently
+        # falling through to adaptive would give a user who believes
+        # they forced a level different behavior with no signal.
+        raise ValueError(
+            f"invalid {STORAGE_KEY}={key!r}: expected 'adaptive' or one "
+            f"of {sorted(_LEVELS)}"
+        )
     try:
         limit = int(
             spark.conf.get(ADAPTIVE_BYTES_KEY, None) or _ADAPTIVE_DEFAULT_BYTES

@@ -495,6 +495,16 @@ def prefix_filter_pairs(
     prefix rows) and derives the slice count from the
     ``spark.sparkplans.ssjoinSliceBytes`` scratch budget — the knob
     becomes a measured decision instead of a guess.
+
+    ``slice_dir`` is the scratch root for per-slice parquet.  On a
+    multi-node cluster it MUST be shared storage visible to every
+    executor (HDFS/S3/NFS — e.g. a subdir of the checkpoint dir): the
+    default ``tempfile.mkdtemp()`` is a *driver-local* path that only
+    works in local / local-cluster modes, and is removed at
+    interpreter exit.  Each call writes into a fresh ``run=<uuid>``
+    subdirectory, so reusing a ``slice_dir`` across runs (including
+    runs whose ``slices="auto"`` resolved to different counts) can
+    never merge stale slices into the result.
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
@@ -660,12 +670,26 @@ def prefix_filter_pairs(
     # before the next starts.  Per-slice results land in parquet under
     # `slice_dir` (a temp dir by default) and the returned frame reads
     # them back, so the only data alive across slices is real output.
+    import atexit
     import gc as _gc
+    import shutil
     import tempfile
     import time as _time
+    import uuid
 
     spark = df.sparkSession
-    out_dir = slice_dir or tempfile.mkdtemp(prefix="sparkplans_ssjoin_")
+    if slice_dir is None:
+        root = tempfile.mkdtemp(prefix="sparkplans_ssjoin_")
+        # Driver-local default: valid only in local modes (see
+        # docstring); reclaim the scratch at interpreter exit so
+        # repeated calls don't leak disk.
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    else:
+        root = slice_dir
+    # Fresh run-scoped subdir: a reused slice_dir from a prior run
+    # (possibly with a HIGHER slice count under slices="auto") must
+    # never contribute stale slice=K parquet to this run's readback.
+    out_dir = f"{root}/run={uuid.uuid4().hex}"
     owner = F.pmod(F.xxhash64(F.col("id")), F.lit(slices))
     for k in range(slices):
         part = _pairs_for(pref.filter(owner == k))

@@ -353,11 +353,21 @@ def q_ssjoin_near_dups(spark, sf_dir):
 
     from sparkplans.operators.dedup import prefix_filter_pairs
 
-    sl = os.environ.get("SPARK_GRAFT_SSJOIN_SLICES", "1")
+    sl = os.environ.get("SPARK_GRAFT_SSJOIN_SLICES", "1").strip().lower()
+    if sl == "auto":
+        slices = "auto"
+    else:
+        try:
+            slices = int(sl)
+        except ValueError as exc:
+            raise ValueError(
+                "SPARK_GRAFT_SSJOIN_SLICES must be a positive integer or "
+                f"'auto', got {sl!r}"
+            ) from exc
     return prefix_filter_pairs(
         _t_cpu(spark, sf_dir, "documents"),
         threshold=0.5,
-        slices="auto" if sl == "auto" else int(sl),
+        slices=slices,
     )
 
 

@@ -441,7 +441,9 @@ def q_roc_auc_cosine(spark, sf_dir):
     "semantic_decontamination",
     """
     WITH probe AS (
-      SELECT vec_id AS bid, embedding AS p FROM embeddings WHERE label = 9),
+      SELECT vec_id AS bid, embedding AS p FROM embeddings
+      WHERE label = 9
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     sims AS (
       SELECT e.vec_id,
              round(list_dot_product(e.embedding::DOUBLE[], p.p::DOUBLE[]) /
@@ -449,7 +451,10 @@ def q_roc_auc_cosine(spark, sf_dir):
                                           e.embedding::DOUBLE[])) *
                     sqrt(list_dot_product(p.p::DOUBLE[], p.p::DOUBLE[]))),
                    6) AS s
-      FROM embeddings e CROSS JOIN probe p WHERE e.label <> 9)
+      FROM embeddings e CROSS JOIN probe p
+      WHERE e.label <> 9
+        AND list_dot_product(e.embedding::DOUBLE[],
+                             e.embedding::DOUBLE[]) > 0)
     SELECT vec_id, max(s) AS max_sim,
            CAST(max(s) >= 0.35 AS INT) AS contaminated
     FROM sims GROUP BY vec_id

@@ -1543,6 +1543,62 @@ def test_prefix_filter_auto_slices(spark, tmp_path):
     assert got_default == want
 
 
+def test_prefix_filter_reused_slice_dir_no_stale_merge(spark, tmp_path):
+    """Reusing a slice_dir across runs must never merge stale slices:
+    a first run with MORE slices than the second would previously
+    leave slice=K parquet behind that mode('overwrite') on lower
+    indices couldn't clear, duplicating pairs in the readback."""
+    import random
+
+    from sparkplans.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 30))))
+        for i in range(40)
+    ]
+    rows.append((400, rows[7][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(df, threshold=0.4).collect()
+    )
+    assert want
+    shared = str(tmp_path / "reused")
+    # First run with a HIGH slice count seeds the dir with slice=0..4.
+    first = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(
+            df, threshold=0.4, slices=5, slice_dir=shared
+        ).collect()
+    )
+    assert first == want
+    # Second run with fewer slices into the SAME dir must not read
+    # the first run's leftovers.
+    second = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(
+            df, threshold=0.4, slices=2, slice_dir=shared
+        ).collect()
+    )
+    assert second == want
+
+
+def test_ssjoin_slices_env_rejects_garbage(spark, monkeypatch):
+    """A malformed SPARK_GRAFT_SSJOIN_SLICES must raise an error that
+    names the env var and its accepted forms, not a bare int() crash
+    mid-sweep."""
+    from sparkplans.queries import REGISTRY
+
+    monkeypatch.setenv("SPARK_GRAFT_SSJOIN_SLICES", "aut0")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SSJOIN_SLICES"):
+        REGISTRY["ssjoin_near_dups"].fn(spark, SF_DIR)
+    # ' AUTO ' (whitespace / case) is accepted
+    monkeypatch.setenv("SPARK_GRAFT_SSJOIN_SLICES", " AUTO ")
+    assert REGISTRY["ssjoin_near_dups"].fn(spark, SF_DIR) is not None
+
+
 # -- Misra-Gries heavy hitters ----------------------------------------------
 
 

@@ -128,6 +128,15 @@ def test_adaptive_storage_level_picks_by_size(spark):
         finally:
             spark.conf.unset(STORAGE_KEY)
 
+    # an explicit-but-invalid level (e.g. a typo) must fail loudly,
+    # not silently fall through to adaptive behavior
+    spark.conf.set(STORAGE_KEY, "memory-deser")
+    try:
+        with pytest.raises(ValueError, match="memory-deser"):
+            storage_level_key(df)
+    finally:
+        spark.conf.unset(STORAGE_KEY)
+
 
 def test_engine_options_carry_the_flag():
     from sparkplans.session import EngineOptions
