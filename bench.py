@@ -95,6 +95,28 @@ HEADLINE = [
     "calibration_bins",
     "mutual_information_features",
     "zipf_fit_tokens",
+    # round-5: the canonical TPC-H suite (queries/tpch.py) — q1/q3/q5
+    # have been headliners since round 1 (pricing_summary and the two
+    # tpch_* entries above); these complete all 22
+    "tpch22_q2_min_cost_supplier",
+    "tpch22_q4_order_priority",
+    "tpch22_q6_forecast_revenue",
+    "tpch22_q7_volume_shipping",
+    "tpch22_q8_market_share",
+    "tpch22_q9_product_profit",
+    "tpch22_q10_returned_items",
+    "tpch22_q11_important_stock",
+    "tpch22_q12_shipmode_priority",
+    "tpch22_q13_customer_distribution",
+    "tpch22_q14_promo_effect",
+    "tpch22_q15_top_supplier",
+    "tpch22_q16_parts_supplier",
+    "tpch22_q17_small_quantity",
+    "tpch22_q18_large_volume_customer",
+    "tpch22_q19_discounted_revenue",
+    "tpch22_q20_part_promotion",
+    "tpch22_q21_suppliers_waiting",
+    "tpch22_q22_global_sales",
 ]
 
 

@@ -3245,3 +3245,7 @@ from sparkplans.queries import quant  # noqa: E402,F401
 # Batch-8 (quality classifier inference / temperature mixture /
 # bigram LM scoring / exact distributed ROC-AUC) likewise.
 from sparkplans.queries import mlprep  # noqa: E402,F401
+
+# Batch-9: the remaining 19 canonical TPC-H shapes (q2,q4,q6-q22),
+# completing all 22 together with pricing_summary/q3/q5 above.
+from sparkplans.queries import tpch  # noqa: E402,F401

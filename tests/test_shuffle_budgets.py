@@ -484,6 +484,32 @@ BUDGETS = {
     "zipf_fit_tokens": 1,
     # scan-side score projection, 10-key groupBy + ORDER BY bin
     "calibration_bins": 2,
+    # --- canonical TPC-H suite (queries/tpch.py) ---------------------
+    # partsupp is synthesized per use (CTE, not a table), so q2/q11/
+    # q16/q20 pay its DISTINCT shuffle once per reference; q2's
+    # correlated MIN re-derives it for the subquery side (Catalyst
+    # does not share CTE subtrees across a correlated boundary) —
+    # dimension-derived frames, so each exchange moves |part|-scale
+    # rows, never fact-scale
+    "tpch22_q2_min_cost_supplier": 10,
+    "tpch22_q4_order_priority": 2,
+    "tpch22_q6_forecast_revenue": 1,
+    "tpch22_q7_volume_shipping": 2,
+    "tpch22_q8_market_share": 2,
+    "tpch22_q9_product_profit": 4,
+    "tpch22_q10_returned_items": 1,
+    "tpch22_q11_important_stock": 7,
+    "tpch22_q12_shipmode_priority": 2,
+    "tpch22_q13_customer_distribution": 3,
+    "tpch22_q14_promo_effect": 1,
+    "tpch22_q15_top_supplier": 4,
+    "tpch22_q16_parts_supplier": 5,
+    "tpch22_q17_small_quantity": 2,
+    "tpch22_q18_large_volume_customer": 3,
+    "tpch22_q19_discounted_revenue": 1,
+    "tpch22_q20_part_promotion": 6,
+    "tpch22_q21_suppliers_waiting": 1,
+    "tpch22_q22_global_sales": 4,
 }
 
 
