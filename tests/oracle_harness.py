@@ -23,6 +23,8 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue  # subset dir (generate_sf --tables) — skip absent
         if os.path.isdir(path):  # Spark-written table = directory of parts
             path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
