@@ -89,6 +89,11 @@ import sparkplans.queries as Q
 from oracle_harness import spark_signature
 
 cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+# SPARK_GRAFT_EXTRA_CONF (JSON object) lets a wrapper add per-mode
+# conf — e.g. daemon_cluster_proof.py sets spark.executor.memory for
+# standalone masters, where the 1g default would starve the slate.
+extra = {"spark.executorEnv.PYTHONPATH": repo}
+extra.update(json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")))
 opts = EngineOptions(
     target_partitions=cpus,
     # executor python workers resolve sparkplans/ by module reference
@@ -96,7 +101,7 @@ opts = EngineOptions(
     # (in local mode the worker inherits the driver's sys.path; in
     # local-cluster it does NOT: this line is itself part of the
     # process-boundary evidence)
-    extra_conf={"spark.executorEnv.PYTHONPATH": repo},
+    extra_conf=extra,
 )
 spark = build_session(opts, app_name="cluster-proof", master=master)
 sc = spark.sparkContext

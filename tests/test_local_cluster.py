@@ -79,3 +79,36 @@ def test_executor_loss_recovery_contract():
         f"loss proof failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
     )
     assert "PROOF OK" in proc.stdout
+
+
+def test_standalone_daemon_cluster_hash_identical():
+    """The last execution rung (examples/daemon_cluster_proof.py):
+    real spark:// Master/Worker daemon processes, executors forked by
+    the WORKER's env (not the driver's), plus a reliableCheckpoints
+    leg through a shared checkpoint store.  Three legs hash-compared
+    on a compact slate at sf0.001; any RPC/env/serialization gap the
+    pseudo-cluster hides fails here, not on a real cluster."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="4",
+        # keep clear of any concurrently-running default-port daemons
+        SPARK_GRAFT_MASTER_PORT="7177",
+        SPARK_GRAFT_MASTER_UI="8189",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "daemon_cluster_proof.py"),
+            "/root/testdata/sf0.001",
+            *SLATE,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"daemon proof failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert "FAIL" not in proc.stdout, proc.stdout[-3000:]
