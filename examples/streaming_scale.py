@@ -3,6 +3,18 @@
 Structured Streaming surface over a real event/document corpus::
 
     python examples/streaming_scale.py [sf_dir] [files_per_trigger]
+    python examples/streaming_scale.py --chaos [sf_dir] [files_per_trigger]
+
+``--chaos`` is the mid-stream kill/recovery gate: for each durable
+pipeline (file-sink windowed aggregation; exactly-once dedup ingest)
+it runs a CLEAN leg to completion, then a CHAOS leg in a separate
+process that is SIGKILLed (kill -9, whole process group — driver JVM
+included) after the first micro-batch commits but before the stream
+drains, then RESUMED from the same checkpoint to completion.  The
+gate: chaos output == clean output == batch truth, bit-for-bit —
+i.e. kill+resume is indistinguishable from never having been killed.
+The clean-run legs (default mode) share the same staged input, so the
+two modes measure the same stream.
 
 Batch SCALE.md evidence answers "does the plan survive big data";
 this script answers the streaming versions of the same questions,
@@ -63,6 +75,293 @@ def _drain(q, timeout_s: float = 3600.0) -> dict:
     return {"rows": n_rows, "batches": n_batches, "state_rows": state_rows}
 
 
+def stage_table(
+    sf_dir: str, table: str, work: str, min_files: int = 1
+) -> str:
+    """Copy a table's parquet into ``work`` with sequential mtimes in
+    name order (FileStreamSource orders by MTIME — see the inline
+    comment in main()), so the stream ingests in event-time order.
+    ``min_files > 1`` row-splits a single-file table via pyarrow so a
+    kill can land between micro-batches even on driver testdata."""
+    p = f"{sf_dir}/{table}.parquet"
+    d = os.path.join(work, f"{table}_stream")
+    if os.path.isdir(d):
+        return d
+    os.makedirs(d)
+    files = (
+        sorted(
+            f
+            for f in os.listdir(p)
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+        if os.path.isdir(p)
+        else None
+    )
+    base = time.time() - 86400
+    if files is None and min_files > 1:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p)
+        n = t.num_rows
+        step = -(-n // min_files)
+        for i in range(min_files):
+            chunk = t.slice(i * step, step)
+            if chunk.num_rows == 0:
+                break
+            dst = os.path.join(d, f"part-{i:05d}.parquet")
+            pq.write_table(chunk, dst)
+            os.utime(dst, (base + i, base + i))
+    elif files is None:
+        dst = os.path.join(d, f"{table}.parquet")
+        shutil.copyfile(p, dst)
+        os.utime(dst, (base, base))
+    else:
+        for i, f in enumerate(files):
+            dst = os.path.join(d, f)
+            shutil.copyfile(os.path.join(p, f), dst)
+            os.utime(dst, (base + i, base + i))
+    return d
+
+
+def _build_worker_session():
+    from sparkplans.session import EngineOptions, build_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = build_session(
+        EngineOptions(
+            target_partitions=cpus,
+            extra_conf={
+                "spark.driver.memory": os.environ.get(
+                    "SPARK_GRAFT_DRIVER_MEM", "16g"
+                )
+            },
+        ),
+        app_name="sparkplans-streaming-chaos-worker",
+        master=f"local[{cpus}]",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def worker_main(argv: list[str]) -> int:
+    """Child process for the chaos gate: run ONE durable pipeline to
+    (attempted) completion.  The parent may SIGKILL this process at
+    any moment; a later identical invocation must resume from the
+    checkpoint and finish the stream exactly-once."""
+    mode, staged, sink, ckpt, fpt = (
+        argv[0], argv[1], argv[2], argv[3], int(argv[4]),
+    )
+    from sparkplans import streaming
+
+    spark = _build_worker_session()
+    if mode == "windowed":
+        stream = streaming.stream_events(
+            spark, staged, max_files_per_trigger=fpt
+        )
+        q = (
+            streaming.windowed_counts(stream, window="5 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    elif mode == "dedup":
+        doc_schema = (
+            spark.read.parquet(staged).select("doc_id", "text").schema
+        )
+        stream_docs = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", str(fpt))
+            .parquet(staged)
+            .select("doc_id", "text")
+        )
+        q = streaming.dedup_ingest_sink(stream_docs, sink, ckpt).start()
+    else:
+        raise SystemExit(f"unknown worker mode {mode}")
+    _drain(q)
+    spark.stop()
+    return 0
+
+
+def _run_leg(
+    mode: str, staged: str, sink: str, ckpt: str, fpt: int,
+    kill_after_commits: int | None,
+) -> dict:
+    """Run a worker leg; if ``kill_after_commits`` is set, SIGKILL the
+    worker's process group as soon as the checkpoint shows that many
+    committed batches AND a newer batch already started (offsets file
+    count > commits count) — i.e. mid-stream, with work in flight —
+    then rerun the worker to completion from the same checkpoint."""
+    import signal
+    import subprocess
+
+    args = [
+        sys.executable, os.path.abspath(__file__), "--worker",
+        mode, staged, sink, ckpt, str(fpt),
+    ]
+    t0 = time.time()
+    if kill_after_commits is None:
+        subprocess.run(args, check=True, timeout=7200)
+        return {"wall_sec": round(time.time() - t0, 1), "killed": False}
+
+    proc = subprocess.Popen(args, start_new_session=True)
+    commits = os.path.join(ckpt, "commits")
+    offsets = os.path.join(ckpt, "offsets")
+
+    def _n(d: str) -> int:
+        try:
+            return len([f for f in os.listdir(d) if not f.startswith(".")])
+        except FileNotFoundError:
+            return 0
+
+    killed = False
+    while proc.poll() is None:
+        if _n(commits) >= kill_after_commits and _n(offsets) > _n(commits):
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.02)
+    proc.wait()
+    if not killed:
+        # the stream drained before the kill window opened — the gate
+        # would be vacuous, so fail loudly rather than pass weakly
+        raise RuntimeError(
+            "chaos kill did not land mid-stream (stream too fast); "
+            "lower files_per_trigger or use a larger SF"
+        )
+    kill_t = round(time.time() - t0, 1)
+    subprocess.run(args, check=True, timeout=7200)  # resume
+    return {
+        "wall_sec": round(time.time() - t0, 1),
+        "killed": True,
+        "killed_at_sec": kill_t,
+        "commits_at_kill": _n(commits),
+    }
+
+
+def chaos_main() -> int:
+    argv = [a for a in sys.argv[1:] if a != "--chaos"]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    fpt = int(argv[1]) if len(argv) > 1 else 2
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="sparkplans_chaos_")
+    out: dict = {"sf_dir": sf_dir, "files_per_trigger": fpt, "pipelines": {}}
+
+    # -- windowed aggregation: clean vs kill+resume vs batch truth ----
+    staged = stage_table(sf_dir, "events", work, min_files=16)
+    legs = {}
+    for leg, kill in (("clean", None), ("chaos", 1)):
+        sink = os.path.join(work, f"win_{leg}_sink")
+        ckpt = os.path.join(work, f"win_{leg}_ckpt")
+        legs[leg] = _run_leg("windowed", staged, sink, ckpt, fpt, kill)
+        legs[leg]["sink"] = sink
+
+    spark = _build_worker_session()
+    from sparkplans import streaming
+
+    def _win_map(path: str) -> dict:
+        return {
+            (r.bin, r.event_type): (r.cnt, round(r.sum_value, 6))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    got_clean = _win_map(legs["clean"]["sink"])
+    got_chaos = _win_map(legs["chaos"]["sink"])
+    # batch truth over the staged stream input (same rows as the table)
+    ev = streaming.normalize_event_ts(spark.read.parquet(staged))
+    want = {
+        (r.bin, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in ev.groupBy(
+            F.window("ts", "5 minutes")["start"]
+            .cast("timestamp_ntz")
+            .alias("bin"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    win_ok = (
+        got_chaos == got_clean
+        and all(want.get(k) == v for k, v in got_chaos.items())
+        and len(got_chaos) > 0
+    )
+    out["pipelines"]["windowed_counts"] = {
+        **{f"{k}_{leg}": legs[leg][k] for leg in legs for k in ("wall_sec",)},
+        "killed_at_sec": legs["chaos"]["killed_at_sec"],
+        "commits_at_kill": legs["chaos"]["commits_at_kill"],
+        "windows_clean": len(got_clean),
+        "windows_chaos": len(got_chaos),
+        "windows_batch_truth": len(want),
+        "chaos_equals_clean": got_chaos == got_clean,
+        "emitted_match_truth": all(
+            want.get(k) == v for k, v in got_chaos.items()
+        ),
+        "ok": win_ok,
+    }
+
+    # -- exactly-once dedup ingest: kill between index+corpus commits --
+    from sparkplans.functions.text import doc_fingerprint
+    from sparkplans.table import VersionedTable
+
+    staged_docs = stage_table(sf_dir, "documents", work, min_files=16)
+    dlegs = {}
+    for leg, kill in (("clean", None), ("chaos", 1)):
+        root = os.path.join(work, f"dedup_{leg}_root")
+        ckpt = os.path.join(work, f"dedup_{leg}_ckpt")
+        dlegs[leg] = _run_leg("dedup", staged_docs, root, ckpt, fpt, kill)
+        dlegs[leg]["root"] = root
+
+    def _corpus_sig(root: str) -> tuple:
+        corpus = VersionedTable(spark, os.path.join(root, "corpus")).read()
+        index = VersionedTable(spark, os.path.join(root, "fp_index")).read()
+        h = (
+            corpus.select(
+                F.sum(F.xxhash64("doc_id").cast("decimal(38,0)")).alias("h")
+            ).collect()[0]["h"]
+        )
+        return corpus.count(), index.count(), h
+
+    c_clean, i_clean, h_clean = _corpus_sig(dlegs["clean"]["root"])
+    c_chaos, i_chaos, h_chaos = _corpus_sig(dlegs["chaos"]["root"])
+    truth = (
+        spark.read.parquet(staged_docs)
+        .select(doc_fingerprint("text").alias("fp"))
+        .agg(F.countDistinct("fp"))
+        .collect()[0][0]
+    )
+    dd_ok = (
+        c_chaos == c_clean == truth == i_chaos == i_clean
+        and h_chaos == h_clean
+    )
+    out["pipelines"]["dedup_ingest"] = {
+        "wall_sec_clean": dlegs["clean"]["wall_sec"],
+        "wall_sec_chaos": dlegs["chaos"]["wall_sec"],
+        "killed_at_sec": dlegs["chaos"]["killed_at_sec"],
+        "commits_at_kill": dlegs["chaos"]["commits_at_kill"],
+        "corpus_rows_clean": int(c_clean),
+        "corpus_rows_chaos": int(c_chaos),
+        "index_rows_chaos": int(i_chaos),
+        "batch_truth_distinct_fp": int(truth),
+        "doc_set_identical": bool(h_chaos == h_clean),
+        "ok": dd_ok,
+    }
+
+    out["all_ok"] = bool(win_ok and dd_ok)
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    return 0 if out["all_ok"] else 1
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     fpt = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -100,34 +399,9 @@ def main() -> int:
         # after one batch, and most subsequent input raced it).  A
         # production log stream arrives roughly in time order, so the
         # stage COPIES the parts with sequential mtimes in name order
-        # — modeling in-order arrival while leaving the source data
-        # untouched.  Single-file tables (driver testdata) stage the
-        # same way.
-        p = f"{sf_dir}/{table}.parquet"
-        d = os.path.join(work, f"{table}_stream")
-        if os.path.isdir(d):
-            return d
-        os.makedirs(d)
-        files = (
-            sorted(
-                f
-                for f in os.listdir(p)
-                if f.endswith(".parquet") or f.startswith("part-")
-            )
-            if os.path.isdir(p)
-            else None
-        )
-        base = time.time() - 86400
-        if files is None:
-            dst = os.path.join(d, f"{table}.parquet")
-            shutil.copyfile(p, dst)
-            os.utime(dst, (base, base))
-        else:
-            for i, f in enumerate(files):
-                dst = os.path.join(d, f)
-                shutil.copyfile(os.path.join(p, f), dst)
-                os.utime(dst, (base + i, base + i))
-        return d
+        # (stage_table) — modeling in-order arrival while leaving the
+        # source data untouched.
+        return stage_table(sf_dir, table, work)
 
     # -- 1. windowed_counts ------------------------------------------------
     stream = streaming.stream_events(
@@ -260,4 +534,9 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        raise SystemExit(worker_main(sys.argv[i + 1 : i + 6]))
+    if "--chaos" in sys.argv:
+        raise SystemExit(chaos_main())
     raise SystemExit(main())

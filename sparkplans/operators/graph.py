@@ -37,22 +37,33 @@ def pagerank(
     verification is numeric (|r - r_ref| < 1e-9), never
     hash-equality.
 
-    Shuffle shape (the sf10 rework — 180M edges x 5 iterations made
-    every avoidable exchange a ~30 s line item):
+    Shuffle shape (sf10 reworks; 180M edges x 5 iterations make every
+    avoidable exchange — and every avoidable SORT of the edge list —
+    a ~30 s line item):
 
-    * ``e_deg`` (edges + out-degree) is hash-partitioned on ``src``
-      ONCE and materialized; localCheckpoint preserves the physical
-      partitioning, so each iteration's src==node join needs to
-      shuffle only the |V|-row ranks side — the |E|-row edge list
-      never moves again (the in-repo stand-in for bucketing the edge
-      table by src on a cluster, per the module docstring).
-    * ranks carry the static ``outdeg`` column, so the per-iteration
-      dangling mass is a filter + 1-row agg over ranks — the old
-      version paid a |V|x|V| join per iteration just to re-discover
-      which nodes were dangling.
-    * contributions pre-aggregate map-side (partial sum per (dst,
-      task)), so the one per-iteration corpus shuffle carries at most
-      one row per distinct dst per task, not one per edge.
+    * **Broadcast-ranks path** (default whenever |V| <=
+      ``spark.sparkplans.pagerankBroadcastNodes``, default 8M): the
+      annotated edge list is hash-partitioned on **dst** once and
+      materialized (localCheckpoint preserves the physical
+      partitioning).  Each iteration then runs with ZERO exchanges:
+      ranks — a |V|-row dimension-scale frame (nodes are parts/users/
+      docs, facts are the edges) — broadcast-join into the edges in
+      place; the contribution groupBy(dst) finds its input already
+      hash-partitioned on dst, so no shuffle; and the rank-update
+      join sees node-partitioned nodes against dst-partitioned
+      contribs with the same partition count — co-partitioned, no
+      exchange.  The per-iteration cost is one broadcast of |V| rows
+      + one pass over the edge partitions.
+    * **Shuffle path** (|V| above the threshold — rank broadcast
+      would be the bottleneck): edges partitioned on ``src``; each
+      iteration shuffles only the |V|-row ranks side into the join,
+      then pays the one corpus groupBy(dst) exchange with map-side
+      combine (at most one row per distinct dst per task).
+    * ranks carry the static ``outdeg`` column, so dangling mass is a
+      filter + 1-row aggregate over ranks — and that scalar is FOLDED
+      into the rank-update plan as a broadcast 1-row cross join, so
+      an iteration is a single job with no driver-side collect sync
+      (the old version paid 5 driver round-trips per run).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -66,9 +77,20 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bcast_limit = int(
+        spark.conf.get("spark.sparkplans.pagerankBroadcastNodes", str(8_000_000))
+    )
+    use_bcast = n_total <= bcast_limit
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # edges annotated + src-partitioned once; reused every iteration
-    e_deg = e.join(outdeg, "src").repartition(parts, "src").transform(materialize)
+    # edges annotated + partitioned once; reused every iteration.
+    # Broadcast path lays them out by dst so the per-iteration
+    # contribution aggregate AND the rank-update join both reuse the
+    # layout; shuffle path lays them out by src for the ranks join.
+    e_deg = (
+        e.join(outdeg, "src")
+        .repartition(parts, "dst" if use_bcast else "src")
+        .transform(materialize)
+    )
     # (node, outdeg) — outdeg NULL marks dangling; static per run
     nodes_deg = (
         nodes.join(outdeg, nodes.node == outdeg.src, "left")
@@ -81,27 +103,29 @@ def pagerank(
         materialize
     )
     for _ in range(iterations):
-        dangling = (
-            ranks.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        # 1-row (dangling mass) frame, folded into the update plan as
+        # a broadcast cross join — no driver collect per iteration
+        dangling = ranks.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
+        rank_side = ranks.select("node", "rank")
+        if use_bcast:
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            e_deg.join(
-                ranks.select("node", "rank"), e_deg.src == F.col("node")
-            )
+            e_deg.join(rank_side, e_deg.src == F.col("node"))
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        base = (1.0 - damping) / n_total + damping * dangling / n_total
         ranks = (
             nodes_deg.join(contribs, nodes_deg.node == contribs.dst, "left")
+            .join(F.broadcast(dangling))
             .select(
                 "node",
                 "outdeg",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n_total)
+                    + F.lit(damping / n_total) * F.col("__dm")
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )

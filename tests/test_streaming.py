@@ -1130,3 +1130,36 @@ def test_streaming_scale_harness_all_ok():
     assert out["all_ok"], out
     assert out["pipelines"]["windowed_counts"]["emitted_mismatches"] == 0
     assert out["pipelines"]["dedup_ingest"]["exact_vs_batch_ok"]
+
+
+def test_mid_stream_sigkill_chaos_gate():
+    """Mid-stream SIGKILL + same-checkpoint resume must be
+    indistinguishable from a never-killed run (examples/
+    streaming_scale.py --chaos): the worker process (driver JVM
+    included) is kill -9'd after the first micro-batch commits with
+    another in flight, resumed, and the file-sink windowed aggregation
+    and exactly-once dedup ingest must equal both their clean-leg
+    outputs and batch truth bit-for-bit.  Runs in subprocesses (fresh
+    SparkContexts), safe beside the session fixture."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(repo, "examples", "streaming_scale.py"),
+            "--chaos",
+            SF_DIR,
+            "1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=repo,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g"),
+    )
+    assert proc.returncode == 0, (
+        f"chaos gate failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert '"all_ok": true' in proc.stdout, proc.stdout[-2000:]
