@@ -110,7 +110,7 @@ def q_activity_streaks(spark, sf_dir):
 # Weighted median (quantity-weighted price)
 # ---------------------------------------------------------------------
 
-_shared_sql(
+@register(
     "weighted_median_price",
     """
     WITH w AS (
@@ -127,13 +127,79 @@ _shared_sql(
     GROUP BY l_returnflag
     """,
 )
-# Weighted median = smallest value whose cumulative weight reaches
-# half the total.  Weights accumulate as DECIMAL (exact, any order);
-# the half-total test is ``2*cum >= tot`` — integer-scaled DECIMAL
-# compare, no division, no float anywhere (the median itself is a
-# picked input value, not an interpolation).  The default RANGE window
-# frame includes ties on v identically on both engines.  One
-# flag-keyed shuffle; min() collapses map-side.
+def q_weighted_median_price(spark, sf_dir):
+    """Weighted median = smallest value whose cumulative weight
+    reaches half the total.  Weights accumulate as DECIMAL (exact,
+    any order); the half-total test is ``2*cum >= tot`` — integer-
+    scaled DECIMAL compare, no division, no float anywhere (the
+    median is a picked input value, not an interpolation).
+
+    The oracle keeps the naive one-window form; the Spark plan is the
+    SCALABLE exact two-phase: the naive ``sum(wt) OVER (PARTITION BY
+    l_returnflag ORDER BY v)`` has parallelism = |distinct flags| = 3
+    no matter the corpus (sf30 measured it at 7x wall for 3x data —
+    three tasks each sorting 60M rows), so instead
+
+    1. rows fold into monotone integer VALUE BUCKETS — groupBy(flag,
+       floor(v)): map-side combinable, full cluster parallelism, and
+       the only pass over corpus-scale data;
+    2. the running sum runs over the BUCKET frame (|flags| x
+       |buckets| ~ 300k rows — bounded regardless of corpus size),
+       finding each flag's median bucket and the cumulative weight
+       before it;
+    3. the within-bucket tie-exact cumsum (the default RANGE frame's
+       "ties share one cum" semantics, reproduced by grouping on v
+       first) runs over only the median bucket's slice, joined by a
+       3-row broadcast.
+
+    Same answer bit-for-bit (buckets are monotone in v, and
+    cum_before < tot/2 <= cum_bucket pins the answer inside the
+    bucket), but the corpus-scale stages are all combine-heavy
+    aggregations instead of a 3-task global sort."""
+    w = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    )
+    agg_b = w.groupBy(
+        "l_returnflag", F.floor("v").cast("long").alias("b")
+    ).agg(F.sum("wt").alias("wb"))
+    win_b = Window.partitionBy("l_returnflag").orderBy("b")
+    win_all = Window.partitionBy("l_returnflag")
+    cb = agg_b.withColumn("cumb", F.sum("wb").over(win_b)).withColumn(
+        "tot", F.sum("wb").over(win_all)
+    )
+    # median bucket + exact cumulative weight strictly before it
+    mb = (
+        cb.filter(2 * F.col("cumb") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("b").alias("mb"))
+        .join(cb, "l_returnflag")
+        .filter(F.col("b") == F.col("mb"))
+        .select(
+            F.col("l_returnflag").alias("mf"),
+            "mb",
+            (F.col("cumb") - F.col("wb")).alias("before"),
+            "tot",
+        )
+    )
+    sliced = w.join(
+        F.broadcast(mb),
+        (F.col("l_returnflag") == F.col("mf"))
+        & (F.floor(F.col("v")).cast("long") == F.col("mb")),
+    ).select("l_returnflag", "v", "wt", "before", "tot")
+    per_v = sliced.groupBy("l_returnflag", "v", "before", "tot").agg(
+        F.sum("wt").alias("wv")
+    )
+    win_v = Window.partitionBy("l_returnflag").orderBy("v")
+    cum = per_v.withColumn(
+        "cum", F.col("before") + F.sum("wv").over(win_v)
+    )
+    return (
+        cum.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
 
 
 # ---------------------------------------------------------------------

@@ -338,7 +338,12 @@ BUDGETS = {
     "activity_streaks": 2,
     # flag-keyed cumulative/total windows and the min() rollup reuse
     # a single shuffle
-    "weighted_median_price": 1,
+    # was 1 with the naive flag-partitioned running window — which
+    # capped parallelism at |flags| = 3 (sf30: 7x wall for 3x data).
+    # The scalable two-phase plan pays 6 exchanges, but every one is
+    # either a combine-heavy aggregation of the corpus (1 pass) or an
+    # exchange of the bounded bucket/median-slice frames
+    "weighted_median_price": 6,
     # 9-group digit count (map-side combined) + the 9-row OVER ()
     "benford_first_digit": 2,
     # baskets dedup runs once before the localCheckpoint cut; visible
