@@ -373,8 +373,20 @@ def q_edit_distance_near_dups(spark, sf_dir):
     width-8 buckets and exploding each row into its own + next bucket
     (interval overlap <=> bucket sets intersect) — Catalyst gets a
     hash join instead of the O(n^2)-per-source nested loop a raw
-    inequality would plan.  Duplicate bucket matches are dropped
-    before the (expensive) distance call runs."""
+    inequality would plan.
+
+    Pair uniqueness comes from the OWNER-BUCKET rule (the same
+    zero-shuffle trick as `asof.interval_overlap_join` and the sliced
+    SSJoin): a qualifying pair's bucket sets {bk, bk+1} intersect in
+    {max(bk_a, bk_b)} (and possibly the next bucket when bk_a ==
+    bk_b), so keeping only the join row where bucket ==
+    greatest(bk_a, bk_b) emits each pair exactly once INSIDE the join
+    stage.  The previous dropDuplicates here shuffled the full
+    candidate-pair stream with both 48-char prefixes attached —
+    Ω(pairs) scratch, which exhausted a 250 GB disk at sf30 (the
+    pair volume is quadratic in corpus density); now the pair stream
+    is purely pipelined: join → owner filter → banded levenshtein,
+    and only true survivors ever hit a shuffle."""
     d = _t_cpu(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -387,6 +399,7 @@ def q_edit_distance_near_dups(spark, sf_dir):
         F.col("source"),
         F.col("n_chars").alias("nc_a"),
         F.col("prefix").alias("pa"),
+        F.col("bk").alias("bk_a"),
         F.explode(F.array(F.col("bk"), F.col("bk") + 1)).alias("bucket"),
     )
     b = d.select(
@@ -394,15 +407,14 @@ def q_edit_distance_near_dups(spark, sf_dir):
         F.col("source"),
         F.col("n_chars").alias("nc_b"),
         F.col("prefix").alias("pb"),
+        F.col("bk").alias("bk_b"),
         F.explode(F.array(F.col("bk"), F.col("bk") + 1)).alias("bucket"),
     )
-    cand = (
-        a.join(b, ["source", "bucket"])
-        .filter(
-            (F.col("left_id") < F.col("right_id"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 8)
-        )
-        .dropDuplicates(["left_id", "right_id"])
+    cand = a.join(b, ["source", "bucket"]).filter(
+        (F.col("left_id") < F.col("right_id"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 8)
+        # owner-bucket: each pair counted in exactly one bucket
+        & (F.col("bucket") == F.greatest(F.col("bk_a"), F.col("bk_b")))
     )
     # 3-arg levenshtein runs the banded DP (O(threshold·len), early
     # exit) and returns -1 past the threshold — exact distance for

@@ -208,7 +208,10 @@ BUDGETS = {
     # fan_out + map-side-distinct expand + token-keyed postings agg
     "inverted_index": 3,
     # fan_out + one (source,bucket) hash join + pair dedup
-    "edit_distance_near_dups": 3,
+    # was 3 with a dropDuplicates that shuffled the full candidate-pair
+    # stream (prefixes attached) — Omega(pairs) scratch, exhausted the
+    # disk at sf30; the owner-bucket rule dedups inside the join stage
+    "edit_distance_near_dups": 2,
     # chunking is codegen-only; fan_out is the only exchange
     "doc_chunks": 1,
     # --- batch 3 (queries/analytics.py) ---
