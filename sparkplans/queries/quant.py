@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from sparkplans.materialize import materialize
 from pyspark.sql.window import Window
 
-from sparkplans.queries import _shared_sql, _t, _t_cpu, register
+from sparkplans.queries import _rowcount, _shared_sql, _t, _t_cpu, register
 
 
 # ---------------------------------------------------------------------
@@ -155,12 +155,34 @@ def q_weighted_median_price(spark, sf_dir):
     Same answer bit-for-bit (buckets are monotone in v, and
     cum_before < tot/2 <= cum_bucket pins the answer inside the
     bucket), but the corpus-scale stages are all combine-heavy
-    aggregations instead of a 3-task global sort."""
+    aggregations instead of a 3-task global sort.
+
+    Size-adaptive (same pattern as the triangle core's fold-vs-BLAS
+    switch): below ``spark.sparkplans.medianTwoPhaseRows`` (default
+    20M, read from parquet footers — zero jobs) the naive single-
+    window plan wins on fixed cost (sf0.1: 0.98 s vs 1.9 s for six
+    stages); above it the 3-task sort is the bottleneck (sf10 77 →
+    8.6 s, sf30 539 → 34 s two-phase).  Both plans are exact and
+    hash-identical to the oracle."""
     w = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
     )
+    threshold = int(
+        spark.conf.get("spark.sparkplans.medianTwoPhaseRows", str(20_000_000))
+    )
+    if _rowcount(sf_dir, "lineitem") < threshold:
+        win_n = Window.partitionBy("l_returnflag").orderBy("v")
+        win_t = Window.partitionBy("l_returnflag")
+        c = w.withColumn("cum", F.sum("wt").over(win_n)).withColumn(
+            "tot", F.sum("wt").over(win_t)
+        )
+        return (
+            c.filter(2 * F.col("cum") >= F.col("tot"))
+            .groupBy("l_returnflag")
+            .agg(F.min("v").alias("weighted_median"))
+        )
     agg_b = w.groupBy(
         "l_returnflag", F.floor("v").cast("long").alias("b")
     ).agg(F.sum("wt").alias("wb"))
