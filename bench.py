@@ -148,6 +148,10 @@ def main() -> None:
         if master.startswith("local-cluster")
         else {}
     )
+    # SPARK_GRAFT_EXTRA_CONF (JSON) — same hook as cluster_proof's
+    # runner: lets gap-profiling runs add per-run conf (locality wait,
+    # serializer) without editing the bench
+    extra.update(json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")))
     opts = EngineOptions(target_partitions=cpus, extra_conf=extra)
     spark = build_session(opts, app_name="sparkplans-bench", master=master)
 
