@@ -686,6 +686,38 @@ def prefix_filter_pairs(
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     else:
         root = slice_dir
+        # Retention contract for caller-supplied slice_dir: each call
+        # writes a fresh run=<uuid> subdir (stale-slice safety, see
+        # below) and the returned frame lazily READS that subdir, so
+        # it cannot be deleted before the caller consumes the result.
+        # To keep repeated runs from accumulating unbounded scratch on
+        # the shared store, prune run= dirs older than
+        # spark.sparkplans.ssjoinSliceRetentionSec (default 86400 s)
+        # on entry — age-based so a concurrent session's live run is
+        # never swept.  Pruning applies to local filesystems only; on
+        # object stores point a bucket-lifecycle rule at the dir (the
+        # same contract every Spark shuffle-/checkpoint-on-S3 setup
+        # uses).
+        import os as _os
+
+        retention = float(
+            spark.conf.get(
+                "spark.sparkplans.ssjoinSliceRetentionSec", "86400"
+            )
+        )
+        if _os.path.isdir(root):
+            cutoff = _time.time() - retention
+            for name in _os.listdir(root):
+                p = _os.path.join(root, name)
+                try:
+                    if (
+                        name.startswith("run=")
+                        and _os.path.isdir(p)
+                        and _os.path.getmtime(p) < cutoff
+                    ):
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
     # Fresh run-scoped subdir: a reused slice_dir from a prior run
     # (possibly with a HIGHER slice count under slices="auto") must
     # never contribute stale slice=K parquet to this run's readback.

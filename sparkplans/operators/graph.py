@@ -59,6 +59,20 @@ def pagerank(
       iteration shuffles only the |V|-row ranks side into the join,
       then pays the one corpus groupBy(dst) exchange with map-side
       combine (at most one row per distinct dst per task).
+
+    Memory envelope of the broadcast default (8M nodes): a rank frame
+    is (long node, double rank) ~= 16 B/row + row overhead, so one
+    broadcast is ~128-200 MiB serialized at the threshold.  Broadcast
+    blocks from finished iterations are reclaimed by Spark's
+    ContextCleaner once the driver GCs the plan references — each
+    iteration here is eagerly materialized (localCheckpoint) and the
+    previous ``ranks`` local is rebound, so at most a couple of
+    iterations' blocks are live between GC cycles (<~0.5 GiB at the
+    default; executors additionally keep one block each).  Size the
+    threshold to your executor memory: on small-executor clusters set
+    ``spark.sparkplans.pagerankBroadcastNodes`` to ~1-2M (~30 MiB per
+    broadcast); above the threshold the shuffle path costs one extra
+    exchange per iteration but holds no |V|-row broadcast at all.
     * ranks carry the static ``outdeg`` column, so dangling mass is a
       filter + 1-row aggregate over ranks — and that scalar is FOLDED
       into the rank-update plan as a broadcast 1-row cross join, so

@@ -1,9 +1,23 @@
-"""The remaining 19 canonical TPC-H query shapes (q1/q3/q5 live in
-queries/__init__.py as ``pricing_summary`` / ``tpch_q3_topk_revenue``
-/ ``tpch_q5_local_supplier``), completing all 22 — the standard
-warehouse-breadth claim, and the shapes the reference's plan-reading
-docs build toward (reference docs/8_cli_read_plans_join.md multi-join
-futures; docs/9_what_next.md:3-6 "more input files into the join").
+"""The canonical TPC-H suite, 19 close-to-dbgen-text queries
+(q1/q3/q5 live in queries/__init__.py as ``pricing_summary`` /
+``tpch_q3_topk_revenue`` / ``tpch_q5_local_supplier``), completing
+all 22 — the standard warehouse-breadth claim, and the shapes the
+reference's plan-reading docs build toward (reference
+docs/8_cli_read_plans_join.md multi-join futures;
+docs/9_what_next.md:3-6 "more input files into the join").
+
+Relationship to the earlier ``tpch_q*`` entries: queries/__init__.py
+also registers *adapted* ``tpch_q2..q22`` shapes from rounds 2–4 —
+looser paraphrases that keep each query's join/subquery CLASS but
+reshape predicates around the reduced testdata schema.  This
+``tpch22_*`` set SUPERSEDES those for canonical-parity claims: it
+stays near the dbgen text (synthesized ``partsupp``, derived
+late-line/shipmode/phone attributes — see below) where the old set
+substituted different predicates entirely.  The old entries are kept
+registered under their original names because they are pinned by the
+driver's fixed correctness sample and by budget ratchets (and they
+double as independent plan-shape coverage); new work should target
+``tpch22_*``.
 
 Every query is a **shared-SQL** registration: one ANSI-SQL text that
 Spark SQL and DuckDB both execute — Catalyst owns the physical plan

@@ -1,6 +1,8 @@
 """Dedup / similarity / as-of / multimodal operator tests, with
 DuckDB oracles where the computation is SQL-expressible."""
 
+import time
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -1086,6 +1088,41 @@ def test_pagerank_empty_edges(spark):
     assert pagerank(edges, iterations=3).count() == 0
 
 
+def test_pagerank_shuffle_path_parity(spark):
+    """The |V|-above-threshold SHUFFLE path (src-partitioned edges,
+    shuffled ranks join, dangling fold on that branch) produces the
+    same ranks as the default broadcast path and the closed form.
+
+    All the other graph tests use tiny graphs, so without forcing
+    ``pagerankBroadcastNodes=0`` this branch would never execute
+    (ADVICE r5: unpinned branch)."""
+    from sparkplans.operators.graph import pagerank
+
+    # richer graph than the closed-form test: a hub, a cycle, two
+    # dangling sinks, and a self-feeding pair
+    edge_list = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (3, 1), (4, 5),
+        (5, 6), (6, 4), (3, 7), (2, 8), (8, 2),
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    prev = spark.conf.get("spark.sparkplans.pagerankBroadcastNodes", None)
+    try:
+        spark.conf.set("spark.sparkplans.pagerankBroadcastNodes", "0")
+        shuffled = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sparkplans.pagerankBroadcastNodes")
+        else:
+            spark.conf.set("spark.sparkplans.pagerankBroadcastNodes", prev)
+    bcast = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
+
+    assert set(shuffled) == set(bcast)
+    for v in bcast:
+        assert abs(shuffled[v] - bcast[v]) < 1e-9, (v, shuffled[v], bcast[v])
+    assert abs(sum(shuffled.values()) - 1.0) < 1e-9
+
+
 def test_expectations_planted_violations(spark):
     """Each check kind reports the exact planted violation count; FK
     nulls pass (SQL semantics); clean table passes everything."""
@@ -1583,6 +1620,35 @@ def test_prefix_filter_reused_slice_dir_no_stale_merge(spark, tmp_path):
         ).collect()
     )
     assert second == want
+
+
+def test_prefix_filter_slice_dir_retention_prunes_old_runs(spark, tmp_path):
+    """With a caller-supplied slice_dir, run= subdirs older than
+    spark.sparkplans.ssjoinSliceRetentionSec are pruned on entry so
+    repeated runs don't accumulate unbounded scratch on the shared
+    store (ADVICE r5); YOUNG run= dirs (a concurrent session's live
+    run) are never swept."""
+    import os
+
+    from sparkplans.operators.dedup import prefix_filter_pairs
+
+    rows = [(i, f"a b c d e f g{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    shared = str(tmp_path / "retained")
+    os.makedirs(shared)
+    old = os.path.join(shared, "run=deadbeef")
+    young = os.path.join(shared, "run=cafebabe")
+    os.makedirs(old)
+    os.makedirs(young)
+    stale = time.time() - 7 * 86400
+    os.utime(old, (stale, stale))
+
+    got = prefix_filter_pairs(
+        df, threshold=0.3, slices=2, slice_dir=shared
+    ).collect()
+    assert got is not None
+    assert not os.path.exists(old), "week-old run dir should be pruned"
+    assert os.path.exists(young), "fresh run dir must survive (live run)"
 
 
 def test_ssjoin_slices_env_rejects_garbage(spark, monkeypatch):
