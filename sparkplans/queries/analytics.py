@@ -728,16 +728,11 @@ def q_orders_snapshot_diff(spark, sf_dir):
     return table_diff(old, new, keys=["o_orderkey"])
 
 
-@register("pagerank_copurchase", None)  # fixed-point iteration: numeric, not hash-comparable
-def q_pagerank_copurchase(spark, sf_dir):
-    """PageRank over the part co-purchase graph (parts sharing an
-    order, both directions) — the iterative-algorithm showcase
-    (operators/graph).  Rows-only driver check by design: a power
-    iteration converges numerically, so correctness is pinned against
-    a closed-form reference on a known graph in tests, not a SQL
-    oracle.  Edge building is one self-join on l_orderkey; each
-    iteration is one dst-keyed aggregate over lineage cut by
-    localCheckpoint."""
+def _copurchase_ranks(spark, sf_dir):
+    """Unrounded PageRank over the part co-purchase graph — shared by
+    the value-oracled ``pagerank_copurchase`` (rounds for cross-engine
+    hashing) and ``pagerank_invariants`` (needs full precision for the
+    1e-9 mass-conservation theorem)."""
     from sparkplans.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -752,6 +747,67 @@ def q_pagerank_copurchase(spark, sf_dir):
     return pagerank(edges, damping=0.85, iterations=5)
 
 
+def _pagerank_oracle_sql(iters: int = 5, d: float = 0.85) -> str:
+    """DuckDB power iteration, UNROLLED (fixed iteration count needs
+    no recursion; an unrolled chain also sidesteps the single-
+    recursive-reference rule — each step reads r{k-1} twice: once for
+    the dangling-mass fold, once for the inflow join).  Every CTE is
+    MATERIALIZED: without it DuckDB inlines each doubly-referenced
+    step and the chain re-evaluates 2^iters times.  The arithmetic is
+    the operator's exactly — r' = (1-d)/N + d*dm/N + d*inflow with
+    inflow = sum(rank/outdeg) over in-edges — so the only cross-engine
+    daylight is float summation order (measured |Δ|rel ≈ 1e-15);
+    round(rank, 10) on both sides leaves ~5 orders of margin."""
+    step = lambda k: f"""
+r{k} AS MATERIALIZED (
+  SELECT nd.node, nd.outdeg,
+         (1 - {d})/(SELECT n FROM nn)
+         + {d}*(SELECT coalesce(sum(rank), 0) FROM r{k-1} WHERE outdeg IS NULL)/(SELECT n FROM nn)
+         + {d}*coalesce(i.inflow, 0) AS rank
+  FROM nodes_deg nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / r.outdeg) AS inflow
+    FROM edges e JOIN r{k-1} r ON e.src = r.node GROUP BY e.dst
+  ) i USING (node)
+)"""
+    steps = ",".join(step(k) for k in range(1, iters + 1))
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes_deg AS MATERIALIZED (
+  SELECT node, outdeg FROM (
+    SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+  ) LEFT JOIN outdeg ON node = src
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes_deg),
+r0 AS MATERIALIZED (SELECT node, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM nodes_deg),
+{steps}
+SELECT node, round(rank, 10) AS rank FROM r{iters}
+"""
+
+
+@register("pagerank_copurchase", _pagerank_oracle_sql())
+def q_pagerank_copurchase(spark, sf_dir):
+    """PageRank over the part co-purchase graph (parts sharing an
+    order, both directions) — the iterative-algorithm showcase
+    (operators/graph).  VALUE-oracled since round 6: a fixed-iteration
+    power iteration with deterministic damping is a pure (if
+    non-algebraic) function of the corpus, so DuckDB recomputes the
+    identical 5 unrolled steps and both sides round to 10 dp — the
+    measured cross-engine summation noise is ~1e-15 relative, five
+    orders below the rounding grain, so the hash comparison is exact
+    in practice (flake probability ~1e-8 per node).  Edge building is
+    one self-join on l_orderkey; each Spark iteration is one dst-keyed
+    aggregate over lineage cut by localCheckpoint (zero exchanges per
+    iteration on the broadcast-ranks path)."""
+    return _copurchase_ranks(spark, sf_dir).select(
+        "node", F.round("rank", 10).alias("rank")
+    )
+
+
 @register(
     "pagerank_invariants",
     """
@@ -764,14 +820,19 @@ def q_pagerank_copurchase(spark, sf_dir):
     """,
 )
 def q_pagerank_invariants(spark, sf_dir):
-    """Oracled companion to the rows-only `pagerank_copurchase`: the
+    """Theorem companion to `pagerank_copurchase` (which since round 6
+    also carries a full value oracle — DuckDB reruns the unrolled
+    power iteration): the
     power iteration's numeric output can't hash-match SQL, but its
     THEOREMS can — total rank mass stays 1 (no dangling nodes in the
     symmetric co-purchase graph), every rank is >= (1-d)/N > 0, and
     the node set is exactly the distinct parts in co-purchase edges
     (which DuckDB recomputes independently).  One boolean row vs the
-    oracle's independently-derived (n_nodes, true, true)."""
-    ranks = q_pagerank_copurchase(spark, sf_dir)
+    oracle's independently-derived (n_nodes, true, true).  Uses the
+    UNROUNDED helper: the registered query rounds to 10 dp for value
+    hashing, and 2000 nodes' rounding residues would swamp the 1e-9
+    mass-conservation tolerance."""
+    ranks = _copurchase_ranks(spark, sf_dir)
     return ranks.agg(
         F.count("*").alias("n_nodes"),
         (F.abs(F.sum("rank") - F.lit(1.0)) < F.lit(1e-9)).alias(

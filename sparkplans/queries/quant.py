@@ -1017,16 +1017,72 @@ _shared_sql(
 # ---------------------------------------------------------------------
 
 
-@register("bpe_merge_table", None)  # iterative trainer; pinned vs the
-# hand-computed Sennrich corpus in tests/test_operators.py
+def _bpe_oracle_sql(num_merges: int = 6) -> str:
+    """DuckDB BPE trainer, UNROLLED.  The merge-application fold
+    (left-to-right, no re-merge with own output — `bpe._merge_fold`)
+    is reproduced with a string `replace()` trick: each symbol is
+    wrapped in single spaces so adjacent symbols are separated by TWO
+    spaces (' s1  s2  s3 '); merging pair (a,b) is then
+    replace(' a  b ', ' ab ').  Non-overlapping left-to-right replace
+    has exactly the fold's semantics ([a,a,a] + merge(a,a) → [aa, a]),
+    the mandatory leading space anchors the match to a symbol START
+    (so symbols ending in 'a' can't false-match), the mandatory
+    trailing space anchors the END, and the replacement re-wraps the
+    merged symbol so the two-space invariant survives for the next
+    step.  Every CTE is MATERIALIZED — each step's vocab is referenced
+    by both the next pair count and the next rewrite, and inlining
+    would re-evaluate the chain 2^merges times.  Pair counting splits
+    the wrapped string back on '  ' and enumerates adjacent index
+    pairs via list_transform(generate_series) (empty for 1-symbol
+    words: DuckDB generate_series(1,0) is [])."""
+    step = lambda k: f"""
+p{k} AS MATERIALIZED (
+  SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS w FROM (
+    SELECT n, unnest(list_transform(generate_series(1, len(sym)-1),
+                     i -> struct_pack(a := sym[i], b := sym[i+1]))) AS p
+    FROM (SELECT n, string_split(trim(s), '  ') AS sym FROM v{k-1})
+  ) GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (SELECT a, b, w FROM p{k} ORDER BY w DESC, a, b LIMIT 1),
+v{k} AS MATERIALIZED (
+  SELECT n, replace(s,
+      ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',
+      ' ' || (SELECT a || b FROM m{k}) || ' ') AS s
+  FROM v{k-1}
+)"""
+    steps = ",".join(step(k) for k in range(1, num_merges + 1))
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, a AS \"left\", b AS \"right\","
+        f" a || b AS merged, w AS weight FROM m{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT n, ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS s FROM w
+),
+{steps}
+SELECT * FROM ({finals})
+"""
+
+
+@register("bpe_merge_table", _bpe_oracle_sql())
 def q_bpe_merge_table(spark, sf_dir):
     """First 6 BPE merges learned from the documents corpus
     (`operators/bpe.bpe_train`): the tokenizer-construction step of a
     training-data pipeline, run as one corpus word-count shuffle plus
     vocabulary-sized iterations.  Deterministic (lexicographic tie
     break), so the merge table is a pure function of the corpus —
-    rows-only here; exact merge order is pinned against the
-    hand-computed textbook corpus in tests."""
+    VALUE-oracled since round 6: DuckDB retrains the identical 6
+    merges from scratch (see `_bpe_oracle_sql` — the fold semantics
+    survive translation to non-overlapping string replace), every
+    column exact (strings + integer weights, no float discipline
+    needed).  Merge order additionally stays pinned against the
+    hand-computed Sennrich corpus in tests/test_operators.py."""
     from sparkplans.operators.bpe import bpe_train
 
     docs = _t(spark, sf_dir, "documents")
@@ -1050,10 +1106,9 @@ def q_bpe_merge_table(spark, sf_dir):
     """,
 )
 def q_bpe_invariants(spark, sf_dir):
-    """Oracled companion to the rows-only ``bpe_merge_table`` (the
-    pagerank_invariants recipe): the trainer's merge table is a pure
-    function of the corpus but not SQL-recomputable, so its THEOREMS
-    are checked instead — ranks are dense 1..N, ``merged`` is the
+    """Theorem companion to ``bpe_merge_table`` (which since round 6
+    also carries a full value oracle — DuckDB retrains the merges):
+    the trainer's THEOREMS are checked independently of the values — ranks are dense 1..N, ``merged`` is the
     concatenation of its parts, weights are positive, and weights are
     non-increasing in rank (each merge step picks the argmax pair, and
     merging can only shrink other pairs' counts, so the chosen maximum
