@@ -139,3 +139,40 @@ def test_roc_auc_matches_numpy_rank_form(spark):
     assert r.u2 == int(round(2 * u))
     assert abs(r.auc - round(want_auc, 6)) < 1e-6
     assert 0.0 <= r.auc <= 1.0
+
+
+def test_decontamination_auto_routes_large_probe_off_driver(spark):
+    """The r5 verdict flagged semantic_decontamination's unconditional
+    driver collect of a corpus-proportional probe slice.  The route is
+    now automatic: above spark.sparkplans.decontamProbeBroadcastBytes
+    the probe set stays distributed and the plan switches to the
+    exact probe-blocked cogroup (FlatMapCoGroupsInPandas + final max
+    exchange); below it the broadcast-BLAS mapInPandas plan runs.
+    Both routes must produce identical rows and stay oracle-green."""
+    from tests.oracle_harness import duck_connection, compare
+
+    name = "semantic_decontamination"
+    spec = Q.REGISTRY[name]
+
+    def plan_str():
+        return (
+            spec.fn(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+        )
+
+    # default route at sf0.001: probe estimate is far below 64 MiB
+    assert "FlatMapCoGroupsInPandas" not in plan_str()
+    default_rows = sorted(map(tuple, spec.fn(spark, SF_DIR).collect()))
+
+    spark.conf.set("spark.sparkplans.decontamProbeBroadcastBytes", "1")
+    try:
+        # planted "large" probe set: the estimate now exceeds the
+        # (1-byte) threshold, so the route must flip off the driver
+        assert "FlatMapCoGroupsInPandas" in plan_str()
+        blocked_rows = sorted(map(tuple, spec.fn(spark, SF_DIR).collect()))
+        assert blocked_rows == default_rows
+        con = duck_connection(SF_DIR)
+        r = compare(spark, con, spec.fn, spec.oracle, SF_DIR)
+        con.close()
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+    finally:
+        spark.conf.unset("spark.sparkplans.decontamProbeBroadcastBytes")

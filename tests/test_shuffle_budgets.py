@@ -443,8 +443,10 @@ BUDGETS = {
     # groupBy(distinct score) + bucket-partitioned prefix window;
     # final 1-row agg folds into the window exchange
     "roc_auc_cosine": 2,
-    # fan_out + broadcast-probe scan + groupBy(vec_id) partial max
-    "semantic_decontamination": 3,
+    # broadcast-BLAS route: fan_out round-robin + mapInPandas scores
+    # per partition — one exchange (the blocked large-probe route pays
+    # cogroup + final max, tested separately)
+    "semantic_decontamination": 1,
     # doc-token shuffle feeds vocab rollup + per-doc scoring + final
     # (lang,bucket) rollup; LM table broadcasts back
     "ccnet_perplexity_buckets": 5,
