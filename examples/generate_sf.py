@@ -135,17 +135,33 @@ def generate(
         ),
         "supplier",
     )
-    write(
-        rng(n["part"]).select(
-            F.col("id").alias("p_partkey"),
-            F.concat_ws(" ", _pick(F.col("id"), "padj", ADJ), _pick(F.col("id"), "pnoun", NOUN)).alias("p_name"),
-            F.concat(F.lit("Brand#"), F.pmod(F.xxhash64("id", F.lit("pbrand")), F.lit(25)).cast("string")).alias("p_brand"),
-            _pick(F.col("id"), "ptype", PTYPES).alias("p_type"),
-            (F.pmod(F.xxhash64("id", F.lit("psize")), F.lit(50)) + 1).cast("int").alias("p_size"),
-            F.round(F.lit(900.0) + F.pmod(F.col("id"), F.lit(1000)) * 0.1, 2).alias("p_retailprice"),
-        ),
-        "part",
+    part = rng(n["part"]).select(
+        F.col("id").alias("p_partkey"),
+        F.concat_ws(" ", _pick(F.col("id"), "padj", ADJ), _pick(F.col("id"), "pnoun", NOUN)).alias("p_name"),
+        F.concat(F.lit("Brand#"), F.pmod(F.xxhash64("id", F.lit("pbrand")), F.lit(25)).cast("string")).alias("p_brand"),
+        _pick(F.col("id"), "ptype", PTYPES).alias("p_type"),
+        (F.pmod(F.xxhash64("id", F.lit("psize")), F.lit(50)) + 1).cast("int").alias("p_size"),
+        F.round(F.lit(900.0) + F.pmod(F.col("id"), F.lit(1000)) * 0.1, 2).alias("p_retailprice"),
     )
+    write(part, "part")
+
+    # partsupp: materialize the EXACT dbgen-stride synthesis rule the
+    # tpch22_* suite uses as its fallback CTE (queries/tpch.py
+    # `_PARTSUPP`) — literally that SQL text over the part/supplier
+    # frames just built, so a real partsupp.parquet scan and the
+    # synthesized CTE agree bit-for-bit and the queries can prefer the
+    # scan (one less re-derivation across q2's correlated boundary).
+    if tables is None or "partsupp" in tables:
+        from sparkplans.queries.tpch import _PARTSUPP
+
+        part.createOrReplaceTempView("part")
+        rng(n["supplier"]).select(
+            F.col("id").alias("s_suppkey")
+        ).createOrReplaceTempView("supplier")
+        write(
+            spark.sql(f"WITH {_PARTSUPP} SELECT * FROM partsupp"),
+            "partsupp",
+        )
     write(
         rng(n["orders"]).select(
             F.col("id").alias("o_orderkey"),

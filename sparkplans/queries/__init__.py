@@ -3047,6 +3047,73 @@ def q_salted_agg(spark, sf_dir):
 
 
 @register(
+    "skewed_join_salted",
+    """
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 5 = 0 THEN 0 ELSE l_orderkey END AS k,
+             l_extendedprice
+      FROM lineitem)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev
+    FROM f JOIN orders ON k = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_skewed_join_salted(spark, sf_dir):
+    """Planted-skew fact-fact join, salted — the join twin of
+    `salted_agg` (r5 verdict item 5).  Every 5th orderkey collapses to
+    key 0, so ONE key owns ~20% of the fact rows; a plain shuffled
+    join funnels those rows through one reducer — the 100×-scale
+    failure mode a shuffle-count ratchet can't see (counts, not
+    sizes).  Two mitigations exist and both are pinned:
+
+    * **AQE skew-join split** (the runtime path): on by default in
+      this engine's sessions; `tests/test_plan_properties.py::
+      test_aqe_skew_join_split_fires` proves the split actually
+      triggers on this exact planted shape (broadcast disabled to
+      simulate the big-big case, `skewedPartitionFactor` scaled to
+      test data) by asserting the post-execution adaptive plan marks
+      the shuffle read `skewed`.
+    * **Deterministic salting** (this registered plan): works for any
+      join strategy at any scale without waiting for a stage to
+      materialize — `operators/skew.salted_join` spreads key 0 over
+      16 reducers and replicates the (unique-keyed) orders side per
+      salt.  Lossless by construction; the oracle is the UNSALTED
+      relational twin, so the hash match proves it.
+
+    DECIMAL sum keeps the revenue order-independent across engines."""
+    from sparkplans.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    j = salted_join(
+        f,
+        o,
+        ["k"],
+        num_salts=16,
+        salt_src=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev"),
+    )
+
+
+@register(
     "label_centroids",
     """
     SELECT label, pos,

@@ -489,3 +489,57 @@ def test_explain_verbose_per_rule_trace(spark):
     assert "=== Result of Batch" in out
     # logging state restored: a second plain call captures nothing new
     assert "Per-Rule" not in plans.explain_verbose(df)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """Planted-skew join evidence (r5 verdict item 5): one key owning
+    20% of the fact rows must trigger AQE's skew-join split — the
+    post-execution adaptive plan marks the join ``skew=true`` and the
+    hot side's shuffle read ``skewed``.  Broadcast is disabled to
+    simulate the 100 TB big-big case (at test scale the dim side would
+    broadcast and there would be nothing to split), and the skew
+    thresholds are scaled to the planted data the same way a real
+    deployment scales them to executor memory.  The fact side is a
+    multi-split range (a single-mapper shuffle stage is unsplittable —
+    skew splitting works by mapper ranges, which is also why the
+    parquet-backed twin `skewed_join_salted` pins the deterministic
+    SALTED plan instead of relying on AQE)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        f = spark.range(0, 800_000, 1, 8).select(
+            F.when(F.col("id") % 5 == 0, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), F.lit(50_000)))
+            .alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        d = spark.range(0, 50_000, 1, 8).select(
+            F.col("id").alias("k"), F.lit("x").alias("attr")
+        )
+        j = f.join(d, "k")
+        # execute THIS frame (a derived count() would run a different
+        # adaptive plan and leave j's at isFinalPlan=false)
+        assert len(j.collect()) == 800_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -94,6 +94,9 @@ BUDGETS = {
     "map_roundtrip": 2,
     # (key,salt) spread stage + tiny per-key merge stage — by design
     "salted_agg": 2,
+    # salted fact shuffle on (k, salt) + replicated dim shuffle + agg
+    # partial/final (at test scale the dim side broadcasts => 1)
+    "skewed_join_salted": 4,
     "label_centroids": 1,
     # per-user pivot + single-row rollup
     "event_funnel": 2,
