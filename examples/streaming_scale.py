@@ -4,6 +4,15 @@ Structured Streaming surface over a real event/document corpus::
 
     python examples/streaming_scale.py [sf_dir] [files_per_trigger]
     python examples/streaming_scale.py --chaos [sf_dir] [files_per_trigger]
+    python examples/streaming_scale.py [--chaos] --state rocksdb [sf_dir] [fpt]
+
+``--state rocksdb`` runs every pipeline (and, with ``--chaos``, every
+kill/resume leg — the env var propagates to the worker subprocesses)
+under the RocksDB state store provider instead of the default
+HDFS-backed in-memory one: the large-state configuration a 100 TB
+streaming deployment would run, with per-batch changelog
+checkpointing.  The equality gates are identical — results must not
+depend on the provider.
 
 ``--chaos`` is the mid-stream kill/recovery gate: for each durable
 pipeline (file-sink windowed aggregation; exactly-once dedup ingest)
@@ -123,6 +132,18 @@ def stage_table(
     return d
 
 
+def _apply_state_store(spark) -> str:
+    """Honor SPARK_GRAFT_STATE_STORE (set by --state): 'rocksdb'
+    switches the provider, anything else keeps the default.  Returns
+    the active store name for the JSON report."""
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        from sparkplans import streaming
+
+        streaming.use_rocksdb_state(spark)
+        return "rocksdb"
+    return "hdfs-default"
+
+
 def _build_worker_session():
     from sparkplans.session import EngineOptions, build_session
 
@@ -140,6 +161,7 @@ def _build_worker_session():
         master=f"local[{cpus}]",
     )
     spark.sparkContext.setLogLevel("ERROR")
+    _apply_state_store(spark)
     return spark
 
 
@@ -249,7 +271,17 @@ def chaos_main() -> int:
     from pyspark.sql import functions as F
 
     work = tempfile.mkdtemp(prefix="sparkplans_chaos_")
-    out: dict = {"sf_dir": sf_dir, "files_per_trigger": fpt, "pipelines": {}}
+    out: dict = {
+        "sf_dir": sf_dir,
+        "files_per_trigger": fpt,
+        "state_store": (
+            "rocksdb"
+            if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+            == "rocksdb"
+            else "hdfs-default"
+        ),
+        "pipelines": {},
+    }
 
     # -- windowed aggregation: clean vs kill+resume vs batch truth ----
     staged = stage_table(sf_dir, "events", work, min_files=16)
@@ -386,7 +418,13 @@ def main() -> int:
         master=f"local[{cpus}]",
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out: dict = {"sf_dir": sf_dir, "files_per_trigger": fpt, "pipelines": {}}
+    store = _apply_state_store(spark)
+    out: dict = {
+        "sf_dir": sf_dir,
+        "files_per_trigger": fpt,
+        "state_store": store,
+        "pipelines": {},
+    }
     work = tempfile.mkdtemp(prefix="sparkplans_streamscale_")
 
     def _stage(table: str) -> str:
@@ -534,6 +572,10 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--state" in sys.argv:
+        i = sys.argv.index("--state")
+        os.environ["SPARK_GRAFT_STATE_STORE"] = sys.argv[i + 1]
+        del sys.argv[i : i + 2]
     if "--worker" in sys.argv:
         i = sys.argv.index("--worker")
         raise SystemExit(worker_main(sys.argv[i + 1 : i + 6]))

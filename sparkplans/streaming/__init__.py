@@ -39,6 +39,39 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
+    """Switch the session's streaming state store to RocksDB — the
+    large-state rung for 100 TB streaming (r5 verdict item 3).
+
+    The default HDFS-backed provider holds every key's state in
+    executor HEAP: for dedup-ingest fingerprints or sessionization
+    over hundreds of millions of keys, state is the first thing to
+    die.  RocksDB keeps state on local SSD with a block-cache in
+    native memory, bounding heap at any key cardinality; per-batch
+    checkpointing ships only the CHANGELOG when
+    ``changelog=True`` (``rocksdb.changelogCheckpointing``) instead
+    of snapshotting the full store.
+
+    The provider class is read per-query at START, so this is a plain
+    runtime conf — set it before ``.start()``; running queries keep
+    their provider.  Results are provider-independent (pinned by
+    tests/test_streaming.py::test_rocksdb_state_store_matches_default
+    and the --state rocksdb legs of examples/streaming_scale.py)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        str(bool(changelog)).lower(),
+    )
+
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events table (each parquet file is
