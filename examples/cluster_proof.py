@@ -116,6 +116,10 @@ for n in names:
         "hash": h,
         "sec": round(time.time() - t0, 2),
     }
+    # per-query progress marker: lets chaos wrappers (worker-kill leg
+    # of daemon_cluster_proof.py) time their kills mid-slate
+    with open(out_path + ".progress", "a") as pf:
+        pf.write(n + "\n")
 # block-manager count: driver + one per executor process (read AFTER
 # the slate — executor registration is asynchronous at session build)
 res["block_managers"] = sc._jsc.sc().getExecutorMemoryStatus().size()

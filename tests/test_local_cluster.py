@@ -112,3 +112,39 @@ def test_standalone_daemon_cluster_hash_identical():
         f"daemon proof failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
     )
     assert "FAIL" not in proc.stdout, proc.stdout[-3000:]
+
+
+def test_daemon_worker_kill_chaos_hash_identical():
+    """Fault-tolerance rung on the REAL daemon topology (r5 verdict
+    item 4): mid-slate, one executor JVM is kill -9'd, then worker 1's
+    whole process group (daemon + executors) — node loss.  Lost
+    shuffle blocks recompute via stage retry on the surviving worker;
+    materialize() lineage cuts are RELIABLE checkpoints in the shared
+    store, so results must be hash-identical to the clean daemon leg.
+    Exit 0 asserts all of: zero mismatches, kills landed mid-slate,
+    exactly one worker alive at teardown."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_MASTER_PORT="7178",
+        SPARK_GRAFT_MASTER_UI="8289",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "daemon_cluster_proof.py"),
+            "--kill-worker",
+            "/root/testdata/sf0.001",
+            *SLATE,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"worker-kill chaos failed:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-2000:]}"
+    )
+    assert '"all_ok": true' in proc.stdout, proc.stdout[-2000:]
