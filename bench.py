@@ -117,6 +117,10 @@ HEADLINE = [
     "tpch22_q20_part_promotion",
     "tpch22_q21_suppliers_waiting",
     "tpch22_q22_global_sales",
+    # round-6: planted-skew salted join (the AQE-skew twin) and the
+    # newly value-oracled iterative PageRank
+    "skewed_join_salted",
+    "pagerank_copurchase",
 ]
 
 

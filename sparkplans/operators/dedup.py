@@ -435,6 +435,11 @@ def deduplicate(
     return df.join(F.broadcast(losers), id_col, "left_anti")
 
 
+# Last slices="auto" decision (diagnostics for scale harnesses; see
+# prefix_filter_pairs) — driver-only, overwritten per call.
+last_auto_decision: dict | None = None
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -651,6 +656,15 @@ def prefix_filter_pairs(
             or 0
         )
         slices = max(1, min(1024, -(-int(raw_ub) * 72 // max(budget, 1))))
+        # diagnostic hook: scale harnesses read the measured decision
+        # (candidate volume, chosen K) without re-running the
+        # aggregation — module-level, driver-only, overwritten per call
+        global last_auto_decision
+        last_auto_decision = {
+            "raw_candidate_rows": int(raw_ub),
+            "slices": int(slices),
+            "budget_bytes": budget,
+        }
 
     if slices <= 1:
         return _pairs_for(pref)
