@@ -20,6 +20,18 @@ Distribution notes (measured on the driver's sf0.01/sf0.1 output):
   exact dups); embeddings = max(500, 20k*sf) (64-dim, 10 label
   clusters, L2-normalized).
 
+Known distribution divergence (measured, round 6): the DRIVER's
+embeddings are label-tagged but essentially unclustered (same-label
+mean cosine 0.0017, max 0.41 at sf0.01), while this generator's
+clusters are TIGHT (same-label mean cosine 0.942, max 0.973 — stable
+sf1..sf100).  Consequence for scale runs on generated dirs: any
+pair-ENUMERATION query with a threshold below ~0.97 (e.g.
+`embedding_near_dups` at its driver-tuned 0.35) has output
+~N²/(2·n_labels) — quadratic by DATA, not by plan — so the
+linear-output dedup materializations (`semantic_dedup`,
+decontamination max-scores, ANN top-k) are the meaningful sf30+
+measurements on this data.  See SCALE.md "sf100 ML wave".
+
 Usage: python examples/generate_sf.py --sf 1 --out /root/testdata-local/sf1
 """
 

@@ -166,33 +166,56 @@ def ivf_build(
     def cents_df() -> DataFrame:
         return spark.createDataFrame(cents, "cid int, centroid array<double>")
 
-    def assign(cdf: DataFrame) -> DataFrame:
-        # Hoist both norms out of the k-candidate loop: the corpus
-        # row's norm is computed once (not once per centroid), the
-        # centroid norms once per broadcast row.  dot/(nv*nc) is the
-        # same IEEE expression cosine_similarity builds.
-        scored = (
-            corpus.withColumn("__nv", l2_norm(vec_col))
-            .join(F.broadcast(cdf.withColumn("__nc", l2_norm("centroid"))))
-            .select(
+    def assign(cdf: DataFrame = None) -> DataFrame:
+        # Centroids are model state (k·dim doubles, kilobytes), so
+        # they enter the plan as ONE literal array-of-arrays and
+        # assignment is a PURE PROJECTION — one pass over the corpus,
+        # zero exchanges.  The previous join+max(struct) shape also
+        # shuffled only one row per id, but it first materialized
+        # k×N candidate structs carrying the full vector through the
+        # partial aggregation (at sf100: 512M × ~550 B rows — a
+        # measured straggler stage); the projection never expands the
+        # row count.  Arithmetic is kept bit-identical: per-centroid
+        # norms are folded left-to-right in Python (same IEEE order
+        # as the l2_norm fold), the sim is the same dot/(nv·nc)
+        # expression, and the argmax orders by (sim, -cid) exactly as
+        # the old max(struct) did — assignments cannot differ.
+        import math as _math
+
+        if not cents:
+            # empty corpus: the old join-form produced an empty
+            # (id, vec, cid) frame; preserve that contract (also
+            # avoids sequence(0, -1), which Spark evaluates as a
+            # DESCENDING two-element array, not empty)
+            return corpus.filter(F.lit(False)).select(
                 F.col(id_col),
-                F.struct(
-                    (
-                        dot(vec_col, "centroid")
-                        / (F.col("__nv") * F.col("__nc"))
-                    ).alias("__sim"),
-                    (-F.col("cid")).alias("__negcid"),
-                    F.col(vec_col).alias("__vec"),
-                ).alias("__cand"),
+                F.col(vec_col),
+                F.lit(None).cast("int").alias("cid"),
             )
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cents]
         )
-        # (sim, -cid) is unique per candidate, so the vec field never
-        # participates in the ordering — it just rides along.
-        best = scored.groupBy(id_col).agg(F.max("__cand").alias("__b"))
-        return best.select(
-            id_col,
-            F.col("__b.__vec").alias(vec_col),
-            (-F.col("__b.__negcid")).alias("cid"),
+        cent_norm = F.array(
+            *[
+                F.lit(_math.sqrt(sum(float(x) * float(x) for x in c)))
+                for _, c in cents
+            ]
+        )
+        nv = l2_norm(vec_col)
+        cand = F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda i: F.struct(
+                (
+                    dot(F.col(vec_col), F.element_at(cent_arr, i + 1))
+                    / (nv * F.element_at(cent_norm, i + 1))
+                ).alias("__sim"),
+                (-i).alias("__negcid"),
+            ),
+        )
+        return corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-F.array_max(cand)["__negcid"]).cast("int").alias("cid"),
         )
 
     for _ in range(iters):
