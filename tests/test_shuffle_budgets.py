@@ -112,7 +112,7 @@ BUDGETS = {
     "hypertable_rollup_1h": 2,
     "in_subquery": 0,
     "intersect_op": 1,
-    "ivf_ann_topk": 5,
+    "ivf_ann_topk": 4,  # r6: projection assignment dropped one exchange
     "join_implicit_equi": 0,
     "json_extract_agg": 1,
     "knn_brute_force": 0,
