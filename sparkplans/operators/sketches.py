@@ -16,6 +16,7 @@ column composes with both — it is just a binary aggregation buffer.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -280,3 +281,267 @@ def cms_estimate(
     return joined.groupBy(col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )
+
+
+# ---------------------------------------------------------------------
+# t-digest (Dunning & Ertl, "Computing extremely accurate quantiles
+# using t-digests") — the mergeable QUANTILE summary beside the
+# distinct-count (HLL/KMV) and frequency (CMS/Misra-Gries) states.
+# ---------------------------------------------------------------------
+#
+# Why it exists when Spark already has percentile_approx: the built-in
+# gives an ESTIMATE but not persistable state.  A t-digest row is a
+# few-KB (means[], weights[], n, min, max) record that merges
+# losslessly-in-guarantee — materialize per-(day, key) digests once,
+# answer any coarser quantile question (per week, per key overall) by
+# merging stored digests, never re-scanning raw data.  Same deployment
+# note as hll_rollup.
+
+_TD_STATE_DDL = (
+    "means array<double>, weights array<double>, "
+    "n double, lo double, hi double"
+)
+
+
+def _td_compress(means, weights, delta: int):
+    """Merge sorted-by-mean centroids down to ~delta using the k1
+    scale function k(q) = (delta/2π)·asin(2q−1) — tight buckets at the
+    tails (where quantile queries need precision), wide at the median.
+    Deterministic: mergesort keyed on (mean, weight), sequential
+    left-fold — a pure function of the input centroid multiset."""
+    import numpy as np
+
+    means = np.asarray(means, dtype="float64")
+    weights = np.asarray(weights, dtype="float64")
+    order = np.lexsort((weights, means))
+    means, weights = means[order], weights[order]
+    n = float(weights.sum())
+    if len(means) <= 1 or n == 0.0:
+        return means, weights
+    scale = delta / (2.0 * math.pi)
+
+    def k(q: float) -> float:
+        return scale * math.asin(max(-1.0, min(1.0, 2.0 * q - 1.0)))
+
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = means[0], weights[0]
+    done = 0.0  # weight fully emitted so far
+    k_lo = k(0.0)
+    for m, w in zip(means[1:], weights[1:]):
+        if k((done + cur_w + w) / n) - k_lo <= 1.0:
+            # weighted-mean fold keeps the centroid the exact mean of
+            # its member points (the invariant the estimator needs)
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            done += cur_w
+            k_lo = k(done / n)
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def tdigest_build(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    delta: int = 200,
+) -> DataFrame:
+    """Per-group t-digest of ``col``: one row per group with the
+    mergeable state ``(means, weights, n, lo, hi)``.
+
+    Plan shape (the classic two-phase sketch build): mapInPandas keeps
+    a bounded buffer per group per partition and compresses every
+    32·delta points (Arrow-batch ingestion, numpy compress — never
+    more than buffer+delta floats live per group), so what crosses the
+    shuffle is partitions × groups digest states (KBs each), never the
+    corpus; one keyed applyInPandas then merges partials by
+    concatenate → sort → compress.  Deterministic given the input
+    partitioning (partials are canonically sorted before the final
+    fold, so the merged digest is a pure function of the partial
+    multiset)."""
+    import numpy as np
+
+    group_cols = list(group_cols or [])
+    keyed = bool(group_cols)
+    src = df.select(*group_cols, F.col(col).cast("double").alias("__v"))
+    if not keyed:
+        src = src.withColumn("__g", F.lit(1))
+        group_cols = ["__g"]
+    key_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != "__v"
+    )
+    state_schema = f"{key_ddl}, {_TD_STATE_DDL}"
+    buf_cap = 32 * delta
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, dict] = {}
+        for pdf in it:
+            vals = pdf["__v"].to_numpy(dtype="float64")
+            ok = ~pd.isna(pdf["__v"]).to_numpy()
+            keys = list(zip(*(pdf[g] for g in group_cols)))
+            for i, key in enumerate(keys):
+                if not ok[i]:
+                    continue
+                s = state.setdefault(
+                    key,
+                    {"buf": [], "m": None, "w": None,
+                     "lo": math.inf, "hi": -math.inf},
+                )
+                v = float(vals[i])
+                s["buf"].append(v)
+                s["lo"] = min(s["lo"], v)
+                s["hi"] = max(s["hi"], v)
+                if len(s["buf"]) >= buf_cap:
+                    _td_flush(s, delta)
+        rows = []
+        for key, s in state.items():
+            _td_flush(s, delta)
+            m = s["m"] if s["m"] is not None else np.array([])
+            w = s["w"] if s["w"] is not None else np.array([])
+            rows.append(
+                (*key, list(m), list(w), float(w.sum()), s["lo"], s["hi"])
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[*group_cols, "means", "weights", "n", "lo", "hi"],
+            )
+
+    part = src.mapInPandas(partials, state_schema)
+
+    def merge(kdf: pd.DataFrame) -> pd.DataFrame:
+        ms = np.concatenate([np.asarray(x, dtype="float64") for x in kdf["means"]])
+        ws = np.concatenate([np.asarray(x, dtype="float64") for x in kdf["weights"]])
+        m, w = _td_compress(ms, ws, delta)
+        out = kdf.iloc[:1][group_cols].copy()
+        out["means"] = [list(m)]
+        out["weights"] = [list(w)]
+        out["n"] = float(w.sum())
+        out["lo"] = float(kdf["lo"].min())
+        out["hi"] = float(kdf["hi"].max())
+        return out
+
+    merged = part.groupBy(*group_cols).applyInPandas(merge, state_schema)
+    return merged.drop("__g") if not keyed else merged
+
+
+def _td_flush(s: dict, delta: int) -> None:
+    """Fold a group's point buffer into its centroid state (in place)."""
+    import numpy as np
+
+    if not s["buf"]:
+        return
+    bm = np.asarray(s["buf"], dtype="float64")
+    bw = np.ones(len(bm))
+    if s["m"] is not None:
+        bm = np.concatenate([s["m"], bm])
+        bw = np.concatenate([s["w"], bw])
+    s["m"], s["w"] = _td_compress(bm, bw, delta)
+    s["buf"] = []
+
+
+def tdigest_merge(
+    digests: DataFrame, group_cols: list[str] | None = None, delta: int = 200
+) -> DataFrame:
+    """Coarsen a digest table: merge stored states up to ``group_cols``
+    (e.g. day digests -> per-key totals) without touching raw data —
+    the quantile analog of hll_union_rollup.  Shuffles digest rows
+    only."""
+    import numpy as np
+
+    group_cols = list(group_cols or [])
+    keyed = bool(group_cols)
+    if not keyed:
+        digests = digests.withColumn("__g", F.lit(1))
+        group_cols = ["__g"]
+    cols = [*group_cols, "means", "weights", "n", "lo", "hi"]
+    src = digests.select(*cols)
+    key_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in group_cols
+    )
+    state_schema = f"{key_ddl}, {_TD_STATE_DDL}"
+
+    def merge(kdf: pd.DataFrame) -> pd.DataFrame:
+        ms = np.concatenate([np.asarray(x, dtype="float64") for x in kdf["means"]])
+        ws = np.concatenate([np.asarray(x, dtype="float64") for x in kdf["weights"]])
+        m, w = _td_compress(ms, ws, delta)
+        out = kdf.iloc[:1][group_cols].copy()
+        out["means"] = [list(m)]
+        out["weights"] = [list(w)]
+        out["n"] = float(w.sum())
+        out["lo"] = float(kdf["lo"].min())
+        out["hi"] = float(kdf["hi"].max())
+        return out
+
+    merged = src.groupBy(*group_cols).applyInPandas(merge, state_schema)
+    return merged.drop("__g") if not keyed else merged
+
+
+def tdigest_quantiles(digests: DataFrame, qs: list[float]) -> DataFrame:
+    """Estimate quantiles from digest rows: one output row per
+    (digest-group, q) with the interpolated estimate.  Digest rows are
+    KB-sized, so this is driver-free arithmetic over a tiny frame —
+    the standard mid-point interpolation between adjacent centroids,
+    clamped to [lo, hi] at the extremes."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    qs = [float(q) for q in qs]
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _est(
+        means: pd.Series, weights: pd.Series, n: pd.Series,
+        lo: pd.Series, hi: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for m, w, nn, l, h in zip(means, weights, n, lo, hi):
+            m = np.asarray(m, dtype="float64")
+            w = np.asarray(w, dtype="float64")
+            if len(m) == 0 or nn <= 0:
+                out.append([float("nan")] * len(qs))
+                continue
+            # centroid k covers ranks (cum[k]-w[k]/2) ± w[k]/2 — the
+            # mean sits at the centroid's mid-rank
+            cum = np.cumsum(w)
+            mids = cum - w / 2.0
+            ests = []
+            for q in qs:
+                r = q * nn
+                if r <= mids[0]:
+                    # interpolate between the true min and 1st centroid
+                    t = r / mids[0] if mids[0] > 0 else 1.0
+                    ests.append(float(l + t * (m[0] - l)))
+                elif r >= mids[-1]:
+                    span = nn - mids[-1]
+                    t = (r - mids[-1]) / span if span > 0 else 0.0
+                    ests.append(float(m[-1] + t * (h - m[-1])))
+                else:
+                    j = int(np.searchsorted(mids, r, side="right"))
+                    t = (r - mids[j - 1]) / (mids[j] - mids[j - 1])
+                    ests.append(float(m[j - 1] + t * (m[j] - m[j - 1])))
+            out.append(ests)
+        return pd.Series(out)
+
+    keys = [
+        f.name
+        for f in digests.schema.fields
+        if f.name not in ("means", "weights", "n", "lo", "hi")
+    ]
+    est = digests.withColumn(
+        "__ests", _est("means", "weights", "n", "lo", "hi")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("__ests").alias("est")
+    )
+    return est.select(
+        *keys, F.explode(pairs).alias("p")
+    ).select(*keys, F.col("p.q").alias("q"), F.col("p.est").alias("est"))

@@ -2599,3 +2599,81 @@ def q_audio_vad_segments(spark, sf_dir):
         "seg_n_frames",
         F.round("peak_rms", 6).alias("peak_rms"),
     )
+
+
+# ---------------------------------------------------------------------
+# t-digest quantile sketch (mergeable quantile rollup state)
+# ---------------------------------------------------------------------
+
+_TD_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "tdigest_price_quantiles",
+    f"""
+    WITH s AS (SELECT count(*) AS n, min(l_extendedprice) AS lo,
+                      max(l_extendedprice) AS hi
+               FROM lineitem)
+    SELECT CAST(q AS DOUBLE) AS q, n, lo, hi, TRUE AS bound_ok
+    FROM (SELECT unnest({_TD_QS!r}) AS q), s
+    ORDER BY q
+    """,
+)
+def q_tdigest_price_quantiles(spark, sf_dir):
+    """t-digest (`operators/sketches.tdigest_build`) over lineitem
+    prices — the mergeable QUANTILE summary beside the HLL/KMV
+    (distinct) and CMS/Misra-Gries (frequency) states: persist per-day
+    digests once, answer any coarser quantile question by merging the
+    KB-sized states, never re-scanning raw data.
+
+    Driver contract (tolerance-encoded, the cms_token_counts recipe):
+    centroid means are float-fold model state no SQL oracle
+    reproduces, so the result carries the digest's LOSSLESS fields —
+    n/lo/hi must equal DuckDB's count/min/max exactly — plus
+    ``bound_ok``: the estimate's true rank interval (count(x<est),
+    count(x<=est), computed in one exact corpus pass) must sit within
+    0.005 of q (measured error at delta=200 is ~6e-4, an ~8x margin;
+    `tests/test_tdigest.py` gates the sharper per-regime bounds).
+
+    Plan shape: digest build is mapInPandas partials + one KB-state
+    merge; the rank audit broadcasts the 7 (q, est) rows against one
+    corpus scan with map-side partial aggregation — no global sort,
+    no driver collect, no row expansion crossing the shuffle."""
+    from sparkplans.operators.sketches import tdigest_build, tdigest_quantiles
+
+    li = _t_cpu(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    li = li.transform(materialize)  # one cached corpus feeds both passes
+    dig = tdigest_build(li, "x", delta=200)
+    est = tdigest_quantiles(dig, _TD_QS)  # 7 rows of model state
+    audited = (
+        li.crossJoin(F.broadcast(est))
+        .groupBy("q", "est")
+        .agg(
+            F.count("*").alias("n_l"),
+            F.sum(F.when(F.col("x") < F.col("est"), 1).otherwise(0)).alias("blo"),
+            F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).alias("bhi"),
+        )
+    )
+    lossless = dig.select(
+        F.col("n").cast("bigint").alias("n"), F.col("lo"), F.col("hi")
+    )
+    return (
+        audited.crossJoin(F.broadcast(lossless))
+        .select(
+            "q",
+            "n",
+            "lo",
+            "hi",
+            (
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("blo") / F.col("n_l") - F.col("q"),
+                    F.col("q") - F.col("bhi") / F.col("n_l"),
+                )
+                <= 0.005
+            ).alias("bound_ok"),
+        )
+        .orderBy("q")
+    )
