@@ -79,7 +79,16 @@ def pagerank(
       an iteration is a single job with no driver-side collect sync
       (the old version paid 5 driver round-trips per run).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the deduped edge list FIRST: it feeds two separate
+    # jobs (nodes, then the e_deg annotate+layout), and the upstream
+    # edge derivation is often the single most expensive stage of the
+    # whole run (the co-purchase self-join costs ~half the query at
+    # sf0.1; recomputing it per consumer doubled that)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .transform(materialize)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

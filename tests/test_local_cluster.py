@@ -157,22 +157,33 @@ def test_cluster_gap_within_floor():
     noise never flakes it while a real process-boundary regression (a
     per-task broadcast, a serialization bug — those land at 3-10×)
     fails loudly.  Also re-verifies hash identity across the process
-    boundary (nonzero exit on mismatch)."""
+    boundary (nonzero exit on mismatch).
+
+    One retry on a ratio breach: the cluster leg is wall-clock
+    sensitive to AMBIENT load (measured 2.37x under a concurrent
+    32-thread run vs 1.3x quiet on identical code), so a single
+    re-measure distinguishes machine noise (second run passes) from a
+    real process-boundary regression (fails twice — those land at
+    3-10x regardless of load)."""
     import json
 
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "examples", "cluster_gap.py"),
-            "/root/testdata/sf0.001",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=900,
-        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
-        cwd=REPO,
-    )
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    out = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert not out["mismatches"], out
+    out = None
+    for attempt in range(2):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "examples", "cluster_gap.py"),
+                "/root/testdata/sf0.001",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+            cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert not out["mismatches"], out
+        if out["ratio"] <= 2.0:
+            return
     assert out["ratio"] <= 2.0, out

@@ -161,6 +161,10 @@ def test_no_python_in_any_query_hot_path(spark):
         # scores all of them as chunked matmuls — zero exchanges,
         # replacing the 3.6B-pair codegen fold at sf10
         "semantic_decontamination",
+        # t-digest build is bounded per-partition sketch state (the
+        # Misra-Gries pattern): mapInPandas partials + one KB-state
+        # merge; only digest states cross the wire
+        "tdigest_price_quantiles",
     }
     offenders = []
     for name, spec in sorted(Q.REGISTRY.items()):

@@ -471,6 +471,9 @@ BUDGETS = {
     "equi_depth_bins": 2,
     # segment-stats agg; dim join + encode join-back both broadcast
     "target_encoding_loo": 1,
+    # digest build (partials -> keyed merge), rank-audit agg, final
+    # order; the 7-row estimate/lossless sides ride broadcasts
+    "tdigest_price_quantiles": 4,
     # ONE corpus shuffle into the checkpointed (key,cnt) frame; the 3
     # rollup branches shuffle slim checkpoint scans only
     "key_skew_report": 3,
