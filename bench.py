@@ -117,10 +117,12 @@ HEADLINE = [
     "tpch22_q20_part_promotion",
     "tpch22_q21_suppliers_waiting",
     "tpch22_q22_global_sales",
-    # round-6: planted-skew salted join (the AQE-skew twin) and the
-    # newly value-oracled iterative PageRank
+    # round-6: planted-skew salted join (the AQE-skew twin), the
+    # newly value-oracled iterative PageRank, and the t-digest
+    # mergeable quantile sketch
     "skewed_join_salted",
     "pagerank_copurchase",
+    "tdigest_price_quantiles",
 ]
 
 
