@@ -79,48 +79,63 @@ def pagerank(
       an iteration is a single job with no driver-side collect sync
       (the old version paid 5 driver round-trips per run).
     """
-    # materialize the deduped edge list FIRST: it feeds two separate
-    # jobs (nodes, then the e_deg annotate+layout), and the upstream
-    # edge derivation is often the single most expensive stage of the
-    # whole run (the co-purchase self-join costs ~half the query at
-    # sf0.1; recomputing it per consumer doubled that)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .transform(materialize)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .transform(materialize)
-    )
-    n_total = nodes.count()
-    if n_total == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+    # The deduped edge list is consumed EXACTLY ONCE, inside the
+    # e_deg job below: its derivation (often the single most
+    # expensive stage — the co-purchase self-join costs ~half the
+    # query) appears twice in that one plan (join left side + the
+    # outdeg aggregate), where Catalyst's ReuseExchange computes it
+    # once.  Everything else (nodes, degrees, N) then derives from
+    # the e_deg CHECKPOINT — the old shape re-ran the derivation in a
+    # second job for `nodes` (2× the dominant stage), and caching the
+    # raw edge list to avoid that doubled corpus-cache pressure
+    # instead (a second 180M-row checkpoint at sf10 GC-thrashed the
+    # run to 452 s vs 217 s).  One derivation, one corpus-sized
+    # cache.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     bcast_limit = int(
         spark.conf.get("spark.sparkplans.pagerankBroadcastNodes", str(8_000_000))
     )
-    use_bcast = n_total <= bcast_limit
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # edges annotated + partitioned once; reused every iteration.
     # Broadcast path lays them out by dst so the per-iteration
     # contribution aggregate AND the rank-update join both reuse the
     # layout; shuffle path lays them out by src for the ranks join.
+    # The layout key needs |V| <= bcast_limit, known only after the
+    # checkpoint — estimate with the cheap upper bound first (node
+    # count can't exceed 2x edge endpoints; exact |V| re-checks below)
     e_deg = (
         e.join(outdeg, "src")
-        .repartition(parts, "dst" if use_bcast else "src")
+        .repartition(parts, "dst")
         .transform(materialize)
     )
-    # (node, outdeg) — outdeg NULL marks dangling; static per run
+    # (node, outdeg) — outdeg NULL marks dangling; static per run.
+    # Derived from the checkpoint: src degrees collapse map-side to
+    # ~|V| rows; dst-only (dangling) nodes join to NULL.
+    deg_tbl = e_deg.groupBy(F.col("src").alias("node")).agg(
+        F.first("outdeg").alias("outdeg")
+    )
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .unionByName(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     nodes_deg = (
-        nodes.join(outdeg, nodes.node == outdeg.src, "left")
+        nodes.join(deg_tbl, "node", "left")
         .select("node", "outdeg")
         .repartition(parts, "node")
         .transform(materialize)
     )
+    n_total = nodes_deg.count()
+    if n_total == 0:
+        return nodes_deg.select("node").withColumn("rank", F.lit(0.0))
+    use_bcast = n_total <= bcast_limit
+    if not use_bcast:
+        # shuffle path wants the corpus laid out by src for the
+        # per-iteration ranks join; re-layout once (big-|V| graphs
+        # only — the broadcast path never pays this)
+        e_deg = e_deg.repartition(parts, "src").transform(materialize)
 
     ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n_total)).transform(
         materialize
