@@ -307,8 +307,19 @@ def _td_compress(means, weights, delta: int):
     """Merge sorted-by-mean centroids down to ~delta using the k1
     scale function k(q) = (delta/2π)·asin(2q−1) — tight buckets at the
     tails (where quantile queries need precision), wide at the median.
-    Deterministic: mergesort keyed on (mean, weight), sequential
-    left-fold — a pure function of the input centroid multiset."""
+
+    The greedy fold ("next cluster = longest prefix whose end rank
+    satisfies k(cum/n) − k_lo ≤ 1") is computed cluster-at-a-time, not
+    point-at-a-time: each cluster boundary is a searchsorted on the
+    cumulative-weight array against the INVERSE scale function
+    q = (sin(k/s)+1)/2, and the cluster's centroid is a difference of
+    weighted-prefix sums — O(delta·log n) Python ops per compress
+    instead of O(n), with n numpy ops for the sort/prefix sums.  Same
+    cluster assignment as the sequential point fold (k and cum are
+    both monotone), so the k-span ≤ 1 guarantee is unchanged.
+    Deterministic: mergesort keyed on (mean, weight), left-to-right
+    cumulative sums — a pure function of the input centroid
+    multiset."""
     import numpy as np
 
     means = np.asarray(means, dtype="float64")
@@ -319,29 +330,38 @@ def _td_compress(means, weights, delta: int):
     if len(means) <= 1 or n == 0.0:
         return means, weights
     scale = delta / (2.0 * math.pi)
+    half_pi = math.pi / 2.0
+    cum = np.cumsum(weights)
+    mw_cum = np.cumsum(means * weights)
+    count = len(means)
 
     def k(q: float) -> float:
         return scale * math.asin(max(-1.0, min(1.0, 2.0 * q - 1.0)))
 
     out_m: list[float] = []
     out_w: list[float] = []
-    cur_m, cur_w = means[0], weights[0]
-    done = 0.0  # weight fully emitted so far
+    pos = 0
     k_lo = k(0.0)
-    for m, w in zip(means[1:], weights[1:]):
-        if k((done + cur_w + w) / n) - k_lo <= 1.0:
-            # weighted-mean fold keeps the centroid the exact mean of
-            # its member points (the invariant the estimator needs)
-            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
-            cur_w += w
+    while pos < count:
+        t = (k_lo + 1.0) / scale
+        if t >= half_pi:
+            j = count  # remaining points all fit in the last cluster
         else:
-            out_m.append(cur_m)
-            out_w.append(cur_w)
-            done += cur_w
-            k_lo = k(done / n)
-            cur_m, cur_w = m, w
-    out_m.append(cur_m)
-    out_w.append(cur_w)
+            q_lim = (math.sin(t) + 1.0) / 2.0
+            j = int(np.searchsorted(cum, q_lim * n, side="right"))
+            # a cluster always takes at least its first point, even if
+            # that single point's own k-span exceeds 1 (a singleton
+            # centroid is exact, so the guarantee is unaffected)
+            j = min(max(j, pos + 1), count)
+        w_prev = float(cum[pos - 1]) if pos else 0.0
+        mw_prev = float(mw_cum[pos - 1]) if pos else 0.0
+        cw = float(cum[j - 1]) - w_prev
+        # difference of weighted-prefix sums == the exact weighted mean
+        # of the member points (the invariant the estimator needs)
+        out_m.append((float(mw_cum[j - 1]) - mw_prev) / cw)
+        out_w.append(cw)
+        k_lo = k(float(cum[j - 1]) / n)
+        pos = j
     return np.asarray(out_m), np.asarray(out_w)
 
 
@@ -356,17 +376,22 @@ def tdigest_build(
 
     Plan shape (the classic two-phase sketch build): mapInPandas keeps
     a bounded buffer per group per partition and compresses every
-    32·delta points (Arrow-batch ingestion, numpy compress — never
-    more than buffer+delta floats live per group), so what crosses the
-    shuffle is partitions × groups digest states (KBs each), never the
-    corpus; one keyed applyInPandas then merges partials by
-    concatenate → sort → compress.  Deterministic given the input
-    partitioning (partials are canonically sorted before the final
-    fold, so the merged digest is a pure function of the partial
+    32·delta points (Arrow-batch ingestion with grouped numpy
+    dispatch — no per-row Python loop — and numpy compress); total
+    buffered points across ALL groups in a partition are additionally
+    capped at 8·32·delta, so worker memory is bounded even under
+    high-cardinality group_cols (beyond the valve, each group holds
+    only its ~delta centroid state).  What crosses the shuffle is
+    partitions × groups digest states (KBs each), never the corpus;
+    one keyed applyInPandas then merges partials by concatenate →
+    sort → compress.  Deterministic given the input partitioning and
+    Arrow batch sizes (partials are canonically sorted before the
+    final fold, so the merged digest is a pure function of the partial
     multiset)."""
     import numpy as np
 
     group_cols = list(group_cols or [])
+    _td_check_group_cols(group_cols)
     keyed = bool(group_cols)
     src = df.select(*group_cols, F.col(col).cast("double").alias("__v"))
     if not keyed:
@@ -379,27 +404,63 @@ def tdigest_build(
     )
     state_schema = f"{key_ddl}, {_TD_STATE_DDL}"
     buf_cap = 32 * delta
+    # Memory valve: buffers across ALL groups in a partition are capped
+    # at 8x the per-group cap (~400 KB of doubles at delta=200), so a
+    # high-cardinality group_cols can't accumulate #groups x buf_cap
+    # doubles in the Python worker — when the total trips the valve,
+    # every group's buffer folds into its (bounded, ~delta-sized)
+    # centroid state.
+    total_cap = 8 * buf_cap
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[tuple, dict] = {}
+        buffered = 0  # points buffered across all groups
+
+        def fresh() -> dict:
+            return {"buf": [], "blen": 0, "m": None, "w": None,
+                    "lo": math.inf, "hi": -math.inf}
+
         for pdf in it:
-            vals = pdf["__v"].to_numpy(dtype="float64")
             ok = ~pd.isna(pdf["__v"]).to_numpy()
-            keys = list(zip(*(pdf[g] for g in group_cols)))
-            for i, key in enumerate(keys):
-                if not ok[i]:
-                    continue
-                s = state.setdefault(
-                    key,
-                    {"buf": [], "m": None, "w": None,
-                     "lo": math.inf, "hi": -math.inf},
-                )
-                v = float(vals[i])
-                s["buf"].append(v)
-                s["lo"] = min(s["lo"], v)
-                s["hi"] = max(s["hi"], v)
-                if len(s["buf"]) >= buf_cap:
+            if not ok.all():
+                pdf = pdf[ok]
+            vals = pdf["__v"].to_numpy(dtype="float64")
+            if len(vals) == 0:
+                continue
+            # Grouped dispatch: one numpy slice per (group, batch)
+            # instead of a per-row Python loop — the digest math was
+            # always numpy; this keeps the group routing vectorized
+            # too (the per-row zip/enumerate form cost an interpreted
+            # iteration per input row, the measured sf100 bottleneck).
+            if not keyed:
+                items = [((1,), None)]  # whole batch is one group
+            elif len(group_cols) == 1:
+                gb = pdf.groupby(group_cols[0], sort=False,
+                                 dropna=False).indices
+                items = [((k,), ix) for k, ix in gb.items()]
+            else:
+                gb = pdf.groupby(group_cols, sort=False,
+                                 dropna=False).indices
+                items = list(gb.items())
+            for key, ix in items:
+                arr = vals if ix is None else vals[ix]
+                s = state.setdefault(key, fresh())
+                s["buf"].append(arr)
+                s["blen"] += len(arr)
+                buffered += len(arr)
+                lo = float(arr.min())
+                hi = float(arr.max())
+                if lo < s["lo"]:
+                    s["lo"] = lo
+                if hi > s["hi"]:
+                    s["hi"] = hi
+                if s["blen"] >= buf_cap:
+                    buffered -= s["blen"]
                     _td_flush(s, delta)
+            if buffered > total_cap:
+                for s in state.values():
+                    _td_flush(s, delta)
+                buffered = 0
         rows = []
         for key, s in state.items():
             _td_flush(s, delta)
@@ -432,19 +493,36 @@ def tdigest_build(
     return merged.drop("__g") if not keyed else merged
 
 
+def _td_check_group_cols(group_cols: list[str]) -> None:
+    """Group columns must not collide with the digest state field
+    names — tdigest_quantiles infers group keys by excluding those
+    names, so a group column called e.g. ``n`` would be silently
+    misclassified as state downstream.  Fail loudly at build time."""
+    bad = set(group_cols) & {"means", "weights", "n", "lo", "hi"}
+    if bad:
+        raise ValueError(
+            f"t-digest group column(s) {sorted(bad)} collide with the "
+            "digest state field names (means, weights, n, lo, hi); "
+            "alias them before tdigest_build/tdigest_merge"
+        )
+
+
 def _td_flush(s: dict, delta: int) -> None:
-    """Fold a group's point buffer into its centroid state (in place)."""
+    """Fold a group's buffered point arrays into its centroid state
+    (in place).  The buffer is a list of numpy slices (one per
+    (group, Arrow-batch) the partial pass saw)."""
     import numpy as np
 
     if not s["buf"]:
         return
-    bm = np.asarray(s["buf"], dtype="float64")
+    bm = s["buf"][0] if len(s["buf"]) == 1 else np.concatenate(s["buf"])
     bw = np.ones(len(bm))
     if s["m"] is not None:
         bm = np.concatenate([s["m"], bm])
         bw = np.concatenate([s["w"], bw])
     s["m"], s["w"] = _td_compress(bm, bw, delta)
     s["buf"] = []
+    s["blen"] = 0
 
 
 def tdigest_merge(
@@ -457,6 +535,7 @@ def tdigest_merge(
     import numpy as np
 
     group_cols = list(group_cols or [])
+    _td_check_group_cols(group_cols)
     keyed = bool(group_cols)
     if not keyed:
         digests = digests.withColumn("__g", F.lit(1))
@@ -486,12 +565,21 @@ def tdigest_merge(
     return merged.drop("__g") if not keyed else merged
 
 
-def tdigest_quantiles(digests: DataFrame, qs: list[float]) -> DataFrame:
+def tdigest_quantiles(
+    digests: DataFrame,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Estimate quantiles from digest rows: one output row per
     (digest-group, q) with the interpolated estimate.  Digest rows are
     KB-sized, so this is driver-free arithmetic over a tiny frame —
     the standard mid-point interpolation between adjacent centroids,
-    clamped to [lo, hi] at the extremes."""
+    clamped to [lo, hi] at the extremes.
+
+    Group-key columns are inferred by excluding the digest state field
+    names (safe because tdigest_build/merge reject colliding group
+    names); pass ``group_cols`` explicitly to override the inference
+    for digest tables built elsewhere."""
     import numpy as np
     from pyspark.sql.types import ArrayType, DoubleType
 
@@ -531,11 +619,17 @@ def tdigest_quantiles(digests: DataFrame, qs: list[float]) -> DataFrame:
             out.append(ests)
         return pd.Series(out)
 
-    keys = [
-        f.name
-        for f in digests.schema.fields
-        if f.name not in ("means", "weights", "n", "lo", "hi")
-    ]
+    if group_cols is not None:
+        keys = list(group_cols)
+        missing = set(keys) - {f.name for f in digests.schema.fields}
+        if missing:
+            raise ValueError(f"group_cols not in digest table: {sorted(missing)}")
+    else:
+        keys = [
+            f.name
+            for f in digests.schema.fields
+            if f.name not in ("means", "weights", "n", "lo", "hi")
+        ]
     est = digests.withColumn(
         "__ests", _est("means", "weights", "n", "lo", "hi")
     )

@@ -132,6 +132,54 @@ def test_ties_and_nulls(spark):
     assert _rank_err(xs, ests[0.85], 0.85) <= 0.01
 
 
+def test_group_col_name_collision_rejected(spark):
+    """A group column named like a state field (n, lo, hi, means,
+    weights) would be silently misclassified by tdigest_quantiles'
+    key inference — build/merge must reject it at plan time."""
+    import pytest
+
+    df = _stream(spark, n=100).withColumnRenamed("g", "n")
+    with pytest.raises(ValueError, match="collide"):
+        tdigest_build(df, "x", group_cols=["n"])
+    dig = tdigest_build(_stream(spark, n=100), "x", group_cols=["g"])
+    with pytest.raises(ValueError, match="collide"):
+        tdigest_merge(dig.withColumnRenamed("g", "lo__renamed").withColumnRenamed(
+            "lo__renamed", "g"), group_cols=["hi"])
+    # explicit group_cols override on quantiles: same answer as inference
+    inferred = {(r["g"], r["q"]): r["est"]
+                for r in tdigest_quantiles(dig, [0.5]).collect()}
+    explicit = {(r["g"], r["q"]): r["est"]
+                for r in tdigest_quantiles(dig, [0.5], group_cols=["g"]).collect()}
+    assert inferred == explicit
+    with pytest.raises(ValueError, match="not in digest table"):
+        tdigest_quantiles(dig, [0.5], group_cols=["nope"])
+
+
+def test_high_cardinality_groups_memory_valve(spark):
+    """~2,000 distinct groups in few partitions: the cross-group
+    buffer valve trips (total_cap = 8*32*delta points at delta=25 is
+    6,400 < 40,000 input rows), and every group's lossless fields and
+    rank guarantee still hold."""
+    df = spark.range(40_000).coalesce(2).select(
+        (F.abs(F.xxhash64("id") % 1_000_000) / 1_000_000.0).alias("x"),
+        (F.col("id") % 2_000).alias("g"),
+    )
+    per_group = tdigest_build(df, "x", group_cols=["g"], delta=25)
+    rows = per_group.collect()
+    assert len(rows) == 2_000
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["n"] == float(exact[r["g"]])
+        assert len(r["means"]) <= 2 * 25 + 8
+    merged = tdigest_merge(per_group, delta=DELTA)
+    ests = {r["q"]: r["est"] for r in tdigest_quantiles(merged, [0.5]).collect()}
+    xs = sorted(r["x"] for r in df.select("x").collect())
+    assert _rank_err(xs, ests[0.5], 0.5) <= 0.01
+
+
 def test_empty_and_single_value(spark):
     empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
     assert tdigest_build(empty, "x", delta=DELTA).count() == 0
