@@ -9,6 +9,29 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 Each query executes fully via the noop sink (no driver-side collect
 bottleneck — results are materialized and discarded executor-side,
 which is how a cluster job would behave).
+
+Cross-round comparability (the round-6 lesson — a host swap produced
+a phantom 1.29x "regression"): the run opens with a fixed
+CALIBRATION block measured before the slate —
+
+- ``cpu_vec_sec`` / ``cpu_py_sec``: fixed single-thread numpy-vector
+  and interpreted-Python workloads (host compute speed, the two axes
+  that dominate vectorized vs python-stage queries respectively);
+- ``job_overhead_sec``: median wall of 12 trivial one-row noop jobs
+  (driver/scheduler latency — the axis that inflates many-small-job
+  queries like semantic_dedup on a slow host);
+- ``scan_agg_sec``: min-of-3 of tpch22_q6 (scan+agg-bound, pure JVM —
+  the stable whole-stage-codegen anchor).
+
+``host_factor`` divides each by the round-7 reference host's values
+(``_REF_CALIB``), so "same code, slower machine" is machine-readable:
+a BENCH_rN/BENCH_rM total ratio close to the host_factor mix means
+drift, not regression.
+
+The driver's stdout capture truncates long lines (BENCH_r06 recorded
+``parsed: null`` on the 85-query map), so the printed line inlines
+only the calibration queries + top-20 slowest; the FULL per-query
+map is written to ``BENCH_full.json`` (committed per round).
 """
 
 from __future__ import annotations
@@ -126,6 +149,62 @@ HEADLINE = [
 ]
 
 
+# Reference calibration values, measured on the round-7 host (Xeon @
+# 2.10 GHz, local[32], quiet).  host_factor = measured / these; >1.0
+# on every axis means "this machine is slower than the anchor host by
+# that much" — divide a bench total by the matching factor before
+# comparing across rounds.
+_REF_CALIB = {
+    "cpu_vec_sec": 0.073,
+    "cpu_py_sec": 0.097,
+    "job_overhead_sec": 0.098,
+    "scan_agg_sec": 0.356,
+}
+
+# Scan/agg-bound, pure-JVM whole-stage-codegen anchor query; also a
+# slate member (its calibration timing doubles as its slate entry).
+_SCAN_ANCHOR = "tpch22_q6_forecast_revenue"
+
+
+def _cpu_calibration() -> tuple[float, float]:
+    """Fixed CPU work: (numpy-vector seconds, interpreted-Python
+    seconds), each min-of-3.  Elementwise numpy (not BLAS matmul — the
+    threaded BLAS made this leg 2x-noisy under residual load) so both
+    legs are single-threaded and the only variable is the host."""
+    import numpy as np
+
+    a = np.linspace(0.0, 100.0, 4_000_000)
+    vec = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = float(np.sin(a).sum() + np.sqrt(a + 1.0).sum() + (a * a).sum())
+        vec = min(vec, time.perf_counter() - t0)
+    assert s == s  # keep the work observable
+    py = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = 0
+        for i in range(1_000_000):
+            h = (h * 1315423911 + i) & 0xFFFFFFFFFFFF
+        py = min(py, time.perf_counter() - t0)
+    return round(vec, 4), round(py, 4)
+
+
+def _job_overhead(spark) -> float:
+    """Median wall of 12 trivial one-row noop jobs — pure
+    driver/scheduler round-trip latency.  A 3-job throwaway batch
+    first absorbs lazy noop-sink/codegen init."""
+    for _ in range(3):
+        spark.range(1).write.format("noop").mode("overwrite").save()
+    ts = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return round(ts[len(ts) // 2], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -165,8 +244,7 @@ def main() -> None:
     # per-query timings measure query execution, not session warmup.
     Q.REGISTRY["agg_count_star"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def _min_of_3(name: str) -> float:
         fn = Q.REGISTRY[name].fn
         # min of 3 runs: steady-state throughput, not JVM codegen
         # warmup or GC noise (run-to-run variance measured ~25%)
@@ -175,27 +253,87 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    # ---- calibration block (fixed, BEFORE the slate) ----
+    cpu_vec, cpu_py = _cpu_calibration()
+    job_ovh = _job_overhead(spark)
+    # min-of-5 for the anchor (vs 3 for slate queries): it runs first,
+    # with the least page-cache warmup, and its value gates every
+    # cross-round comparison
+    scan_anchor_sec = min(_min_of_3(_SCAN_ANCHOR), _min_of_3(_SCAN_ANCHOR))
+    calib = {
+        "cpu_vec_sec": cpu_vec,
+        "cpu_py_sec": cpu_py,
+        "job_overhead_sec": job_ovh,
+        "scan_agg_sec": scan_anchor_sec,
+    }
+    host_factor = {
+        k.rsplit("_sec", 1)[0]: round(calib[k] / _REF_CALIB[k], 3)
+        for k in _REF_CALIB
+    }
+
+    timings: dict[str, float] = {_SCAN_ANCHOR: scan_anchor_sec}
+    for name in HEADLINE:
+        if name in timings:
+            continue
+        timings[name] = _min_of_3(name)
 
     total = round(sum(timings.values()), 3)
     try:
         load_end = round(os.getloadavg()[0], 2)
     except OSError:
         load_end = None
+    load = {"start_1m": load_start, "end_1m": load_end}
+
+    # Full per-query map -> sibling artifact (the driver's stdout
+    # capture truncates long lines); printed line stays small.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+    )
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration": calib,
+        "host_factor": host_factor,
+        "load": load,
+        "reps": 3,
+    }
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        full_path = None
+
+    top = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    )
+    top[_SCAN_ANCHOR] = scan_anchor_sec  # anchor always inline
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                # top-20 slowest + the scan anchor; full 85-query map
+                # in BENCH_full.json
+                "queries": top,
                 "sf": sf,
+                "n_queries": len(timings),
+                "calibration": calib,
+                "host_factor": host_factor,
                 # ambient 1-min load average before the session started
                 # and after the slate finished (the during-run value is
                 # dominated by the bench's own 32 threads); reps is the
                 # min-of-N count each per-query number survived
-                "load": {"start_1m": load_start, "end_1m": load_end},
+                "load": load,
                 "reps": 3,
+                "full": full_path,
             }
         )
     )
