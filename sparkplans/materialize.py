@@ -135,6 +135,34 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     )
 
 
+def release(df: DataFrame) -> bool:
+    """Free the storage blocks of a frame returned by
+    :func:`materialize`, deterministically (non-blocking unpersist of
+    the checkpointed RDD) instead of waiting for the driver GC +
+    ContextCleaner cycle.  Use when a corpus-sized materialization is
+    superseded within the same operator (e.g. pagerank's one-time
+    re-layout) — otherwise two corpus-sized caches transiently
+    coexist, the GC-pressure mode that regressed sf10 pagerank.
+
+    The frame must have NO remaining consumers: a local checkpoint's
+    blocks ARE its data (lineage is cut), so any read after release
+    fails with a missing-block error rather than recomputing.
+
+    Best-effort: returns False (and leaves cleanup to the
+    ContextCleaner) when the frame is not a local checkpoint — e.g.
+    reliable ``checkpoint()`` frames, whose files are managed by the
+    checkpoint dir's lifecycle, or a frame this session cannot
+    introspect."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        if not analyzed.getClass().getName().endswith(".LogicalRDD"):
+            return False
+        analyzed.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
 def _has_row_multiplier(df: DataFrame) -> bool:
     """True when the optimized plan contains an operator whose output
     can be LARGER than its inputs — Join (self-joins fan out),

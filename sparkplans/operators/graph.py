@@ -15,7 +15,7 @@ join reuses the same partitioning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, release
 
 
 def pagerank(
@@ -99,12 +99,14 @@ def pagerank(
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # edges annotated + partitioned once; reused every iteration.
-    # Broadcast path lays them out by dst so the per-iteration
-    # contribution aggregate AND the rank-update join both reuse the
-    # layout; shuffle path lays them out by src for the ranks join.
-    # The layout key needs |V| <= bcast_limit, known only after the
-    # checkpoint — estimate with the cheap upper bound first (node
-    # count can't exceed 2x edge endpoints; exact |V| re-checks below)
+    # Broadcast path wants them laid out by dst (the per-iteration
+    # contribution aggregate AND the rank-update join both reuse that
+    # layout); shuffle path wants src (for the ranks join).  The right
+    # key needs |V| <= bcast_limit, which is only known after this
+    # checkpoint exists — so lay out optimistically by dst (the common
+    # broadcast path pays nothing extra) and re-layout by src ONCE if
+    # the exact count lands above the threshold, releasing the dst
+    # copy immediately (see below).
     e_deg = (
         e.join(outdeg, "src")
         .repartition(parts, "dst")
@@ -134,8 +136,14 @@ def pagerank(
     if not use_bcast:
         # shuffle path wants the corpus laid out by src for the
         # per-iteration ranks join; re-layout once (big-|V| graphs
-        # only — the broadcast path never pays this)
+        # only — the broadcast path never pays this), then FREE the
+        # dst-layout blocks deterministically: without the release,
+        # two corpus-sized caches coexist until a driver GC cycle —
+        # exactly the pressure mode that regressed sf10 to 452 s when
+        # a second corpus cache was (briefly) the design
+        e_dst = e_deg
         e_deg = e_deg.repartition(parts, "src").transform(materialize)
+        release(e_dst)
 
     ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n_total)).transform(
         materialize

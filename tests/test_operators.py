@@ -1123,6 +1123,28 @@ def test_pagerank_shuffle_path_parity(spark):
     assert abs(sum(shuffled.values()) - 1.0) < 1e-9
 
 
+def test_materialize_release_frees_blocks(spark):
+    """materialize.release drops a local checkpoint's storage blocks
+    deterministically (no GC/ContextCleaner wait) — the lever that
+    keeps pagerank's shuffle-path re-layout at ONE corpus-sized cache.
+    Non-checkpoint frames are a safe no-op returning False."""
+    import pyspark.sql.functions as F
+    from sparkplans.materialize import materialize, release
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return len(jsc.getRDDStorageInfo())
+
+    base = n_cached()
+    df = spark.range(100_000).withColumn("x", F.rand(1)).transform(materialize)
+    assert n_cached() == base + 1
+    assert release(df) is True
+    assert n_cached() == base
+    # plain (unmaterialized) frame: no-op, False
+    assert release(spark.range(10)) is False
+
+
 def test_expectations_planted_violations(spark):
     """Each check kind reports the exact planted violation count; FK
     nulls pass (SQL semantics); clean table passes everything."""
