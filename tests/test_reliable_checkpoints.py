@@ -72,6 +72,27 @@ def test_semdedup_under_reliable_mode_same_result(spark, reliable):
     assert res == res_local
 
 
+def test_pagerank_under_reliable_mode_same_result(spark, reliable):
+    """PageRank's per-iteration materialize carries the dangling mass
+    as an observe() metric; under reliable checkpoints the metric (or
+    its explicit-aggregate fallback) must yield identical ranks, and
+    release() must be a safe no-op on checkpoint-file frames."""
+    from sparkplans.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5)], "src long, dst long"
+    )
+    rel = {r.node: r.rank for r in pagerank(edges, iterations=6).collect()}
+    assert len(_ckpt_files(reliable)) > 0
+
+    spark.conf.set(RELIABLE_FLAG, "false")
+    loc = {r.node: r.rank for r in pagerank(edges, iterations=6).collect()}
+    assert set(rel) == set(loc)
+    for v in loc:
+        assert abs(rel[v] - loc[v]) < 1e-12, (v, rel[v], loc[v])
+    assert abs(sum(rel.values()) - 1.0) < 1e-9
+
+
 def test_adaptive_storage_level_picks_by_size(spark):
     """Adaptive materialize storage (VERDICT r3 item 1): small frames
     get deserialized memory (fast re-reads — the sf0.1 bench cost of
