@@ -39,3 +39,39 @@ def test_query_under_ceiling(spark, name):
         "ceiling at sf0.001 — look for a driver-job loop, an all-pairs "
         "join, or an unpartitioned window"
     )
+
+
+# Scheduler-job budgets for the iterative queries: per-job overhead is
+# ~0.1 s on a busy driver (the round-6 host-drift analysis showed
+# many-small-job queries inflating 1.6-1.8x on a slow scheduler), so
+# job COUNT is a first-class plan property, ratcheted like exchanges.
+# Budgets are the round-7 measured counts + small headroom; job count
+# is a function of plan shape + iteration count, not data size.
+JOB_BUDGETS = {
+    "pagerank_copurchase": 44,  # measured 40 (was 50 pre-observe())
+    "semantic_dedup": 24,       # measured 20
+    "pca_whitening": 12,        # measured 10
+}
+
+
+@pytest.mark.parametrize("name", sorted(JOB_BUDGETS))
+def test_scheduler_job_budget(spark, name):
+    sc = spark.sparkContext
+
+    def next_job_id() -> int:
+        return int(sc._jsc.sc().dagScheduler().nextJobId())
+
+    # warm run: AQE stage stats / codegen caches can change job counts
+    Q.REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    before = next_job_id()
+    Q.REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    used = next_job_id() - before
+    assert used <= JOB_BUDGETS[name], (
+        f"{name}: {used} scheduler jobs > budget {JOB_BUDGETS[name]} — "
+        "a new per-iteration action/branch snuck in (driver collect, "
+        "extra broadcast stage, or eager materialize)"
+    )
