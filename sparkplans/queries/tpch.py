@@ -13,11 +13,20 @@ reshape predicates around the reduced testdata schema.  This
 ``tpch22_*`` set SUPERSEDES those for canonical-parity claims: it
 stays near the dbgen text (synthesized ``partsupp``, derived
 late-line/shipmode/phone attributes — see below) where the old set
-substituted different predicates entirely.  The old entries are kept
-registered under their original names because they are pinned by the
-driver's fixed correctness sample and by budget ratchets (and they
-double as independent plan-shape coverage); new work should target
-``tpch22_*``.
+substituted different predicates entirely.
+
+**Round-7 decision — both suites stay, deliberately.**  Considered
+demoting the adapted ``tpch_q*`` set from the budget ratchet +
+PLANS regeneration; kept it because (a) the driver's FIXED
+correctness sample pins several of the old names — deregistering any
+breaks every future round's gate, and a registry entry that is
+sampled but un-ratcheted could silently regress its plan; (b) the
+adapted shapes are not plan-duplicates of ``tpch22_*`` — different
+predicates/join orders give Catalyst different trees, so the ~20
+extra ratchet rows are independent plan-shape coverage; (c) the
+marginal cost is sub-second per query per sweep at sf0.01.  The rule
+stands: new work targets ``tpch22_*``; the old names are frozen
+legacy surface, never extended.
 
 Every query is a **shared-SQL** registration: one ANSI-SQL text that
 Spark SQL and DuckDB both execute — Catalyst owns the physical plan

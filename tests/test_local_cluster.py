@@ -168,6 +168,7 @@ def test_cluster_gap_within_floor():
     import json
 
     out = None
+    ratios = []
     for attempt in range(2):
         proc = subprocess.run(
             [
@@ -184,6 +185,15 @@ def test_cluster_gap_within_floor():
         assert proc.returncode == 0, proc.stderr[-2000:]
         out = json.loads(proc.stdout.strip().splitlines()[-1])
         assert not out["mismatches"], out
+        ratios.append(out["ratio"])
         if out["ratio"] <= 2.0:
+            if attempt:
+                # a retried pass is still a pass, but the breach must
+                # be visible in CI history so a creeping ~2.x drift
+                # (vs the 3-10x of a real regression) leaves a trail
+                print(
+                    f"cluster-gap retry: first attempt ratio "
+                    f"{ratios[0]:.2f} breached 2.0, retry {out['ratio']:.2f} ok"
+                )
             return
-    assert out["ratio"] <= 2.0, out
+    assert out["ratio"] <= 2.0, {"attempt_ratios": ratios, **out}
