@@ -448,6 +448,7 @@ def prefix_filter_pairs(
     n: int = 3,
     slices: int | str = 1,
     slice_dir: str | None = None,
+    slice_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (the
     SSJoin/PPJoin family, Xiao et al. 2008): every pair with
@@ -500,6 +501,16 @@ def prefix_filter_pairs(
     prefix rows) and derives the slice count from the
     ``spark.sparkplans.ssjoinSliceBytes`` scratch budget — the knob
     becomes a measured decision instead of a guess.
+
+    ``slice_range=(lo, hi)`` executes only slices ``lo..hi-1`` of the
+    resolved count — the bounded/resumable-run primitive: a run killed
+    at slice k resumes by running the complementary range and unioning
+    the returned frames (each call still writes a fresh ``run=``
+    subdir — stale-slice safety is preserved), and a scale probe
+    measures ONE slice's wall/footprint and extrapolates ×K instead of
+    paying the full bill.  The returned frame contains exactly the
+    pairs owned by the requested slices — a SUBSET of the full result
+    unless the ranges run cover 0..K-1.
 
     ``slice_dir`` is the scratch root for per-slice parquet.  On a
     multi-node cluster it MUST be shared storage visible to every
@@ -666,8 +677,21 @@ def prefix_filter_pairs(
             "budget_bytes": budget,
         }
 
-    if slices <= 1:
+    if slice_range is not None:
+        lo, hi = int(slice_range[0]), int(slice_range[1])
+        if not 0 <= lo < hi <= max(int(slices), 1):
+            raise ValueError(
+                f"slice_range {slice_range} outside [0, {max(int(slices), 1)})"
+            )
+        if slices <= 1:
+            # auto (or explicit 1) resolved to a single slice and the
+            # range covers it: the bounded run IS the full run
+            return _pairs_for(pref)
+        ks = range(lo, hi)
+    elif slices <= 1:
         return _pairs_for(pref)
+    else:
+        ks = range(int(slices))
 
     # Sliced execution: each canonical pair (a = smaller record, b =
     # larger) is OWNED by exactly one slice — the one holding
@@ -737,7 +761,7 @@ def prefix_filter_pairs(
     # never contribute stale slice=K parquet to this run's readback.
     out_dir = f"{root}/run={uuid.uuid4().hex}"
     owner = F.pmod(F.xxhash64(F.col("id")), F.lit(slices))
-    for k in range(slices):
+    for k in ks:
         part = _pairs_for(pref.filter(owner == k))
         part.write.mode("overwrite").parquet(f"{out_dir}/slice={k}")
         del part

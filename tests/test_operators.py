@@ -1602,6 +1602,57 @@ def test_prefix_filter_auto_slices(spark, tmp_path):
     assert got_default == want
 
 
+def test_prefix_filter_slice_range_partitions_the_result(spark, tmp_path):
+    """slice_range=(lo, hi) returns exactly the pairs owned by those
+    slices: disjoint ranges union to the full unsliced result (the
+    resumable-run / scale-probe contract); invalid ranges raise."""
+    import random
+
+    import pytest
+
+    from sparkplans.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 30))))
+        for i in range(40)
+    ]
+    rows.append((300, rows[4][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(df, threshold=0.4).collect()
+    )
+    assert want
+
+    K = 4
+    got = []
+    for rng_ in [(0, 1), (1, 3), (3, 4)]:
+        got.extend(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in prefix_filter_pairs(
+                df, threshold=0.4, slices=K,
+                slice_dir=str(tmp_path / "ranges"), slice_range=rng_,
+            ).collect()
+        )
+    assert sorted(got) == want  # disjoint ownership, full coverage
+
+    # K=1 with a (0,1) range: the bounded run IS the full run
+    got_k1 = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(
+            df, threshold=0.4, slices=1, slice_range=(0, 1)
+        ).collect()
+    )
+    assert got_k1 == want
+    with pytest.raises(ValueError, match="outside"):
+        prefix_filter_pairs(df, threshold=0.4, slices=4, slice_range=(2, 9))
+    with pytest.raises(ValueError, match="outside"):
+        prefix_filter_pairs(df, threshold=0.4, slices=1, slice_range=(1, 2))
+
+
 def test_prefix_filter_reused_slice_dir_no_stale_merge(spark, tmp_path):
     """Reusing a slice_dir across runs must never merge stale slices:
     a first run with MORE slices than the second would previously
