@@ -64,7 +64,14 @@ sys.path.insert(0, repo)
 
 
 def _drain(q, timeout_s: float = 3600.0) -> dict:
-    """Block until an availableNow query finishes; collect progress."""
+    """Block until an availableNow query finishes; collect progress.
+
+    Beyond rows/batches, records the state-size telemetry that makes
+    the large-state claim a measured curve: peak committed state
+    bytes (``stateOnCurrentVersionSizeBytes``) and, under the RocksDB
+    provider, its custom metrics (SST file bytes on disk, block-cache
+    + memtable memory) — the numbers an operator sizes executors and
+    local disks from."""
     t0 = time.time()
     while q.isActive:
         if time.time() - t0 > timeout_s:
@@ -75,13 +82,44 @@ def _drain(q, timeout_s: float = 3600.0) -> dict:
     n_rows = 0
     n_batches = 0
     state_rows = 0
+    state_bytes = 0
+    rocks = {"sst_bytes": 0, "written_bytes": 0, "put_count": 0}
+    saw_rocks = False
     for p in q.recentProgress:
         n_rows += int(p["numInputRows"])
         if int(p["numInputRows"]) or p.get("stateOperators"):
             n_batches += 1
         for so in p.get("stateOperators") or []:
             state_rows = max(state_rows, int(so.get("numRowsTotal", 0)))
-    return {"rows": n_rows, "batches": n_batches, "state_rows": state_rows}
+            # memoryUsedBytes is the provider-reported committed state
+            # size (for RocksDB: memtable + pinned blocks + SST)
+            state_bytes = max(
+                state_bytes, int(so.get("memoryUsedBytes", 0) or 0)
+            )
+            cm = so.get("customMetrics") or {}
+            if any(k.startswith("rocksdb") for k in cm):
+                saw_rocks = True
+                rocks["sst_bytes"] = max(
+                    rocks["sst_bytes"],
+                    int(cm.get("rocksdbSstFileSize", 0) or 0),
+                )
+                rocks["written_bytes"] = max(
+                    rocks["written_bytes"],
+                    int(cm.get("rocksdbTotalBytesWritten", 0) or 0),
+                )
+                rocks["put_count"] = max(
+                    rocks["put_count"],
+                    int(cm.get("rocksdbPutCount", 0) or 0),
+                )
+    out = {
+        "rows": n_rows,
+        "batches": n_batches,
+        "state_rows": state_rows,
+        "state_bytes": state_bytes,
+    }
+    if saw_rocks:
+        out["rocksdb"] = rocks
+    return out
 
 
 def stage_table(
@@ -481,6 +519,8 @@ def main() -> int:
         "rows_per_sec": round(prog["rows"] / wall),
         "micro_batches": prog["batches"],
         "state_rows": prog["state_rows"],
+        "state_bytes": prog["state_bytes"],
+        **({"rocksdb": prog["rocksdb"]} if "rocksdb" in prog else {}),
         "windows_emitted": len(got),
         "windows_batch_truth": len(want),
         "held_back_by_watermark": len(want) - len(got),
@@ -511,6 +551,8 @@ def main() -> int:
         "rows_per_sec": round(prog["rows"] / wall),
         "micro_batches": prog["batches"],
         "state_rows": prog["state_rows"],
+        "state_bytes": prog["state_bytes"],
+        **({"rocksdb": prog["rocksdb"]} if "rocksdb" in prog else {}),
         "sessions_emitted": int(sess["n"]),
         "events_conserved_ok": bool((sess["ev"] or 0) <= prog["rows"]),
     }
@@ -560,11 +602,23 @@ def main() -> int:
     }
 
     shutil.rmtree(work, ignore_errors=True)
+    # telemetry gate: under the RocksDB provider the stateful
+    # pipelines must actually REPORT RocksDB state metrics — a silent
+    # fallback to the default provider (misconfigured conf, missing
+    # native lib) would otherwise pass every equality check while
+    # measuring the wrong thing
+    rocks_ok = store != "rocksdb" or all(
+        out["pipelines"][p].get("rocksdb", {}).get("put_count", 0) > 0
+        or out["pipelines"][p].get("rocksdb", {}).get("written_bytes", 0) > 0
+        for p in ("windowed_counts", "sessionize")
+    )
     ok = (
         out["pipelines"]["windowed_counts"]["emitted_mismatches"] == 0
         and out["pipelines"]["sessionize"]["events_conserved_ok"]
         and out["pipelines"]["dedup_ingest"]["exact_vs_batch_ok"]
+        and rocks_ok
     )
+    out["rocksdb_metrics_ok"] = rocks_ok
     out["all_ok"] = ok
     print(json.dumps(out))
     spark.stop()
