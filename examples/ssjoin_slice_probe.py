@@ -11,14 +11,15 @@ same plan over a 1/K ownership partition of the pairs (owner =
 xxhash64(larger id) % K), so per-slice wall × K bounds the full run
 to first order.  This harness runs:
 
-1. the ``slices='auto'`` decision aggregation (the measured
-   candidate-volume upper bound + chosen K) — the 'probe';
-2. exactly one slice via ``slice_range=(0, 1)`` — timed, results
-   materialized to the scratch dir like any production slice.
+1. a ``slice_range=(0, 1)`` bounded run — prologue (shingle ranking +
+   auto decision aggregation) + ONE slice;
+2. a ``slice_range=(0, 2)`` bounded run — same prologue + TWO slices.
 
-Prints one JSON line with the probe wall, the slice wall, and the
-extrapolated full-run wall.  SCALE.md pins these as the sf100 rung of
-the SSJoin scale story; the numbers feed the regression gate there.
+The difference of the two walls isolates the MARGINAL per-slice cost
+(each call pays the prologue once), so the full-run extrapolation is
+``prologue + K × marginal`` instead of the loose ``wall × K`` bound
+that charges the prologue K times.  Prints one JSON line; SCALE.md
+pins these as the sf100 rung of the SSJoin scale story.
 """
 
 from __future__ import annotations
@@ -64,20 +65,30 @@ def main() -> int:
 
     scratch = tempfile.mkdtemp(prefix="ssjoin_probe_")
     try:
-        # Phase 1+2 in one call: slices='auto' runs the decision
-        # aggregation, slice_range=(0,1) then executes only slice 0.
-        t0 = time.perf_counter()
-        part = dedup.prefix_filter_pairs(
-            docs,
-            threshold=threshold,
-            slices="auto",
-            slice_dir=scratch,
-            slice_range=(0, 1),
-        )
-        n_pairs_slice0 = part.count()
-        wall = time.perf_counter() - t0
+        def bounded_run(hi: int) -> tuple[float, int]:
+            t0 = time.perf_counter()
+            part = dedup.prefix_filter_pairs(
+                docs,
+                threshold=threshold,
+                slices="auto",
+                slice_dir=scratch,
+                slice_range=(0, hi),
+            )
+            n_pairs = part.count()
+            return time.perf_counter() - t0, n_pairs
+
+        wall1, pairs1 = bounded_run(1)
         decision = dict(dedup.last_auto_decision or {})
         k = int(decision.get("slices", 1))
+        if k > 2:
+            wall2, pairs2 = bounded_run(2)
+            marginal = max(wall2 - wall1, 0.1)
+            prologue = max(wall1 - marginal, 0.0)
+            extrapolated = prologue + k * marginal
+        else:
+            # small corpus: the bounded run was (nearly) the full run
+            wall2 = marginal = prologue = None
+            extrapolated = wall1
         print(
             json.dumps(
                 {
@@ -87,15 +98,14 @@ def main() -> int:
                     "raw_candidate_rows": decision.get("raw_candidate_rows"),
                     "auto_slices": k,
                     "budget_bytes": decision.get("budget_bytes"),
-                    "slice0_pairs": n_pairs_slice0,
-                    # wall includes the decision aggregation + shingle
-                    # ranking (paid once, shared by all slices) + one
-                    # slice; the extrapolation charges the slice cost
-                    # K times on top of the shared prologue.  We can't
-                    # split prologue/slice post-hoc from one number,
-                    # so report the conservative bound wall * K.
-                    "probe_plus_slice0_sec": round(wall, 1),
-                    "extrapolated_full_sec_ub": round(wall * k, 1),
+                    "slice0_pairs": pairs1,
+                    "wall_1slice_sec": round(wall1, 1),
+                    "wall_2slice_sec": round(wall2, 1) if wall2 else None,
+                    # prologue = shingle ranking + decision aggregation,
+                    # paid once per run; marginal = one slice's cost
+                    "prologue_sec": round(prologue, 1) if prologue is not None else None,
+                    "marginal_slice_sec": round(marginal, 1) if marginal else None,
+                    "extrapolated_full_sec": round(extrapolated, 1),
                 }
             )
         )
