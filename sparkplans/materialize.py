@@ -163,6 +163,39 @@ def release(df: DataFrame) -> bool:
         return False
 
 
+def observed(obs, keys: list[str], timeout_s: float = 5.0):
+    """Poll an ``Observation`` for its metrics without risking a
+    blocked ``obs.get`` (the query-execution listener fires
+    asynchronously, and not at all for some materialization routes).
+    Returns a tuple of EXACT values in ``keys`` order — longs stay
+    ints and decimals convert via str, never through float (callers
+    compare hash sums for equality) — or None on timeout so callers
+    can fall back to an explicit aggregate."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while True:
+        m = obs._jo.getOrEmpty()
+        if not m.isEmpty():
+            out = []
+            for k in keys:
+                v = m.get(k)
+                if hasattr(v, "get"):  # scala Option
+                    v = v.get()
+                if isinstance(v, (int, float)) or v is None:
+                    out.append(v)
+                else:
+                    s = str(v)
+                    try:
+                        out.append(int(s))
+                    except ValueError:
+                        out.append(float(s))
+            return tuple(out)
+        if _time.monotonic() >= deadline:
+            return None
+        _time.sleep(0.01)
+
+
 def _has_row_multiplier(df: DataFrame) -> bool:
     """True when the optimized plan contains an operator whose output
     can be LARGER than its inputs — Join (self-joins fan out),

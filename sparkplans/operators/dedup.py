@@ -24,10 +24,10 @@ constants are small affine functions of the permutation index).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Observation, Window, functions as F
 
 from sparkplans.functions.text import doc_fingerprint
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, observed
 
 # MinHash modulus: largest 31-bit prime; keeps a*h+b < 2^62 (no
 # overflow under ANSI mode) for a < 2^31.
@@ -230,7 +230,19 @@ def connected_components(
     ``localCheckpoint()`` truncates lineage each round — without it
     the plan doubles per iteration (the same failure mode the IVF
     build had).  The driver only ever holds the convergence counter,
-    never data."""
+    never data.
+
+    Convergence detection is two-tier: each round's (count,
+    Σ xxhash64(src,dst) in exact DECIMAL) ride the materialization
+    action as ``observe()`` metrics — no extra job, no per-round
+    exceptAll shuffle (the old check paid 3 driver actions + one
+    edge-set anti-join per round).  When the signature repeats —
+    necessary at the fixed point, and a false positive needs a 2^-64
+    hash-sum collision — ONE exact ``exceptAll`` check confirms set
+    equality before convergence is declared, so the declared result
+    is exactly as sound as before (the probabilistic signal only
+    chooses WHEN to pay the exact check; a collision would fail the
+    exact check and the loop continues)."""
     e1 = pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),
@@ -273,17 +285,38 @@ def connected_components(
             out.filter(F.col("src") != F.col("dst")).distinct()
         )
 
+    def _sig_metrics():
+        return (
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("hs"),
+        )
+
+    # signature of the CURRENT edge set (one cheap scan of the
+    # checkpoint); each round's successor signature then rides the
+    # round's own materialization action
+    row0 = edges.agg(*_sig_metrics()).collect()[0]
+    prev_sig = (int(row0["cnt"]), None if row0["hs"] is None else int(row0["hs"]))
+
     converged = False
     for _ in range(max_iter):
-        new = _star(_star(edges, large=True), large=False).transform(materialize)
-        # fixed point = identical edge sets (both are distinct sets)
-        if (
-            new.count() == edges.count()
-            and new.exceptAll(edges).count() == 0
-        ):
+        obs = Observation()
+        new = materialize(
+            _star(_star(edges, large=True), large=False).observe(
+                obs, *_sig_metrics()
+            )
+        )
+        sig = observed(obs, ["cnt", "hs"])
+        if sig is None:  # listener didn't fire: one explicit aggregate
+            r = new.agg(*_sig_metrics()).collect()[0]
+            sig = (r["cnt"], r["hs"])
+        sig = (int(sig[0]), None if sig[1] is None else int(sig[1]))
+        if sig == prev_sig and new.exceptAll(edges).count() == 0:
+            # exact confirmation — a hash-sum collision (2^-64) would
+            # fail here and the loop simply continues
             edges = new
             converged = True
             break
+        prev_sig = sig
         edges = new
     if not converged:
         raise RuntimeError(

@@ -212,20 +212,13 @@ def pagerank(
 
 
 def _observed(obs: Observation, key: str, timeout_s: float = 5.0):
-    """Poll an Observation for a metric without risking a blocked
-    ``obs.get`` (the query-execution listener fires asynchronously,
-    and not at all for some materialization routes).  Returns None on
-    timeout so callers can fall back to an explicit aggregate."""
-    import time
+    """Single-metric float wrapper over :func:`materialize.observed`
+    (poll-with-timeout; None means fall back to an explicit
+    aggregate)."""
+    from sparkplans.materialize import observed
 
-    deadline = time.monotonic() + timeout_s
-    while True:
-        m = obs._jo.getOrEmpty()
-        if not m.isEmpty():
-            return float(m.get(key).get() if hasattr(m.get(key), "get") else m.get(key))
-        if time.monotonic() >= deadline:
-            return None
-        time.sleep(0.01)
+    vals = observed(obs, [key], timeout_s=timeout_s)
+    return None if vals is None else float(vals[0])
 
 
 def label_propagation(

@@ -51,6 +51,7 @@ JOB_BUDGETS = {
     "pagerank_copurchase": 44,  # measured 40 (was 50 pre-observe())
     "semantic_dedup": 24,       # measured 20
     "pca_whitening": 12,        # measured 10
+    "dedup_clusters": 65,       # measured 59 (was 79 pre-observe())
 }
 
 
