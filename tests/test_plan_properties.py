@@ -165,6 +165,9 @@ def test_no_python_in_any_query_hot_path(spark):
         # Misra-Gries pattern): mapInPandas partials + one KB-state
         # merge; only digest states cross the wire
         "tdigest_price_quantiles",
+        # same sketch build, grouped per day then merged per week —
+        # the merge fold is also mapInPandas over KB digest rows
+        "tdigest_weekly_rollup",
     }
     offenders = []
     for name, spec in sorted(Q.REGISTRY.items()):
