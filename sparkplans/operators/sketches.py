@@ -444,7 +444,7 @@ def tdigest_build(
                 items = list(gb.items())
             for key, ix in items:
                 arr = vals if ix is None else vals[ix]
-                s = state.setdefault(key, fresh())
+                s = state.setdefault(_td_canon_key(key), fresh())
                 s["buf"].append(arr)
                 s["blen"] += len(arr)
                 buffered += len(arr)
@@ -512,7 +512,8 @@ def _td_merge_rows(
             hi_col = pdf["hi"].to_numpy()
             for key, ix in items:
                 a = acc.setdefault(
-                    key, {"ms": [], "ws": [], "lo": math.inf, "hi": -math.inf}
+                    _td_canon_key(key),
+                    {"ms": [], "ws": [], "lo": math.inf, "hi": -math.inf},
                 )
                 for i in ix:
                     a["ms"].append(np.asarray(means_col[i], dtype="float64"))
@@ -544,6 +545,27 @@ def _td_merge_rows(
             )
 
     return part.repartition(*group_cols).mapInPandas(fold, state_schema)
+
+
+def _td_canon_key(key: tuple) -> tuple:
+    """Canonicalize a pandas groupby key tuple for dict accumulation:
+    NaN/NaT group values are fresh objects per Arrow batch (NaN != NaN),
+    so without this a null-keyed group would accumulate one dict entry
+    per batch and its digest rows would never merge.  Mapping every
+    missing value to None restores SQL null-group semantics (the same
+    collapse the old groupBy().applyInPandas path performed) — note
+    Arrow already delivers Spark float-column nulls as NaN, so null
+    and NaN were never distinguishable on this path to begin with."""
+    out = []
+    for v in key:
+        try:
+            if v is None or pd.isna(v):
+                out.append(None)
+                continue
+        except (TypeError, ValueError):
+            pass
+        out.append(v)
+    return tuple(out)
 
 
 def _td_check_group_cols(group_cols: list[str]) -> None:

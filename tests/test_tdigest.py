@@ -180,6 +180,45 @@ def test_high_cardinality_groups_memory_valve(spark):
     assert _rank_err(xs, ests[0.5], 0.5) <= 0.01
 
 
+def test_null_group_key_merges_across_batches(spark):
+    """A null group key arrives in pandas as NaN, and NaN != NaN — so
+    dict-keyed accumulation without canonicalization creates a fresh
+    entry per Arrow batch and the null group's partials never merge
+    (reproduced: 60 partitions gave 24 duplicate null-group rows).
+    The canonical key maps all missing values to None, restoring SQL
+    null-group semantics in both the partial pass and the fold."""
+    df = (
+        spark.range(3_000)
+        .repartition(60)
+        .select(
+            (F.col("id").cast("double") / 1000.0).alias("x"),
+            F.when(F.col("id") % 3 == 0, F.col("id") % 2).alias("g"),
+        )
+    )
+    per_group = tdigest_build(df, "x", group_cols=["g"], delta=DELTA)
+    rows = per_group.collect()
+    assert len(rows) == 3, [r["g"] for r in rows]  # 0, 1, null — each ONCE
+    by_g = {r["g"]: r for r in rows}
+    assert None in by_g
+    # the null group's lossless fields match the exact aggregate
+    exact = (
+        df.filter(F.col("g").isNull())
+        .agg(F.count("x").alias("n"), F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()[0]
+    )
+    assert by_g[None]["n"] == float(exact["n"]) == 2000.0
+    assert by_g[None]["lo"] == exact["lo"]
+    assert by_g[None]["hi"] == exact["hi"]
+    # same for a null STRING key (arrives as None, not NaN) and a
+    # null TIMESTAMP key (arrives as NaT) — all one group each
+    for cast in ("string", "timestamp"):
+        df2 = df.withColumn("g", F.col("g").cast(cast))
+        rows2 = tdigest_build(df2, "x", group_cols=["g"], delta=DELTA).collect()
+        assert len(rows2) == 3, (cast, [r["g"] for r in rows2])
+        nulls = [r for r in rows2 if r["g"] is None]
+        assert len(nulls) == 1 and nulls[0]["n"] == 2000.0, cast
+
+
 def test_empty_and_single_value(spark):
     empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
     assert tdigest_build(empty, "x", delta=DELTA).count() == 0
