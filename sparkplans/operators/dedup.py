@@ -699,7 +699,19 @@ def prefix_filter_pairs(
             .collect()[0]["raw"]
             or 0
         )
-        slices = max(1, min(1024, -(-int(raw_ub) * 72 // max(budget, 1))))
+        wanted = max(1, -(-int(raw_ub) * 72 // max(budget, 1)))
+        # The slice-count ceiling exists so a mis-estimated candidate
+        # volume can't explode into tens of thousands of tiny jobs; it
+        # is a CONF (not a silent constant) because when it binds, the
+        # per-slice scratch EXCEEDS the ssjoinSliceBytes contract — at
+        # sf100 the 8 GiB budget wants ~6.5k slices and a hard 1024
+        # clamp would run ~51 GB/slice, 6.4x the knob's promise.  The
+        # breach is computed, recorded, and warned, never silent.
+        cap = int(
+            df.sparkSession.conf.get("spark.sparkplans.ssjoinMaxSlices", "1024")
+        )
+        slices = min(max(cap, 1), wanted)
+        breach = max(0, int(raw_ub) * 72 // max(int(slices), 1) - budget)
         # diagnostic hook: scale harnesses read the measured decision
         # (candidate volume, chosen K) without re-running the
         # aggregation — module-level, driver-only, overwritten per call
@@ -707,8 +719,25 @@ def prefix_filter_pairs(
         last_auto_decision = {
             "raw_candidate_rows": int(raw_ub),
             "slices": int(slices),
+            "slices_wanted": int(wanted),
             "budget_bytes": budget,
+            "max_slices": cap,
+            "cap_bound": wanted > slices,
+            "budget_breach_bytes": int(breach),
         }
+        if wanted > slices:
+            import warnings
+
+            warnings.warn(
+                f"ssjoin slices='auto' wanted {wanted} slices to honor "
+                f"ssjoinSliceBytes={budget} but ssjoinMaxSlices={cap} "
+                f"binds: projected peak scratch per slice exceeds the "
+                f"budget by ~{breach / (1 << 30):.1f} GiB. Raise "
+                "spark.sparkplans.ssjoinMaxSlices (and run via "
+                "slice_range in resumable chunks) or raise the budget "
+                "to match the executors' local disk.",
+                stacklevel=2,
+            )
 
     if slice_range is not None:
         lo, hi = int(slice_range[0]), int(slice_range[1])

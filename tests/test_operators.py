@@ -1602,6 +1602,83 @@ def test_prefix_filter_auto_slices(spark, tmp_path):
     assert got_default == want
 
 
+def test_prefix_filter_auto_slices_budget_honest_when_cap_binds(
+    spark, tmp_path
+):
+    """When ssjoinMaxSlices clamps the auto slice count below what the
+    ssjoinSliceBytes budget wants, the breach must be LOUD: a warning
+    fires and last_auto_decision records cap_bound + the projected
+    per-slice scratch overage — on a real cluster with small
+    executor-local disks a silent clamp is exactly the failure the
+    budget knob exists to prevent."""
+    import random
+    import warnings
+
+    from sparkplans.operators import dedup
+    from sparkplans.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(df, threshold=0.4).collect()
+    )
+
+    spark.conf.set("spark.sparkplans.ssjoinSliceBytes", "5000")
+    spark.conf.set("spark.sparkplans.ssjoinMaxSlices", "2")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            got = sorted(
+                (r.id_a, r.id_b, r.jaccard)
+                for r in prefix_filter_pairs(
+                    df, threshold=0.4, slices="auto",
+                    slice_dir=str(tmp_path / "cap"),
+                ).collect()
+            )
+        assert got == want  # clamping never changes the result
+        d = dedup.last_auto_decision
+        assert d["cap_bound"] is True
+        assert d["slices"] == 2 and d["slices_wanted"] > 2
+        assert d["max_slices"] == 2
+        # breach = projected per-slice scratch minus budget, positive
+        assert (
+            d["budget_breach_bytes"]
+            == d["raw_candidate_rows"] * 72 // d["slices"] - d["budget_bytes"]
+        )
+        assert d["budget_breach_bytes"] > 0
+        msgs = [str(w.message) for w in caught]
+        assert any("ssjoinMaxSlices" in m and "exceeds" in m for m in msgs), msgs
+
+        # unclamped control on the same data: no breach recorded
+        with warnings.catch_warnings(record=True) as caught2:
+            warnings.simplefilter("always")
+            spark.conf.unset("spark.sparkplans.ssjoinMaxSlices")
+            got2 = sorted(
+                (r.id_a, r.id_b, r.jaccard)
+                for r in prefix_filter_pairs(
+                    df, threshold=0.4, slices="auto",
+                    slice_dir=str(tmp_path / "uncap"),
+                ).collect()
+            )
+        assert got2 == want
+        d2 = dedup.last_auto_decision
+        assert d2["cap_bound"] is False
+        assert d2["budget_breach_bytes"] == 0
+        assert not any("ssjoinMaxSlices" in str(w.message) for w in caught2)
+    finally:
+        spark.conf.unset("spark.sparkplans.ssjoinSliceBytes")
+        try:
+            spark.conf.unset("spark.sparkplans.ssjoinMaxSlices")
+        except Exception:
+            pass
+
+
 def test_prefix_filter_slice_range_partitions_the_result(spark, tmp_path):
     """slice_range=(lo, hi) returns exactly the pairs owned by those
     slices: disjoint ranges union to the full unsliced result (the
