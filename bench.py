@@ -26,7 +26,11 @@ CALIBRATION block measured before the slate —
 ``host_factor`` divides each by the round-7 reference host's values
 (``_REF_CALIB``), so "same code, slower machine" is machine-readable:
 a BENCH_rN/BENCH_rM total ratio close to the host_factor mix means
-drift, not regression.
+drift, not regression.  The parallel-CPU leg is re-measured AFTER the
+slate (``host_factor_close``) and the line carries a mechanical
+``contended`` verdict — an opening-only calibration cannot see a
+mid-run neighbor burst (both round-7 judge replications opened quiet
+and absorbed one).
 
 The driver's stdout capture truncates long lines (BENCH_r06 recorded
 ``parsed: null`` on the 85-query map), so the printed line inlines
@@ -268,12 +272,12 @@ def main() -> None:
     # per-query timings measure query execution, not session warmup.
     Q.REGISTRY["agg_count_star"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    def _min_of_3(name: str) -> float:
+    def _min_of(name: str, reps: int = 3) -> float:
         fn = Q.REGISTRY[name].fn
-        # min of 3 runs: steady-state throughput, not JVM codegen
+        # min of N runs: steady-state throughput, not JVM codegen
         # warmup or GC noise (run-to-run variance measured ~25%)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -285,7 +289,8 @@ def main() -> None:
     # min-of-5 for the anchor (vs 3 for slate queries): it runs first,
     # with the least page-cache warmup, and its value gates every
     # cross-round comparison
-    scan_anchor_sec = min(_min_of_3(_SCAN_ANCHOR), _min_of_3(_SCAN_ANCHOR))
+    reps_anchor = 5
+    scan_anchor_sec = _min_of(_SCAN_ANCHOR, reps=reps_anchor)
     calib = {
         "cpu_vec_sec": cpu_vec,
         "cpu_par_sec": cpu_par,
@@ -302,9 +307,23 @@ def main() -> None:
     for name in HEADLINE:
         if name in timings:
             continue
-        timings[name] = _min_of_3(name)
+        timings[name] = _min_of(name)
 
     total = round(sum(timings.values()), 3)
+
+    # ---- closing calibration leg (round-7 lesson: both judge
+    # replications opened quiet and got hit by a neighbor burst
+    # MID-run, which the opening block cannot see).  Re-measure the
+    # parallel-CPU axis after the slate (<1 s) and flag the run
+    # `contended` when either end shows substantial theft or the two
+    # ends diverge — a contended BENCH line is then mechanically
+    # rejectable instead of needing a judge-side re-run.
+    _, cpu_par_close, _ = _cpu_calibration()
+    par_open_f = host_factor["cpu_par"]
+    par_close_f = round(cpu_par_close / _REF_CALIB["cpu_par_sec"], 3)
+    f_lo, f_hi = sorted((par_open_f, par_close_f))
+    contended = bool(f_hi > 2.0 or (f_lo > 0 and f_hi / f_lo > 1.5))
+    host_factor_close = {"cpu_par": par_close_f}
     try:
         load_end = round(os.getloadavg()[0], 2)
     except OSError:
@@ -325,8 +344,11 @@ def main() -> None:
         "sf": sf,
         "calibration": calib,
         "host_factor": host_factor,
+        "host_factor_close": host_factor_close,
+        "contended": contended,
         "load": load,
         "reps": 3,
+        "reps_anchor": reps_anchor,
     }
     try:
         with open(full_path, "w") as f:
@@ -352,12 +374,21 @@ def main() -> None:
                 "n_queries": len(timings),
                 "calibration": calib,
                 "host_factor": host_factor,
+                # cpu_par re-measured AFTER the slate + a mechanical
+                # contention verdict: True when either end's parallel
+                # factor exceeds 2.0x the reference host or the two
+                # ends diverge >1.5x (a mid-run neighbor burst) —
+                # normalize or rerun before cross-round comparison
+                "host_factor_close": host_factor_close,
+                "contended": contended,
                 # ambient 1-min load average before the session started
                 # and after the slate finished (the during-run value is
                 # dominated by the bench's own 32 threads); reps is the
                 # min-of-N count each per-query number survived
+                # (reps_anchor for the scan anchor)
                 "load": load,
                 "reps": 3,
+                "reps_anchor": reps_anchor,
                 "full": full_path,
             }
         )

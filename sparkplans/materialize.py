@@ -163,6 +163,16 @@ def release(df: DataFrame) -> bool:
         return False
 
 
+# observed() timeouts counted process-wide; the first one also warns.
+# A timeout means the query-execution listener never delivered the
+# Observation for an action that completed — each one silently costs
+# the caller the full poll timeout PLUS a fallback aggregate job, so
+# if a Spark upgrade stops firing the listener for localCheckpoint,
+# iterative operators (pagerank, connected components) would regress
+# ~timeout_s per iteration with no signal unless this is loud.
+observed_timeouts: int = 0
+
+
 def observed(obs, keys: list[str], timeout_s: float = 5.0):
     """Poll an ``Observation`` for its metrics without risking a
     blocked ``obs.get`` (the query-execution listener fires
@@ -170,7 +180,9 @@ def observed(obs, keys: list[str], timeout_s: float = 5.0):
     Returns a tuple of EXACT values in ``keys`` order — longs stay
     ints and decimals convert via str, never through float (callers
     compare hash sums for equality) — or None on timeout so callers
-    can fall back to an explicit aggregate."""
+    can fall back to an explicit aggregate.  Timeouts increment
+    ``observed_timeouts`` and the first one emits a warning (a silent
+    per-iteration stall is the failure mode this guards against)."""
     import time as _time
 
     deadline = _time.monotonic() + timeout_s
@@ -192,6 +204,21 @@ def observed(obs, keys: list[str], timeout_s: float = 5.0):
                         out.append(float(s))
             return tuple(out)
         if _time.monotonic() >= deadline:
+            global observed_timeouts
+            observed_timeouts += 1
+            if observed_timeouts == 1:
+                import warnings
+
+                warnings.warn(
+                    f"Observation metrics did not arrive within "
+                    f"{timeout_s}s; falling back to an explicit "
+                    "aggregate. Each occurrence costs the timeout plus "
+                    "a fallback job — if this repeats per iteration "
+                    "(materialize.observed_timeouts counts), the "
+                    "query-execution listener has stopped firing for "
+                    "this action type.",
+                    stacklevel=2,
+                )
             return None
         _time.sleep(0.01)
 

@@ -168,3 +168,37 @@ def test_engine_options_carry_the_flag():
     assert conf[RELIABLE_FLAG] == "true"
     assert conf[DIR_KEY] == "/tmp/x"
     assert RELIABLE_FLAG not in EngineOptions().to_spark_conf()
+
+
+def test_observed_timeout_is_loud():
+    """An observed() timeout means the caller silently burns the poll
+    window plus a fallback job — the first one must warn and every one
+    must count, so a Spark route that stops firing the listener shows
+    up in bench output instead of as an invisible per-iteration 5 s."""
+    import warnings
+
+    from sparkplans import materialize as M
+
+    class _EmptyMetrics:
+        def isEmpty(self):
+            return True
+
+    class _FakeObs:
+        class _jo:  # noqa: N801 - mimics pyspark Observation internals
+            @staticmethod
+            def getOrEmpty():
+                return _EmptyMetrics()
+
+    before = M.observed_timeouts
+    M.observed_timeouts = 0
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert M.observed(_FakeObs(), ["x"], timeout_s=0.02) is None
+            assert M.observed(_FakeObs(), ["x"], timeout_s=0.02) is None
+        assert M.observed_timeouts == 2
+        msgs = [str(w.message) for w in caught]
+        # first timeout warns, second stays quiet (counter only)
+        assert len([m for m in msgs if "Observation metrics" in m]) == 1
+    finally:
+        M.observed_timeouts = before
