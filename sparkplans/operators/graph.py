@@ -17,6 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 from sparkplans.materialize import materialize, release
 
+# Last pagerank() run decomposition (diagnostics for scale harnesses,
+# same pattern as dedup.last_auto_decision): which path ran
+# (broadcast/shuffle), graph size, and the driver-side wall split
+# between the prologue (edge derivation + layout + counts) and each
+# power iteration — the numbers SCALE.md's per-path comparison needs
+# without instrumenting the caller.  Module-level, driver-only,
+# overwritten per call; None until the first run completes.
+last_run_stats: dict | None = None
+
 
 def pagerank(
     edges: DataFrame,
@@ -100,6 +109,11 @@ def pagerank(
     # instead (a second 180M-row checkpoint at sf10 GC-thrashed the
     # run to 452 s vs 217 s).  One derivation, one corpus-sized
     # cache.
+    import time as _time
+
+    global last_run_stats
+    last_run_stats = None  # a mid-run failure must not leave stale stats
+    t_start = _time.perf_counter()
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -146,6 +160,14 @@ def pagerank(
     ).collect()[0]
     n_total, n_dangling = int(counts["n"]), int(counts["nd"])
     if n_total == 0:
+        last_run_stats = {
+            "path": "empty",
+            "n_nodes": 0,
+            "n_dangling": 0,
+            "broadcast_limit": bcast_limit,
+            "prologue_sec": round(_time.perf_counter() - t_start, 3),
+            "iteration_secs": [],
+        }
         return nodes_deg.select("node").withColumn("rank", F.lit(0.0))
     use_bcast = n_total <= bcast_limit
     if not use_bcast:
@@ -164,7 +186,10 @@ def pagerank(
         materialize
     )
     dm = n_dangling * (1.0 / n_total)  # every rank starts at 1/N
+    prologue_sec = _time.perf_counter() - t_start
+    iteration_secs: list[float] = []
     for _ in range(iterations):
+        t_iter = _time.perf_counter()
         rank_side = ranks.select("node", "rank")
         if use_bcast:
             rank_side = F.broadcast(rank_side)
@@ -208,6 +233,15 @@ def pagerank(
                 F.coalesce(F.sum("rank"), F.lit(0.0))
             ).collect()[0][0]
         release(prev)  # slim, but 10 iterations of dead |V|-row cache add up
+        iteration_secs.append(round(_time.perf_counter() - t_iter, 3))
+    last_run_stats = {
+        "path": "broadcast" if use_bcast else "shuffle",
+        "n_nodes": n_total,
+        "n_dangling": n_dangling,
+        "broadcast_limit": bcast_limit,
+        "prologue_sec": round(prologue_sec, 3),
+        "iteration_secs": iteration_secs,
+    }
     return ranks.select("node", "rank")
 
 
