@@ -33,6 +33,27 @@ need external libraries (MP3/OGG frames, H.264/MP4 video) get REAL
 container-level metadata probes instead (`extract_media_metadata` /
 operators/mediaprobe: MP4 box walk, MP3 frame headers), because
 duration/codec/bitrate gates are what a pipeline needs from them.
+
+**Round-8 decision — MP3/OGG/H.264 stay metadata-probe-only,
+permanently (this container).**  Considered writing clean-room
+bitstream decoders; rejected because (a) the codec *pattern* —
+sniff → Arrow-batched decode → typed features — is already proven on
+five real image formats plus WAV/G.711/Y4M, so a sixth decoder adds
+engineering risk without adding architectural evidence; (b) these
+three are the formats where a correct clean-room decoder is a
+multi-thousand-line DSP/entropy-coding project (MDCT + Huffman for
+MP3, CABAC for H.264) that no data-pipeline team would hand-roll —
+the production answer is a library (ffmpeg/libsndfile) slotted into
+the SAME mapInPandas stage, a one-line swap this module's structure
+already accommodates; (c) every curation gate the registered queries
+need from these formats (duration, codec id, bitrate, channel
+layout) is served losslessly by the container probes, which ARE
+real parsers.  What would change it: the container gaining a codec
+library, or a query needing sample-level features from these formats
+(none does).  The dispatchers raise ``ValueError`` for their
+payloads — the honest boundary — and this paragraph is the recorded
+keep/drop decision so the item leaves the round-over-round carried
+list.
 """
 
 from __future__ import annotations

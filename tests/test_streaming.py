@@ -1173,6 +1173,28 @@ def _rocksdb_metric_keys(q) -> set:
     return {k for k in keys if "rocksdb" in k.lower()}
 
 
+def _assert_rocksdb_activity(q, label: str) -> None:
+    """The no-RocksDB-activity gate, promoted from
+    examples/streaming_scale.py into CI (round-7 verdict item 5): key
+    PRESENCE alone can't distinguish a provider that engaged from one
+    that silently fell back after engaging — the run must show real
+    committed state AND real RocksDB write activity (puts or bytes
+    written), else every equality gate would pass while measuring the
+    wrong store."""
+    state_bytes = written = puts = 0
+    for p in q.recentProgress:
+        for so in p.get("stateOperators") or []:
+            state_bytes = max(state_bytes, int(so.get("memoryUsedBytes", 0) or 0))
+            cm = so.get("customMetrics") or {}
+            written = max(written, int(cm.get("rocksdbTotalBytesWritten", 0) or 0))
+            puts = max(puts, int(cm.get("rocksdbPutCount", 0) or 0))
+    assert state_bytes > 0, f"{label}: no committed state bytes reported"
+    assert written > 0 or puts > 0, (
+        f"{label}: rocksdb reports zero write activity "
+        f"(bytesWritten={written}, puts={puts}) — silent provider fallback?"
+    )
+
+
 @pytest.fixture()
 def rocksdb_state(spark):
     """Switch the session to the RocksDB state store for one test and
@@ -1207,6 +1229,7 @@ def test_rocksdb_state_store_matches_default(spark, events_dir, rocksdb_state):
     while q.isActive:
         q.awaitTermination(0.5)
     assert _rocksdb_metric_keys(q), "rocksdb provider not engaged"
+    _assert_rocksdb_activity(q, "windowed_counts")
     got = {
         (r.bin, r.event_type): (r.cnt, round(r.sum_value, 6))
         for r in spark.table("rkw").collect()
@@ -1238,6 +1261,7 @@ def test_rocksdb_state_store_matches_default(spark, events_dir, rocksdb_state):
     while q2.isActive:
         q2.awaitTermination(0.5)
     assert _rocksdb_metric_keys(q2), "rocksdb provider not engaged (state udf)"
+    _assert_rocksdb_activity(q2, "sessionize")
     pdf = spark.table("rks").toPandas()
     assert len(pdf) > 0
     assert (pdf["session_end"] >= pdf["session_start"]).all()
