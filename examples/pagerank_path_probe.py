@@ -61,7 +61,16 @@ def main() -> int:
             extra_conf={
                 "spark.driver.memory": os.environ.get(
                     "SPARK_GRAFT_DRIVER_MEM", "24g"
-                )
+                ),
+                # big-SF checkpoint stages can stall the (single) local
+                # JVM >120 s in one GC/unroll storm; at the default
+                # heartbeat timeout the HeartbeatReceiver then expires
+                # the local executor and the context unravels mid-leg
+                # (observed at sf30: 139 s stall -> expiry -> wedged
+                # scheduler).  Same dial a real cluster sets for
+                # heavy-GC executors.
+                "spark.network.timeout": "600s",
+                "spark.executor.heartbeatInterval": "20s",
             },
         ),
         app_name="pagerank-path-probe",
