@@ -98,6 +98,13 @@ def main() -> int:
                     "raw_candidate_rows": decision.get("raw_candidate_rows"),
                     "auto_slices": k,
                     "budget_bytes": decision.get("budget_bytes"),
+                    # budget honesty (round 8): what the budget WANTED,
+                    # whether the ssjoinMaxSlices cap bound, and the
+                    # projected per-slice scratch overage when it did
+                    "slices_wanted": decision.get("slices_wanted"),
+                    "cap_bound": decision.get("cap_bound"),
+                    "max_slices": decision.get("max_slices"),
+                    "budget_breach_bytes": decision.get("budget_breach_bytes"),
                     "slice0_pairs": pairs1,
                     "wall_1slice_sec": round(wall1, 1),
                     "wall_2slice_sec": round(wall2, 1) if wall2 else None,
