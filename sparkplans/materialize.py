@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -111,7 +112,9 @@ def _ensure_checkpoint_dir(spark) -> None:
         sc.setCheckpointDir(os.path.join(tempfile.gettempdir(), "sparkplans-ckpt"))
 
 
-def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+def materialize(
+    df: DataFrame, eager: bool = True, preserve_partitioning: bool = False
+) -> DataFrame:
     """Cut lineage and materialize ``df`` once for multiple consumers.
 
     ``localCheckpoint(eager)`` by default — at an ADAPTIVE storage
@@ -125,8 +128,38 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     (``memory_ser`` / ``disk`` / ``memory_deser``) instead of
     ``adaptive``; ``spark.sparkplans.reliableCheckpoints=true`` routes
     to a reliable ``checkpoint`` on distributed storage (see module
-    docstring for the trade)."""
+    docstring for the trade).
+
+    ``preserve_partitioning=True`` routes through ``persist()`` +
+    (when eager) one ``count()`` instead of a checkpoint.  BOTH
+    checkpoint routes come back as a ``LogicalRDD`` whose
+    outputPartitioning/outputOrdering Catalyst treats as UNKNOWN
+    (probe-verified on Spark 4.1.2), so every downstream consumer
+    that needs the layout re-pays an Exchange (+ Sort under SMJ) —
+    the exact anti-pattern the reference forbids
+    (``docs/7_cli_read_plans_aggregation.md:100-160``,
+    ``tests/opt_parallel_execution.rs:17-23``:
+    ``repartition_joins=false`` exists to stop re-partitioning
+    pre-partitioned data).  ``InMemoryTableScan`` is a physical LEAF
+    that advertises the cached plan's partitioning AND ordering, so a
+    ``repartition(n, key)`` (optionally ``.sortWithinPartitions``)
+    persisted here is satisfied in place by every later
+    join/aggregate on that key — zero per-consumer exchanges.  Use it
+    for STATIC frames re-read by iterative loops (pagerank's edge
+    corpus, connected-components' star edges).  Trade: ``persist``
+    does NOT cut lineage — an evicted/lost block recomputes through
+    the original plan (on preemptible nodes that is *safer* than
+    ``localCheckpoint``, whose lost blocks are unrecoverable; it also
+    means this route never needs the reliable-checkpoint escape
+    hatch, so the flag is ignored here).  Do not use it for frames
+    whose lineage must be truncated (per-iteration state — the plan
+    tree would grow with the iteration count)."""
     spark = df.sparkSession
+    if preserve_partitioning:
+        out = df.persist(_LEVELS[storage_level_key(df)])
+        if eager:
+            out.count()
+        return out
     if reliable_enabled(spark):
         _ensure_checkpoint_dir(spark)
         return df.checkpoint(eager=eager)
@@ -148,17 +181,25 @@ def release(df: DataFrame) -> bool:
     blocks ARE its data (lineage is cut), so any read after release
     fails with a missing-block error rather than recomputing.
 
+    Frames from ``materialize(..., preserve_partitioning=True)`` are
+    cache entries, not checkpoints: those release via a non-blocking
+    ``unpersist()`` (safe even with remaining consumers — lineage is
+    intact, a re-read just recomputes).
+
     Best-effort: returns False (and leaves cleanup to the
-    ContextCleaner) when the frame is not a local checkpoint — e.g.
-    reliable ``checkpoint()`` frames, whose files are managed by the
-    checkpoint dir's lifecycle, or a frame this session cannot
-    introspect."""
+    ContextCleaner) when the frame is not a local checkpoint or a
+    cached frame — e.g. reliable ``checkpoint()`` frames, whose files
+    are managed by the checkpoint dir's lifecycle, or a frame this
+    session cannot introspect."""
     try:
         analyzed = df._jdf.queryExecution().analyzed()
-        if not analyzed.getClass().getName().endswith(".LogicalRDD"):
-            return False
-        analyzed.rdd().unpersist(False)
-        return True
+        if analyzed.getClass().getName().endswith(".LogicalRDD"):
+            analyzed.rdd().unpersist(False)
+            return True
+        if df.is_cached:
+            df.unpersist(False)
+            return True
+        return False
     except Exception:
         return False
 
@@ -170,7 +211,11 @@ def release(df: DataFrame) -> bool:
 # if a Spark upgrade stops firing the listener for localCheckpoint,
 # iterative operators (pagerank, connected components) would regress
 # ~timeout_s per iteration with no signal unless this is loud.
+# CUMULATIVE per process and never reset — harnesses comparing runs
+# must snapshot before and diff after; the increment is guarded by
+# ``_observed_lock`` so concurrent driver threads don't lose counts.
 observed_timeouts: int = 0
+_observed_lock = threading.Lock()
 
 
 def observed(obs, keys: list[str], timeout_s: float = 5.0):
@@ -205,8 +250,10 @@ def observed(obs, keys: list[str], timeout_s: float = 5.0):
             return tuple(out)
         if _time.monotonic() >= deadline:
             global observed_timeouts
-            observed_timeouts += 1
-            if observed_timeouts == 1:
+            with _observed_lock:
+                observed_timeouts += 1
+                first = observed_timeouts == 1
+            if first:
                 import warnings
 
                 warnings.warn(

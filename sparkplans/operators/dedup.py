@@ -298,13 +298,35 @@ def connected_components(
     prev_sig = (int(row0["cnt"]), None if row0["hs"] is None else int(row0["hs"]))
 
     converged = False
-    for _ in range(max_iter):
+    global cc_last_round_plan
+    cc_last_round_plan = None
+    for _round in range(max_iter):
         obs = Observation()
-        new = materialize(
-            _star(_star(edges, large=True), large=False).observe(
-                obs, *_sig_metrics()
-            )
+        round_df = _star(_star(edges, large=True), large=False).observe(
+            obs, *_sig_metrics()
         )
+        if _round == 0:
+            # Round-shape diagnostics (cached subtrees excluded), the
+            # partition-preservation audit's per-operator assertion:
+            # UNLIKE pagerank/label_propagation there is no static
+            # corpus frame here — the edge set is REWRITTEN every
+            # round (both stars emit new (dst, m) pairs), so the
+            # per-round corpus exchange IS the round-output re-layout
+            # and a preserve-partitioning materialize has nothing to
+            # preserve across rounds.  The ratchet test pins the
+            # round's live exchange count so a regression that adds
+            # an avoidable exchange (e.g. losing ReuseExchange on the
+            # adj scan) still fails loudly.
+            from sparkplans import plans as _plans
+
+            try:
+                cc_last_round_plan = {
+                    "exchanges": _plans.live_exchanges(round_df),
+                    "sorts": _plans.live_sorts(round_df),
+                }
+            except Exception:
+                pass
+        new = materialize(round_df)
         sig = observed(obs, ["cnt", "hs"])
         if sig is None:  # listener didn't fire: one explicit aggregate
             r = new.agg(*_sig_metrics()).collect()[0]
@@ -471,6 +493,12 @@ def deduplicate(
 # Last slices="auto" decision (diagnostics for scale harnesses; see
 # prefix_filter_pairs) — driver-only, overwritten per call.
 last_auto_decision: dict | None = None
+
+# First-round live plan shape of the last connected_components() run
+# ({"exchanges": [...], "sorts": [...]}, cached subtrees excluded) —
+# set early in the function body, read by the round-shape ratchet
+# test and SCALE.md.
+cc_last_round_plan: dict | None = None
 
 
 def prefix_filter_pairs(

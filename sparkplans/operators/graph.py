@@ -26,6 +26,11 @@ from sparkplans.materialize import materialize, release
 # overwritten per call; None until the first run completes.
 last_run_stats: dict | None = None
 
+# First-round live plan shape ({"exchanges": [...], "sorts": [...]},
+# cached subtrees excluded) of the last label_propagation() run —
+# the per-round corpus-exchange contract test reads it.
+lpa_last_round_plan: dict | None = None
+
 
 def pagerank(
     edges: DataFrame,
@@ -53,21 +58,45 @@ def pagerank(
     * **Broadcast-ranks path** (default whenever |V| <=
       ``spark.sparkplans.pagerankBroadcastNodes``, default 8M): the
       annotated edge list is hash-partitioned on **dst** once and
-      materialized (localCheckpoint preserves the physical
-      partitioning).  Each iteration then runs with ZERO exchanges:
-      ranks — a |V|-row dimension-scale frame (nodes are parts/users/
-      docs, facts are the edges) — broadcast-join into the edges in
-      place; the contribution groupBy(dst) finds its input already
+      persisted partition-preserving (``materialize(...,
+      preserve_partitioning=True)`` — ``InMemoryTableScan``
+      advertises the layout to Catalyst; a localCheckpoint comes back
+      as a ``LogicalRDD`` with UNKNOWN partitioning and every
+      iteration re-pays the exchange, probe-verified on Spark 4.1.2).
+      Each iteration then runs with ZERO exchanges: ranks — a |V|-row
+      dimension-scale frame (nodes are parts/users/docs, facts are
+      the edges) — broadcast-join into the edges in place; the
+      contribution groupBy(dst) finds its input already
       hash-partitioned on dst, so no shuffle; and the rank-update
       join sees node-partitioned nodes against dst-partitioned
       contribs with the same partition count — co-partitioned, no
       exchange.  The per-iteration cost is one broadcast of |V| rows
       + one pass over the edge partitions.
     * **Shuffle path** (|V| above the threshold — rank broadcast
-      would be the bottleneck): edges partitioned on ``src``; each
-      iteration shuffles only the |V|-row ranks side into the join,
-      then pays the one corpus groupBy(dst) exchange with map-side
-      combine (at most one row per distinct dst per task).
+      would be the bottleneck): edges re-laid-out on ``src`` ONCE,
+      sorted within partitions and persisted partition-preserving,
+      so the per-iteration sort-merge join streams the cached corpus
+      with NO exchange and NO sort on the corpus side; each iteration
+      shuffles+sorts only the |V|-row ranks side, then pays the one
+      groupBy(dst) partial-agg exchange with map-side combine (at
+      most one row per distinct dst per task).  Before round 9 this
+      path re-exchanged AND re-sorted the full edge corpus every
+      iteration (the localCheckpoint partitioning loss above) — the
+      exact anti-pattern the reference forbids
+      (``docs/7_cli_read_plans_aggregation.md:100-160``,
+      ``tests/opt_parallel_execution.rs:17-23``); at sf30 it was most
+      of the measured 66-95 s vs 23 s per-iteration gap.
+
+    The two static frames ride ``persist`` (lineage intact — an
+    evicted block recomputes, which on preemptible nodes is SAFER
+    than a localCheckpoint whose lost blocks are unrecoverable) and
+    are explicitly released before returning: cache entries are held
+    by the CacheManager until unpersist, so without the release a
+    long session running many graphs would pile up corpus-sized
+    caches.  Per-iteration ``ranks`` stays localCheckpoint — there
+    lineage TRUNCATION is the point (the plan tree must not grow with
+    the iteration count), and the observe() metric rides its
+    materialization action.
 
     Memory envelope of the broadcast default (8M nodes): a rank frame
     is (long node, double rank) ~= 16 B/row + row overhead, so one
@@ -130,10 +159,9 @@ def pagerank(
     # broadcast path pays nothing extra) and re-layout by src ONCE if
     # the exact count lands above the threshold, releasing the dst
     # copy immediately (see below).
-    e_deg = (
-        e.join(outdeg, "src")
-        .repartition(parts, "dst")
-        .transform(materialize)
+    e_deg = materialize(
+        e.join(outdeg, "src").repartition(parts, "dst"),
+        preserve_partitioning=True,
     )
     # (node, outdeg) — outdeg NULL marks dangling; static per run.
     # Derived from the checkpoint: src degrees collapse map-side to
@@ -146,11 +174,14 @@ def pagerank(
         .unionByName(e_deg.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes_deg = (
+    # sorted within partitions so the per-iteration rank-update SMJ
+    # streams this side with neither an exchange nor a sort
+    nodes_deg = materialize(
         nodes.join(deg_tbl, "node", "left")
         .select("node", "outdeg")
         .repartition(parts, "node")
-        .transform(materialize)
+        .sortWithinPartitions("node"),
+        preserve_partitioning=True,
     )
     # one action returns |V| AND the dangling-node count (the initial
     # dangling mass is n_dangling/N since every rank starts at 1/N)
@@ -168,7 +199,12 @@ def pagerank(
             "prologue_sec": round(_time.perf_counter() - t_start, 3),
             "iteration_secs": [],
         }
-        return nodes_deg.select("node").withColumn("rank", F.lit(0.0))
+        out = nodes_deg.select("node").withColumn("rank", F.lit(0.0))
+        # cache entries outlive the call unless released; the empty
+        # frame recomputes trivially if ever re-read
+        release(e_deg)
+        release(nodes_deg)
+        return out
     use_bcast = n_total <= bcast_limit
     if not use_bcast:
         # shuffle path wants the corpus laid out by src for the
@@ -179,7 +215,13 @@ def pagerank(
         # exactly the pressure mode that regressed sf10 to 452 s when
         # a second corpus cache was (briefly) the design
         e_dst = e_deg
-        e_deg = e_deg.repartition(parts, "src").transform(materialize)
+        # sorted within partitions by the join key: the per-iteration
+        # SMJ against ranks then streams the cached corpus with no
+        # exchange AND no sort — both one-time costs paid here
+        e_deg = materialize(
+            e_deg.repartition(parts, "src").sortWithinPartitions("src"),
+            preserve_partitioning=True,
+        )
         release(e_dst)
 
     ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n_total)).transform(
@@ -188,7 +230,9 @@ def pagerank(
     dm = n_dangling * (1.0 / n_total)  # every rank starts at 1/N
     prologue_sec = _time.perf_counter() - t_start
     iteration_secs: list[float] = []
-    for _ in range(iterations):
+    iter_exchanges: list[str] | None = None
+    iter_sorts: list[str] | None = None
+    for i in range(iterations):
         t_iter = _time.perf_counter()
         rank_side = ranks.select("node", "rank")
         if use_bcast:
@@ -205,7 +249,7 @@ def pagerank(
         # job runs) — no separate aggregate job, no broadcast branch;
         # the scalar enters the next iteration's plan as a literal
         obs = Observation()
-        ranks = materialize(
+        update = (
             nodes_deg.join(contribs, nodes_deg.node == contribs.dst, "left")
             .select(
                 "node",
@@ -224,6 +268,20 @@ def pagerank(
                 ).alias("dm"),
             )
         )
+        if i == 0:
+            # record what one iteration EXECUTES (cached subtrees
+            # excluded) — the contract is: no corpus-side exchange or
+            # sort, ever; only the slim ranks shuffle (+ the dst
+            # partial-agg exchange on the shuffle path).  Free plan
+            # walk, no job; tests and SCALE.md pin it.
+            from sparkplans import plans as _plans
+
+            try:
+                iter_exchanges = _plans.live_exchanges(update)
+                iter_sorts = _plans.live_sorts(update)
+            except Exception:
+                pass
+        ranks = materialize(update)
         dm = _observed(obs, "dm")
         if dm is None:
             # a checkpoint route whose materialization action doesn't
@@ -241,7 +299,14 @@ def pagerank(
         "broadcast_limit": bcast_limit,
         "prologue_sec": round(prologue_sec, 3),
         "iteration_secs": iteration_secs,
+        "iteration_exchanges": iter_exchanges,
+        "iteration_sorts": iter_sorts,
     }
+    # the returned frame reads only the final ranks checkpoint; the
+    # static persisted frames are dead weight past this point, and
+    # CacheManager holds them until an explicit unpersist
+    release(e_deg)
+    release(nodes_deg)
     return ranks.select("node", "rank")
 
 
@@ -277,23 +342,32 @@ def label_propagation(
     (they only ever copy), and a label can never cross a connected-
     component boundary (it travels one edge per round).
 
-    Scale shape per round: one src-keyed join (E rows), then
-    groupBy(node, label).count() — map-side combinable, so a node
-    with 10M same-labeled neighbors contributes one row per map
-    partition — then a groupBy(node) argmax of |V| x avg_labels rows.
-    Lineage is cut every round (localCheckpoint), same discipline as
-    `pagerank`/`connected_components`; on a cluster, persist the
-    symmetrized edges bucketed by src so every round's join reuses
-    one partitioning.
+    Scale shape per round: one b-keyed join (E rows) whose corpus
+    side streams from a partition-preserving materialization — the
+    symmetric edge list is STATIC, so it is hash-partitioned + sorted
+    on ``b`` ONCE and persisted (``materialize(...,
+    preserve_partitioning=True)``; the prior localCheckpoint came
+    back with unknown partitioning and every round re-exchanged AND
+    re-sorted the corpus, the same plan defect round 9 fixed in
+    ``pagerank``) — then groupBy(node, label).count() — map-side
+    combinable, so a node with 10M same-labeled neighbors contributes
+    one row per map partition — then a groupBy(node) argmax of
+    |V| x avg_labels rows.  Per-round lineage is cut on the slim
+    ``labels`` frame only (localCheckpoint — there truncation is the
+    point); the corpus cache is released before returning.
     """
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
-    e = (
+    e = materialize(
         sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .transform(materialize)
+        .repartition(parts, "b")
+        .sortWithinPartitions("b"),
+        preserve_partitioning=True,
     )
     labels = (
         e.select(F.col("a").alias("node"))
@@ -301,17 +375,34 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .transform(materialize)
     )
-    for _ in range(iterations):
+    global lpa_last_round_plan
+    lpa_last_round_plan = None
+    for i in range(iterations):
         nbr = e.join(labels, e.b == labels.node).select(
             F.col("a").alias("node"), "label"
         )
         votes = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
-        labels = (
+        update = (
             votes.groupBy("node")
             .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
             .select("node", (-F.col("m.nl")).alias("label"))
-            .transform(materialize)
         )
+        if i == 0:
+            # what one round EXECUTES (cached subtrees excluded); the
+            # contract tests pin: no exchange/sort on the corpus key b
+            from sparkplans import plans as _plans
+
+            try:
+                lpa_last_round_plan = {
+                    "exchanges": _plans.live_exchanges(update),
+                    "sorts": _plans.live_sorts(update),
+                }
+            except Exception:
+                pass
+        labels = materialize(update)
+    # labels is a self-contained checkpoint; the corpus cache entry
+    # would otherwise outlive the call (CacheManager holds it)
+    release(e)
     return labels
 
 

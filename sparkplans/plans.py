@@ -89,6 +89,64 @@ def num_broadcasts(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastExchange", _plan_for_matching(df)))
 
 
+def _walk_live(jplan, out: list) -> None:
+    name = jplan.getClass().getSimpleName().removesuffix("$")
+    out.append((name, jplan))
+    # AQE wraps the real tree in leaf containers; descend explicitly.
+    # initialPlan (post-EnsureRequirements, pre-runtime-replan) is the
+    # static shape a ratchet should pin — runtime AQE only ever
+    # REMOVES work (coalesce, reuse, skew-split) from it.
+    if name.startswith("AdaptiveSparkPlanExec"):
+        _walk_live(jplan.initialPlan(), out)
+        return
+    if name.endswith("QueryStageExec"):
+        _walk_live(jplan.plan(), out)
+        return
+    it = jplan.children().iterator()
+    while it.hasNext():
+        _walk_live(it.next(), out)
+
+
+def live_plan_nodes(df: DataFrame) -> list[tuple[str, str]]:
+    """(class_name, one_line_desc) for every physical operator this
+    query EXECUTES — a py4j tree walk from the plan root that, unlike
+    the regex counters above, never sees cached subtrees:
+    ``InMemoryTableScan`` is a physical LEAF (its cached build plan —
+    which legitimately holds the one-time layout Exchange — is
+    printed inline by ``toString`` but is not part of this query), so
+    the walk stops there.  The tool for asserting that an iterative
+    consumer of a partition-preserving ``materialize`` really pays no
+    per-iteration Exchange/Sort (the reference's never-repartition-
+    pre-partitioned-data rule, docs/7:100-160)."""
+    nodes: list = []
+    _walk_live(df._jdf.queryExecution().executedPlan(), nodes)
+    out = []
+    for name, jp in nodes:
+        try:
+            desc = str(jp.simpleString(100))
+        except Exception:
+            desc = name
+        out.append((name, desc))
+    return out
+
+
+def live_exchanges(df: DataFrame) -> list[str]:
+    """One-line descs of the shuffle exchanges this query executes,
+    excluding cached subtrees and broadcasts (see
+    :func:`live_plan_nodes`)."""
+    return [
+        d
+        for n, d in live_plan_nodes(df)
+        if n.startswith("ShuffleExchangeExec")
+    ]
+
+
+def live_sorts(df: DataFrame) -> list[str]:
+    """One-line descs of the sorts this query executes, excluding
+    cached subtrees (see :func:`live_plan_nodes`)."""
+    return [d for n, d in live_plan_nodes(df) if n.startswith("SortExec")]
+
+
 def num_sorts(df: DataFrame) -> int:
     plan = _plan_for_matching(df)
     return len(re.findall(r"^\s*[+\-:*\s]*Sort ", plan, flags=re.M)) + len(

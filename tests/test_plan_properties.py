@@ -550,3 +550,112 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pagerank_iteration_no_corpus_exchange_or_sort(spark):
+    """The per-iteration plan contract behind the shuffle path's 100x
+    story (the reference's never-repartition-pre-partitioned-data
+    rule, docs/7_cli_read_plans_aggregation.md:100-160): the static
+    edge corpus is laid out + sorted by `src` ONCE behind a
+    partition-preserving materialize, so one iteration executes NO
+    exchange and NO sort keyed on the corpus (`src`) — only the slim
+    ranks-side shuffle (node) and the dst partial-agg exchange.
+    Before round 9 the localCheckpoint route lost the layout and each
+    iteration re-exchanged + re-sorted the full corpus (probe-proven:
+    3 exchanges + 2 sorts vs 1)."""
+    from pyspark.sql import functions as F
+    from sparkplans.operators import graph
+
+    edges = spark.range(0, 20_000).select(
+        (F.col("id") % 700).alias("src"),
+        ((F.col("id") * 37) % 650).alias("dst"),
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # broadcast off so the toy ranks frame takes the same SMJ route a
+    # 20M-node graph would — otherwise the ranks join broadcasts and
+    # the corpus-side assertion is vacuous
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sparkplans.pagerankBroadcastNodes", "0")
+    try:
+        graph.pagerank(edges, iterations=2).count()
+        st = graph.last_run_stats
+        assert st["path"] == "shuffle"
+        exchanges, sorts = st["iteration_exchanges"], st["iteration_sorts"]
+        assert exchanges is not None and sorts is not None
+        # the corpus key must appear in NO live exchange or sort
+        offenders = [d for d in exchanges + sorts if "src#" in d]
+        assert not offenders, offenders
+        # ratchet: at most the ranks(node) + agg(dst) exchanges, and
+        # the matching two slim sorts
+        assert len(exchanges) <= 2, exchanges
+        assert len(sorts) <= 2, sorts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.unset("spark.sparkplans.pagerankBroadcastNodes")
+
+    # broadcast path: zero live exchanges per iteration (the docstring
+    # claim, now actually true — localCheckpoint used to erase the
+    # layout and re-exchange the partial-agg rows every pass)
+    graph.pagerank(edges, iterations=2).count()
+    st = graph.last_run_stats
+    assert st["path"] == "broadcast"
+    assert st["iteration_exchanges"] == [], st["iteration_exchanges"]
+
+
+def test_label_propagation_round_no_corpus_exchange(spark):
+    """label_propagation's symmetric edge list is STATIC, so round 9
+    lays it out + sorts it on the join key `b` once behind a
+    partition-preserving materialize: one round must execute NO
+    exchange and NO sort on `b` — only the slim node-keyed shuffles
+    (labels join side, vote counts, argmax)."""
+    from pyspark.sql import functions as F
+    from sparkplans.operators import graph
+
+    edges = spark.range(0, 5_000).select(
+        (F.col("id") % 300).alias("src"), ((F.col("id") * 17) % 280).alias("dst")
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        graph.label_propagation(edges, iterations=2).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    shape = graph.lpa_last_round_plan
+    assert shape is not None
+    offenders = [d for d in shape["exchanges"] + shape["sorts"] if "b#" in d]
+    assert not offenders, offenders
+    assert len(shape["exchanges"]) <= 3, shape["exchanges"]
+
+
+def test_connected_components_round_shape_ratchet(spark):
+    """connected_components has NO static corpus frame — both stars
+    REWRITE the edge set every round, so the per-round corpus
+    exchange is the round-output re-layout itself and there is
+    nothing for a partition-preserving materialize to preserve (the
+    round-9 audit conclusion).  What CAN regress silently is the
+    number of distinct shuffles one round plans: the inner star's
+    subtree is referenced four times by the outer star (adj union x
+    m/nbrs), which canonicalizes to ReusedExchange at runtime — a
+    refactor that breaks that canonical equality would multiply real
+    shuffle work.  Ratchet the static round shape at its measured
+    size."""
+    from pyspark.sql import functions as F
+    from sparkplans.operators import dedup
+
+    pairs = spark.range(0, 3_000).select(
+        (F.col("id") % 400).alias("id_a"), ((F.col("id") * 13) % 390).alias("id_b")
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dedup.connected_components(pairs).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    shape = dedup.cc_last_round_plan
+    assert shape is not None
+    # measured 22 static exchanges / 14 sorts on Spark 4.1.2 (inner
+    # star referenced 4x; runtime collapses the copies via
+    # ReusedExchange) — lowering is an optimization, raising must be
+    # argued in the diff
+    assert len(shape["exchanges"]) <= 22, len(shape["exchanges"])
+    assert len(shape["sorts"]) <= 14, len(shape["sorts"])
