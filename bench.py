@@ -272,15 +272,46 @@ def main() -> None:
     # per-query timings measure query execution, not session warmup.
     Q.REGISTRY["agg_count_star"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Per-query contention samples (round-8 lesson: the endpoint-only
+    # contended flag cannot see a burst that starts and subsides
+    # MID-slate — both calibration legs read quiet and the poisoned
+    # lines pass).  Before every rep we read /proc/loadavg: the 1-min
+    # average (slow-moving; dominated by the bench's own threads once
+    # the slate is running, but a neighbor burst pushes it past that
+    # plateau) and the INSTANTANEOUS runnable-task count, sampled at a
+    # query boundary where the bench's own executor threads are parked
+    # — so it mostly counts OTHER processes' demand.  The map makes a
+    # mid-slate burst attributable to the specific queries it
+    # poisoned, per-query salvage instead of per-run rejection.
+    query_load: dict[str, dict] = {}
+
+    def _loadavg_sample() -> tuple[float | None, int | None]:
+        try:
+            with open("/proc/loadavg") as f:
+                parts = f.read().split()
+            return float(parts[0]), int(parts[3].split("/")[0])
+        except Exception:
+            try:
+                return round(os.getloadavg()[0], 2), None
+            except OSError:
+                return None, None
+
     def _min_of(name: str, reps: int = 3) -> float:
         fn = Q.REGISTRY[name].fn
         # min of N runs: steady-state throughput, not JVM codegen
         # warmup or GC noise (run-to-run variance measured ~25%)
         best = float("inf")
-        for _ in range(reps):
+        runqs: list = []
+        l1_first: float | None = None
+        for r in range(reps):
+            l1, runq = _loadavg_sample()
+            if r == 0:
+                l1_first = l1
+            runqs.append(runq)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        query_load[name] = {"load1m": l1_first, "runq": runqs}
         return round(best, 3)
 
     # ---- calibration block (fixed, BEFORE the slate) ----
@@ -324,6 +355,30 @@ def main() -> None:
     f_lo, f_hi = sorted((par_open_f, par_close_f))
     contended = bool(f_hi > 2.0 or (f_lo > 0 and f_hi / f_lo > 1.5))
     host_factor_close = {"cpu_par": par_close_f}
+
+    # Mid-slate burst attribution: a query's timing is the MIN of its
+    # reps, so it is only poisoned when EVERY rep started under load —
+    # take min(runq) per query and flag the ones that sit far above
+    # the slate-wide median (bench's own parked-thread floor).  The
+    # margin is half the worker threads: a neighbor must be occupying
+    # a substantial share of the machine to move a timing.  Spiked
+    # queries make a poisoned line salvageable per-query (drop them
+    # from cross-round ratios) instead of rejectable per-run.
+    minrunq = {
+        n: min(v)
+        for n, v in (
+            (n, [q for q in d.get("runq", []) if q is not None])
+            for n, d in query_load.items()
+        )
+        if v
+    }
+    spike_queries: list[str] = []
+    if minrunq:
+        med = sorted(minrunq.values())[len(minrunq) // 2]
+        margin = max(4, cpus // 2)
+        spike_queries = sorted(
+            n for n, q in minrunq.items() if q > med + margin
+        )
     try:
         load_end = round(os.getloadavg()[0], 2)
     except OSError:
@@ -347,6 +402,8 @@ def main() -> None:
         "host_factor_close": host_factor_close,
         "contended": contended,
         "load": load,
+        "query_load": query_load,
+        "spike_queries": spike_queries,
         "reps": 3,
         "reps_anchor": reps_anchor,
     }
@@ -387,6 +444,11 @@ def main() -> None:
                 # min-of-N count each per-query number survived
                 # (reps_anchor for the scan anchor)
                 "load": load,
+                # queries whose every rep started under a runnable-
+                # task spike (min(runq) > slate median + cpus/2) —
+                # exclude these from cross-round per-query ratios;
+                # full per-query samples live in BENCH_full.json
+                "spike_queries": spike_queries,
                 "reps": 3,
                 "reps_anchor": reps_anchor,
                 "full": full_path,

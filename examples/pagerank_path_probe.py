@@ -136,12 +136,21 @@ def main() -> int:
             )
             .collect()[0]
         )
+        # max_d is None on an empty/degenerate graph (both legs emit
+        # zero rows) — guard before float() so the probe fails with
+        # the intended message, not a TypeError; SystemExit instead
+        # of assert so the gates survive python -O
+        max_d = 0.0 if row["max_d"] is None else float(row["max_d"])
         out["parity"] = {
-            "max_abs_diff": float(row["max_d"]),
+            "max_abs_diff": max_d,
             "unmatched_nodes": int(row["missing"]),
         }
-        assert row["missing"] == 0, "node sets diverge between paths"
-        assert float(row["max_d"]) <= 1e-9, f"rank daylight {row['max_d']}"
+        if int(row["missing"]) != 0:
+            print(json.dumps(out))
+            raise SystemExit("PARITY FAIL: node sets diverge between paths")
+        if max_d > 1e-9:
+            print(json.dumps(out))
+            raise SystemExit(f"PARITY FAIL: rank daylight {max_d}")
 
     print(json.dumps(out))
     spark.stop()

@@ -370,14 +370,25 @@ def tdigest_build(
     col: str,
     group_cols: list[str] | None = None,
     delta: int = 200,
+    chunk_rows: int = 500_000,
 ) -> DataFrame:
     """Per-group t-digest of ``col``: one row per group with the
     mergeable state ``(means, weights, n, lo, hi)``.
 
+    Null-key caveat: a genuine NaN value in a double-typed group
+    column merges into the SQL NULL group (Arrow delivers Spark
+    nulls as NaN on this path, so the two were never distinguishable
+    here) — Spark's own ``groupBy`` keeps NaN as a group distinct
+    from null, so a groupBy-based oracle over NaN-bearing keys will
+    see one extra group.  See ``_td_canon_key``.
+
     Plan shape (the classic two-phase sketch build): mapInPandas keeps
     a bounded buffer per group per partition and compresses every
-    32·delta points (Arrow-batch ingestion with grouped numpy
-    dispatch — no per-row Python loop — and numpy compress); total
+    32·delta points (Arrow batches pooled to ``chunk_rows`` before
+    ONE grouped numpy dispatch — a ~10k-row Arrow batch under a
+    uniformly-spread key touches nearly every group at a few rows
+    each, and the per-group loop, not digest math, was the measured
+    sf10 bottleneck: 101 s -> ~24 s with 500k-row chunks); total
     buffered points across ALL groups in a partition are additionally
     capped at 8·32·delta, so worker memory is bounded even under
     high-cardinality group_cols (beyond the valve, each group holds
@@ -420,20 +431,21 @@ def tdigest_build(
             return {"buf": [], "blen": 0, "m": None, "w": None,
                     "lo": math.inf, "hi": -math.inf}
 
-        for pdf in it:
+        def ingest(pdf: pd.DataFrame) -> None:
+            nonlocal buffered
             ok = ~pd.isna(pdf["__v"]).to_numpy()
             if not ok.all():
                 pdf = pdf[ok]
             vals = pdf["__v"].to_numpy(dtype="float64")
             if len(vals) == 0:
-                continue
-            # Grouped dispatch: one numpy slice per (group, batch)
+                return
+            # Grouped dispatch: one numpy slice per (group, chunk)
             # instead of a per-row Python loop — the digest math was
             # always numpy; this keeps the group routing vectorized
             # too (the per-row zip/enumerate form cost an interpreted
             # iteration per input row, the measured sf100 bottleneck).
             if not keyed:
-                items = [((1,), None)]  # whole batch is one group
+                items = [((1,), None)]  # whole chunk is one group
             elif len(group_cols) == 1:
                 gb = pdf.groupby(group_cols[0], sort=False,
                                  dropna=False).indices
@@ -461,6 +473,29 @@ def tdigest_build(
                 for s in state.values():
                     _td_flush(s, delta)
                 buffered = 0
+
+        # Chunked ingestion (round-9 profile fix): Arrow delivers
+        # ~10k-row batches, and with a uniformly-distributed key a
+        # batch touches nearly EVERY group at a handful of rows each —
+        # at sf10's 2.5k day-groups the dispatch loop ran 14M times on
+        # ~4-row slices and the grouped build cost 5.6x the ungrouped
+        # one (101 vs 18 s; the measured premium was dispatch, not
+        # digest math).  Pooling batches to ~chunk_rows before ONE
+        # groupby amortizes the loop ~chunk/batch-fold (measured 86 ->
+        # 22 s at sf10 via the session Arrow-batch conf; done here
+        # instead so no session-wide memory knob changes).  Pending
+        # pool is bounded at chunk_rows rows (~25 MB at 3 narrow
+        # columns) per worker.
+        pend: list = []
+        pend_rows = 0
+        for pdf in it:
+            pend.append(pdf)
+            pend_rows += len(pdf)
+            if pend_rows >= chunk_rows:
+                ingest(pd.concat(pend) if len(pend) > 1 else pend[0])
+                pend, pend_rows = [], 0
+        if pend:
+            ingest(pd.concat(pend) if len(pend) > 1 else pend[0])
         rows = []
         for key, s in state.items():
             _td_flush(s, delta)
