@@ -55,34 +55,43 @@ def pagerank(
     avoidable exchange — and every avoidable SORT of the edge list —
     a ~30 s line item):
 
+    The prologue pays exactly ONE corpus exchange (round-9 rework;
+    was three): raw pairs hash-partition on **src** once, dedup in
+    place (hash(src) satisfies the (src,dst) distinct), and outdeg is
+    a window count over the src partition — no self-joined aggregate,
+    no join-key exchange, and the window's local sort IS the shuffle
+    path's within-partition sort.  Everything is persisted
+    partition-preserving (``materialize(...,
+    preserve_partitioning=True)`` — ``InMemoryTableScan`` advertises
+    layout AND ordering to Catalyst; a localCheckpoint comes back as
+    a ``LogicalRDD`` with UNKNOWN partitioning and every iteration
+    re-pays the exchange, probe-verified on Spark 4.1.2).
+
     * **Broadcast-ranks path** (default whenever |V| <=
       ``spark.sparkplans.pagerankBroadcastNodes``, default 8M): the
-      annotated edge list is hash-partitioned on **dst** once and
-      persisted partition-preserving (``materialize(...,
-      preserve_partitioning=True)`` — ``InMemoryTableScan``
-      advertises the layout to Catalyst; a localCheckpoint comes back
-      as a ``LogicalRDD`` with UNKNOWN partitioning and every
-      iteration re-pays the exchange, probe-verified on Spark 4.1.2).
-      Each iteration then runs with ZERO exchanges: ranks — a |V|-row
-      dimension-scale frame (nodes are parts/users/docs, facts are
-      the edges) — broadcast-join into the edges in place; the
-      contribution groupBy(dst) finds its input already
-      hash-partitioned on dst, so no shuffle; and the rank-update
-      join sees node-partitioned nodes against dst-partitioned
-      contribs with the same partition count — co-partitioned, no
-      exchange.  The per-iteration cost is one broadcast of |V| rows
-      + one pass over the edge partitions.
+      src-layout corpus re-partitions to **dst** once (the only
+      second corpus exchange, small-graph runs only; the src copy is
+      released immediately).  Each iteration then runs with ZERO
+      exchanges: ranks — a |V|-row dimension-scale frame (nodes are
+      parts/users/docs, facts are the edges) — broadcast-join into
+      the edges in place; the contribution groupBy(dst) finds its
+      input already hash-partitioned on dst, so no shuffle; and the
+      rank-update join sees node-partitioned nodes against
+      dst-partitioned contribs with the same partition count —
+      co-partitioned, no exchange.  The per-iteration cost is one
+      broadcast of |V| rows + one pass over the edge partitions.
     * **Shuffle path** (|V| above the threshold — rank broadcast
-      would be the bottleneck): edges re-laid-out on ``src`` ONCE,
-      sorted within partitions and persisted partition-preserving,
-      so the per-iteration sort-merge join streams the cached corpus
-      with NO exchange and NO sort on the corpus side; each iteration
-      shuffles+sorts only the |V|-row ranks side, then pays the one
-      groupBy(dst) partial-agg exchange with map-side combine (at
-      most one row per distinct dst per task).  Before round 9 this
-      path re-exchanged AND re-sorted the full edge corpus every
-      iteration (the localCheckpoint partitioning loss above) — the
-      exact anti-pattern the reference forbids
+      would be the bottleneck): the prologue's src layout IS the
+      iteration layout, so the big graphs where this path is the plan
+      pay NO re-layout at all; the per-iteration join streams the
+      cached corpus (sorted by the window) with NO exchange and NO
+      sort on the corpus side; each iteration shuffles only the
+      |V|-row ranks side, then pays the one groupBy(dst) partial-agg
+      exchange with map-side combine (at most one row per distinct
+      dst per task).  Before round 9 this path re-exchanged AND
+      re-sorted the full edge corpus every iteration (the
+      localCheckpoint partitioning loss above) — the exact
+      anti-pattern the reference forbids
       (``docs/7_cli_read_plans_aggregation.md:100-160``,
       ``tests/opt_parallel_execution.rs:17-23``); at sf30 it was most
       of the measured 66-95 s vs 23 s per-iteration gap.
@@ -126,46 +135,61 @@ def pagerank(
       iteration materializes (slim |V|-row frames, but 10 iterations
       × 8M nodes would otherwise hold ~2 GiB of dead cache).
     """
-    # The deduped edge list is consumed EXACTLY ONCE, inside the
-    # e_deg job below: its derivation (often the single most
-    # expensive stage — the co-purchase self-join costs ~half the
-    # query) appears twice in that one plan (join left side + the
-    # outdeg aggregate), where Catalyst's ReuseExchange computes it
-    # once.  Everything else (nodes, degrees, N) then derives from
-    # the e_deg CHECKPOINT — the old shape re-ran the derivation in a
-    # second job for `nodes` (2× the dominant stage), and caching the
-    # raw edge list to avoid that doubled corpus-cache pressure
-    # instead (a second 180M-row checkpoint at sf10 GC-thrashed the
-    # run to 452 s vs 217 s).  One derivation, one corpus-sized
-    # cache.
+    # The raw edge derivation (often the single most expensive stage
+    # — the co-purchase self-join costs ~half the query) is consumed
+    # EXACTLY ONCE, inside the e_deg job below, and appears exactly
+    # once in that plan (round-9: dedup and the outdeg window both
+    # run on top of the one repartition — the old join-with-aggregate
+    # shape carried the derivation twice and leaned on ReuseExchange).
+    # Everything else (nodes, degrees, N) then derives from the e_deg
+    # cache — the pre-round-6 shape re-ran the derivation in a second
+    # job for `nodes` (2× the dominant stage), and caching the raw
+    # edge list to avoid that doubled corpus-cache pressure instead
+    # (a second 180M-row checkpoint at sf10 GC-thrashed the run to
+    # 452 s vs 217 s).  One derivation, one corpus-sized cache.
     import time as _time
+
+    from pyspark.sql import Window
 
     global last_run_stats
     last_run_stats = None  # a mid-run failure must not leave stale stats
     t_start = _time.perf_counter()
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     bcast_limit = int(
         spark.conf.get("spark.sparkplans.pagerankBroadcastNodes", str(8_000_000))
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # edges annotated + partitioned once; reused every iteration.
-    # Broadcast path wants them laid out by dst (the per-iteration
-    # contribution aggregate AND the rank-update join both reuse that
-    # layout); shuffle path wants src (for the ranks join).  The right
-    # key needs |V| <= bcast_limit, which is only known after this
-    # checkpoint exists — so lay out optimistically by dst (the common
-    # broadcast path pays nothing extra) and re-layout by src ONCE if
-    # the exact count lands above the threshold, releasing the dst
-    # copy immediately (see below).
+    # Edge prologue, ONE corpus exchange (round-9 rework; was three —
+    # distinct on (src,dst), join-with-outdeg on src, re-layout on the
+    # iteration key): hash-partition the raw pairs by src once, dedup
+    # in place (HashPartitioning(src) satisfies the (src,dst) distinct
+    # — equal pairs share a src), and annotate outdeg as a WINDOW
+    # count over the src partition instead of a self-joined aggregate
+    # (no join machinery, no second corpus pass; the window's local
+    # sort doubles as the shuffle path's sortWithinPartitions).  The
+    # null-src filter keeps the old inner-join-with-outdeg contract:
+    # those rows never matched and were dropped.
+    #
+    # src is the SHUFFLE path's iteration key, so the big-|V| graphs
+    # where that path is the plan pay no re-layout at all; the
+    # broadcast path (|V| <= bcast_limit, known only after the counts
+    # action below) re-layouts to dst once, releasing the src copy.
+    pairs = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).filter(F.col(src).isNotNull())
     e_deg = materialize(
-        e.join(outdeg, "src").repartition(parts, "dst"),
+        pairs.repartition(parts, "src")
+        .distinct()
+        .withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        ),
         preserve_partitioning=True,
     )
     # (node, outdeg) — outdeg NULL marks dangling; static per run.
-    # Derived from the checkpoint: src degrees collapse map-side to
-    # ~|V| rows; dst-only (dangling) nodes join to NULL.
+    # Derived from the src-partitioned cache: groupBy(src) is
+    # satisfied in place (no exchange), and the left join against the
+    # node-distinct frame is co-partitioned; dst-only (dangling)
+    # nodes join to NULL.
     deg_tbl = e_deg.groupBy(F.col("src").alias("node")).agg(
         F.first("outdeg").alias("outdeg")
     )
@@ -206,23 +230,22 @@ def pagerank(
         release(nodes_deg)
         return out
     use_bcast = n_total <= bcast_limit
-    if not use_bcast:
-        # shuffle path wants the corpus laid out by src for the
-        # per-iteration ranks join; re-layout once (big-|V| graphs
-        # only — the broadcast path never pays this), then FREE the
-        # dst-layout blocks deterministically: without the release,
-        # two corpus-sized caches coexist until a driver GC cycle —
-        # exactly the pressure mode that regressed sf10 to 452 s when
-        # a second corpus cache was (briefly) the design
-        e_dst = e_deg
-        # sorted within partitions by the join key: the per-iteration
-        # SMJ against ranks then streams the cached corpus with no
-        # exchange AND no sort — both one-time costs paid here
+    if use_bcast:
+        # broadcast path wants the corpus laid out by dst — the
+        # per-iteration contribution aggregate and the rank-update
+        # join both reuse that layout for their zero-exchange
+        # iterations; re-layout once (small-|V| graphs only — the
+        # SHUFFLE path keeps the src layout the prologue already
+        # built, sorted by the window, and pays nothing here), then
+        # FREE the src-layout blocks deterministically: without the
+        # release, two corpus-sized caches coexist until a driver GC
+        # cycle — exactly the pressure mode that regressed sf10 to
+        # 452 s when a second corpus cache was (briefly) the design
+        e_src = e_deg
         e_deg = materialize(
-            e_deg.repartition(parts, "src").sortWithinPartitions("src"),
-            preserve_partitioning=True,
+            e_deg.repartition(parts, "dst"), preserve_partitioning=True
         )
-        release(e_dst)
+        release(e_src)
 
     ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n_total)).transform(
         materialize
@@ -362,10 +385,13 @@ def label_propagation(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
+    # one corpus exchange, not two: partition on the join key first,
+    # then dedup in place (hash(b) satisfies the (a,b) distinct) and
+    # sort within partitions for the per-round corpus-side SMJ stream
     e = materialize(
         sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
         .repartition(parts, "b")
+        .distinct()
         .sortWithinPartitions("b"),
         preserve_partitioning=True,
     )

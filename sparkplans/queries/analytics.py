@@ -736,7 +736,16 @@ def _copurchase_ranks(spark, sf_dir):
     from sparkplans.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # The self-join must neither broadcast (the "small" side IS the
+    # corpus — Catalyst's post-projection estimate stays under the
+    # threshold at bench scale and the driver then rebuilds a
+    # 600k-row hash relation every action) nor sort-merge (the
+    # many-to-many order groups make SMJ buffer each group; measured
+    # 4.5x slower than shuffled-hash at sf0.1).  Shuffled-hash
+    # partitions both sides on l_orderkey; per-partition build is
+    # rows/partitions x 16 B — bounded at any scale by the partition
+    # count the session already sizes.
+    a, b = li.alias("a"), li.alias("b").hint("shuffle_hash")
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))

@@ -89,6 +89,24 @@ class EngineOptions:
             # prune the probe-side scan at runtime.
             "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
             "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+            # Allow the planner to pick shuffled-hash join when its size
+            # conditions hold (guide §3.1: no sort, often faster than
+            # sort-merge when one side is moderately small per
+            # partition).  Measured round 9: the many-to-many
+            # co-purchase self-join runs 4.5x faster as SHJ than SMJ
+            # (group buffering), and mid-plan joins whose inputs follow
+            # a checkpoint (no stats -> no broadcast) stop paying two
+            # sorts.  The planner's own guard (build side under
+            # autoBroadcastJoinThreshold x shuffle partitions, and 3x
+            # smaller than probe) keeps the build per partition
+            # bounded, so this is scale-safe: joins too big for the
+            # guard still get sort-merge.  Explicit hints (merge_join)
+            # still win over this preference.
+            "spark.sql.join.preferSortMergeJoin": "false",
+            # Let AQE convert a planned sort-merge join to shuffled
+            # hash at runtime when every post-shuffle partition is
+            # small (real sizes, not estimates; default 0 = never).
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
             # The driver's events table stores nanosecond timestamps,
             # which Spark's parquet reader rejects by default.
             "spark.sql.legacy.parquet.nanosAsLong": "true",
