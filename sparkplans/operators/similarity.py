@@ -37,6 +37,46 @@ BLAS_MIN_BYTES_KEY = "spark.sparkplans.blasMinBytes"
 _BLAS_MIN_BYTES = 4 << 20
 
 
+def _fmt_double(x: float) -> str:
+    """SQL text for one double literal, bit-identical to F.lit(x):
+    repr() is the shortest round-tripping decimal and Spark's parser
+    converts exponent-form literals with Double.parseDouble (correctly
+    rounded) — appending e0 when repr carries no exponent forces that
+    DOUBLE-literal path (a plain decimal would detour through
+    DecimalType, which drops -0.0's sign)."""
+    import math
+
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if not math.isfinite(x):
+        # 'inf'/'nan' have no SQL literal spelling; Spark reads these
+        # through a double cast of the IEEE string form
+        return f"CAST('{x}' AS DOUBLE)"
+    r = repr(x)
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def lit_double_array(values) -> F.Column:
+    """array<double> literal built in ONE py4j call.  Model state
+    re-entering a plan as literals (IVF centroids, SQ codebooks) was
+    built element-by-element with F.lit/F.array — k·dim driver round
+    trips at ~1 ms each, measured 2.1-2.5 s of pure plan-construction
+    wall for semantic_dedup's 40x64 centroid matrix — where one
+    F.expr string parses JVM-side in milliseconds with bit-identical
+    Literal values (see _fmt_double)."""
+    return F.expr(f"array({', '.join(_fmt_double(x) for x in values)})")
+
+
+def lit_double_matrix(rows) -> F.Column:
+    """array<array<double>> literal in one py4j call (see
+    lit_double_array)."""
+    inner = ", ".join(
+        f"array({', '.join(_fmt_double(x) for x in r)})" for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -192,14 +232,13 @@ def ivf_build(
                 F.col(vec_col),
                 F.lit(None).cast("int").alias("cid"),
             )
-        cent_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cents]
-        )
-        cent_norm = F.array(
-            *[
-                F.lit(_math.sqrt(sum(float(x) * float(x) for x in c)))
-                for _, c in cents
-            ]
+        # one-expression literals: k x dim element-wise F.lit calls
+        # cost a py4j round trip each (~2.4 s of driver wall for a
+        # 40x64 model at sf0.1); values are bit-identical (see
+        # lit_double_array)
+        cent_arr = lit_double_matrix([c for _, c in cents])
+        cent_norm = lit_double_array(
+            [_math.sqrt(sum(float(x) * float(x) for x in c)) for _, c in cents]
         )
         nv = l2_norm(vec_col)
         cand = F.transform(
@@ -319,8 +358,8 @@ def sq_quantize(
     # is then a pure projection, and reusing the quantized frame in
     # several plan branches never replays the stats aggregation.
     per_dim.sort(key=lambda r: r["pos"])
-    mns = F.array(*[F.lit(r["mn"]) for r in per_dim])
-    mxs = F.array(*[F.lit(r["mx"]) for r in per_dim])
+    mns = lit_double_array([r["mn"] for r in per_dim])
+    mxs = lit_double_array([r["mx"] for r in per_dim])
     lv = F.lit(float(levels))
     out = corpus.withColumn(
         q_col,
