@@ -78,11 +78,36 @@ def _plan_for_matching(df: DataFrame) -> str:
 
 
 def num_exchanges(df: DataFrame) -> int:
-    """Count shuffle boundaries (the scale-critical metric; the
-    reference's RepartitionExec analog).  Broadcast exchanges are not
-    counted — they are the *cheap* alternative we want."""
-    plan = _plan_for_matching(df)
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+    """Count the shuffle boundaries the query would EXECUTE (the
+    scale-critical metric; the reference's RepartitionExec analog).
+    Broadcast exchanges are not counted — they are the *cheap*
+    alternative we want.
+
+    Canonically-identical exchanges count ONCE: Spark's ReuseExchange
+    (``spark.sql.exchange.reuse``, on by default and never disabled by
+    this engine) runs one shuffle per canonically-equal subtree and
+    feeds every consumer from it — verified on copurchase_rules, whose
+    final AQE plan carries 4 ReusedExchange nodes over one basket
+    repartition.  A plain regex count over the plan STRING charges a
+    shared exchange once per consumer, penalizing exactly the
+    share-one-exchange-across-branches design the reference's
+    never-repartition rule asks for.  The dedup key is the
+    canonicalized subtree — the same equality ReuseExchange uses — so
+    two different shuffles never collapse."""
+    try:
+        nodes: list = []
+        _walk_live(df._jdf.queryExecution().executedPlan(), nodes)
+        distinct: list = []
+        for name, jp in nodes:
+            if name.startswith("ShuffleExchangeExec"):
+                if not any(jp.sameResult(other) for other in distinct):
+                    distinct.append(jp)
+        return len(distinct)
+    except Exception:
+        # py4j walk unavailable (e.g. mocked plan) — regex fallback,
+        # which may over-count shared exchanges
+        plan = _plan_for_matching(df)
+        return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
 
 
 def num_broadcasts(df: DataFrame) -> int:

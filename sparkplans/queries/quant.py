@@ -1432,8 +1432,18 @@ def q_copurchase_rules(spark, sf_dir):
     # above the reused exchange — map-side CPU on two long columns,
     # the cheap half of the trade at any scale.
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # The explicit not-null filter makes all three corpus consumers'
+    # subtrees canonically IDENTICAL: the self-join pushes an inferred
+    # isnotnull(l_orderkey) into its two sides, and without the same
+    # predicate on the support branch Catalyst plans a separate
+    # (unreusable) corpus exchange for `item`.  With it, ReuseExchange
+    # runs ONE basket shuffle for both join sides and the supports
+    # (verified: executed-exchange count 6 -> 5).  l_orderkey is a
+    # TPC-H primary-key component (never null), so results are
+    # unchanged — and n_orders' countDistinct ignores nulls anyway.
     b = (
         li.select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull())
         .repartition(parts, "l_orderkey")
         .distinct()
     )
@@ -2683,26 +2693,32 @@ def q_tdigest_weekly_rollup(spark, sf_dir):
     )
     dig_day = tdigest_build(day_src, "x", group_cols=["day", "week"])
     dig_week = tdigest_merge(dig_day, group_cols=["week"])
-    est = tdigest_quantiles(dig_week, [0.5]).select(
-        "week", F.col("est").alias("med")
+    # The lossless fields (n/lo/hi — functionally dependent on week:
+    # one digest row per week) RIDE the estimate rows instead of
+    # re-reading dig_week in a second branch: the digest build/merge
+    # subtree appears ONCE in the plan (ReuseExchange already shared
+    # the partials exchange, but the keyed merge stage and a whole
+    # broadcast join ran twice), and the final lossless-join is gone —
+    # the audit aggregation itself carries the digest state to the
+    # output.  Group count is unchanged (the extra keys are functions
+    # of week), so the audit shuffle still moves one row per week.
+    est = tdigest_quantiles(
+        dig_week, [0.5], group_cols=["week", "n", "lo", "hi"]
+    ).select(
+        "week",
+        F.col("n").cast("bigint").alias("n"),
+        "lo",
+        "hi",
+        F.col("est").alias("med"),
     )
-    audited = (
+    return (
         li.join(F.broadcast(est), "week")
-        .groupBy("week")
+        .groupBy("week", "n", "lo", "hi", "med")
         .agg(
             F.count("*").alias("n_l"),
             F.sum(F.when(F.col("x") < F.col("med"), 1).otherwise(0)).alias("blo"),
             F.sum(F.when(F.col("x") <= F.col("med"), 1).otherwise(0)).alias("bhi"),
         )
-    )
-    lossless = dig_week.select(
-        "week",
-        F.col("n").cast("bigint").alias("n"),
-        F.col("lo"),
-        F.col("hi"),
-    )
-    return (
-        lossless.join(F.broadcast(audited), "week")
         .select(
             "week",
             "n",
@@ -2766,24 +2782,23 @@ def q_tdigest_price_quantiles(spark, sf_dir):
         F.col("l_extendedprice").alias("x")
     )
     dig = tdigest_build(li, "x", delta=200)
-    est = tdigest_quantiles(dig, _TD_QS)  # 7 rows of model state
-    audited = (
+    # 7 rows of model state; the lossless digest fields (n/lo/hi —
+    # one ungrouped digest row, so constant across the 7) ride the
+    # estimate rows: one digest subtree in the plan instead of two,
+    # and no second crossJoin to re-attach them (same restructure as
+    # tdigest_weekly_rollup — see its comment)
+    est = tdigest_quantiles(dig, _TD_QS, group_cols=["n", "lo", "hi"])
+    return (
         li.crossJoin(F.broadcast(est))
-        .groupBy("q", "est")
+        .groupBy("q", "est", "n", "lo", "hi")
         .agg(
             F.count("*").alias("n_l"),
             F.sum(F.when(F.col("x") < F.col("est"), 1).otherwise(0)).alias("blo"),
             F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).alias("bhi"),
         )
-    )
-    lossless = dig.select(
-        F.col("n").cast("bigint").alias("n"), F.col("lo"), F.col("hi")
-    )
-    return (
-        audited.crossJoin(F.broadcast(lossless))
         .select(
             "q",
-            "n",
+            F.col("n").cast("bigint").alias("n"),
             "lo",
             "hi",
             (

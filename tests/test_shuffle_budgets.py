@@ -8,6 +8,12 @@ cheap alternative).  A refactor that silently adds a shuffle anywhere
 in the 96-query library fails here, at sf0.001, long before it costs
 hours at 100 TB.
 
+Counting is by EXECUTED shuffles: canonically-identical exchanges
+count once, because ReuseExchange runs one shuffle per
+canonically-equal subtree and feeds every consumer from it (see
+plans.num_exchanges) — sharing one exchange across plan branches is
+an optimization the ratchet must reward, not punish.
+
 Budgets are the currently-achieved counts — a deliberate ratchet.
 Lowering one is an optimization; raising one must be argued in the
 diff.
@@ -352,12 +358,12 @@ BUDGETS = {
     "weighted_median_price": 6,
     # 9-group digit count (map-side combined) + the 9-row OVER ()
     "benford_first_digit": 2,
-    # baskets dedup runs once before the localCheckpoint cut; visible
-    # plan: self-join on the checkpoint + pair agg + support join
-    # 3 data exchanges + 2 from the n_orders countDistinct branch,
-    # which moved INTO the plan (broadcast 1-row agg) from what used
-    # to be a separate driver count() job — same cluster work, one
-    # fewer synchronization point, measured faster at sf0.1
+    # ONE basket repartition shared via ReuseExchange by both
+    # self-join sides AND the item-support branch (identical not-null
+    # filtered subtrees), + item agg + pair agg + the n_orders
+    # countDistinct branch (its own column-pruned corpus exchange +
+    # SinglePartition).  5 EXECUTED exchanges; the textual plan
+    # repeats the shared one per consumer
     "copurchase_rules": 5,
     # running-peak window and the per-series rollup share one
     # series-keyed shuffle
