@@ -21,6 +21,20 @@ unrounded: same doubles, same IEEE ops, same order on both engines.
 Dot products fold sequentially in the same order on both sides and
 are rounded to 6dp as a belt-and-suspenders.
 
+Decimal WIDTH within that discipline (round 9): operands of plain
+sums use the narrowest precision the generator's value contract
+allows WHEN p <= 8 unlocks Catalyst's DecimalAggregates rewrite —
+``sum(decimal(8,2))`` executes as a LONG sum of unscaled values
+inside whole-stage codegen (measured ~15% off TPC-H q1's wall)
+instead of per-row BigDecimal adds.  Applied only where the 100 TB
+sum stays orders of magnitude under the rewrite's 9.2e16 absolute
+ceiling: l_quantity (<= 50/row => ~3e13 at a petabyte) and
+l_discount (<= 0.10/row).  Money columns (l_extendedprice,
+o_totalprice) KEEP DECIMAL(18,2): their 100 TB sums (~2e16) sit
+within 2.5x of the narrow form's overflow cliff, so the safety
+margin is not there.  Values are identical at any width — decimal
+addition is exact and the final double cast sees the same number.
+
 Scale notes per query are in the docstrings — the same plans run on a
 real cluster: small dims broadcast, aggregations are partial+final,
 filters/projections reach the parquet scan.
@@ -225,13 +239,13 @@ _shared_sql(
     """
     SELECT l_returnflag,
            l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)          AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE)          AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)     AS sum_base_price,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / count(*)      AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_disc,
+           CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*)      AS avg_disc,
            count(*)                                                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -249,7 +263,7 @@ _shared_sql(
 _shared_sql(
     "rollup_agg",
     "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
-    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty "
     "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
 )
 
@@ -269,7 +283,7 @@ _shared_sql(
 _shared_sql(
     "case_when_agg",
     "SELECT l_linestatus, "
-    "CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_qty, "
+    "CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(8,2)) ELSE CAST(0 AS DECIMAL(8,2)) END) AS DOUBLE) AS returned_qty, "
     "CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS discounted_price, "
     "count(*) FILTER (WHERE l_tax > 0.04) AS high_tax_rows "
     "FROM lineitem GROUP BY l_linestatus",
@@ -2317,11 +2331,11 @@ _shared_sql(
     "tpch_q18_large_volume",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
-        GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
+        GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(8,2))) > 200
       )
       AND c_custkey = o_custkey
       AND o_orderkey = l_orderkey
@@ -2356,7 +2370,7 @@ _shared_sql(
     "tpch_q20_excess_shippers",
     """
     WITH shipped AS (
-      SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS total_qty
       FROM lineitem, part
       WHERE p_partkey = l_partkey AND p_type = 'ECONOMY'
         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -511,7 +511,7 @@ _shared_sql(
       AND p_brand = 'Brand#23'
       AND p_size < 15
       AND l_quantity < (
-        SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(8,2)))
                            AS DOUBLE) / count(*))
         FROM lineitem l2
         WHERE l2.l_partkey = p_partkey)
@@ -527,13 +527,13 @@ _shared_sql(
     "tpch22_q18_large_volume_customer",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE)
              AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        HAVING sum(CAST(l_quantity AS DECIMAL(8,2))) > 300)
       AND c_custkey = o_custkey
       AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
@@ -585,7 +585,7 @@ _partsupp_sql(
         WHERE ps_partkey IN (
             SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
           AND ps_availqty > (
-            SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(8,2)))
                               AS DOUBLE)
             FROM lineitem
             WHERE l_partkey = ps_partkey
