@@ -56,11 +56,13 @@ BUDGETS = {
     "dedup_clusters": 1,
     "dedup_exact": 1,
     # the operator's pairwise scan + min-agg run ONCE (assigned and
-    # dup_of are both checkpointed inside it); the 9 counted exchanges
-    # are the query's policy re-derivation re-reading those two slim
-    # materialized frames three times — shuffles of checkpoint scans,
-    # not recomputes
-    "semantic_dedup": 9,
+    # dup_of are both checkpointed inside it); the audit re-derives
+    # pairs from the ASSIGNED checkpoint directly (round 9 — the old
+    # res-based audit re-joined the corpus to dup_of first, paying
+    # exchange+sort pairs for columns the triangle never read), so
+    # what remains is the audit's own fold join + min-agg + the final
+    # slim join
+    "semantic_dedup": 3,
     # (doc,bucket) count shuffle; 64-row stats/total/lambda stay small
     # and broadcast back; final per-doc agg
     "dsir_importance_weights": 4,
