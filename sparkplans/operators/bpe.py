@@ -26,7 +26,7 @@ word the training corpus has seen.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, materialize_lazy
 
 
 def _char_split(col) -> F.Column:
@@ -84,7 +84,7 @@ def bpe_train(
     vocab = (
         _word_freq(docs, text_col)
         .withColumn("symbols", _char_split(F.col("word")))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     merges: list = []
     for _ in range(num_merges):
@@ -122,7 +122,7 @@ def bpe_train(
         merges.append((a, b, w))
         vocab = vocab.withColumn(
             "symbols", _merge_fold(F.col("symbols"), a, b)
-        ).transform(materialize)
+        ).transform(materialize_lazy)
     return merges, vocab
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation, Window, functions as F
 
 from sparkplans.functions.text import doc_fingerprint
-from sparkplans.materialize import materialize, observed
+from sparkplans.materialize import materialize, observed, materialize_lazy
 
 # MinHash modulus: largest 31-bit prime; keeps a*h+b < 2^62 (no
 # overflow under ANSI mode) for a < 2^31.
@@ -251,10 +251,10 @@ def connected_components(
         e1.select(F.col("src").alias("node"))
         .unionByName(e1.select(F.col("dst").alias("node")))
         .distinct()
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     edges = (
-        e1.filter(F.col("src") != F.col("dst")).distinct().transform(materialize)
+        e1.filter(F.col("src") != F.col("dst")).distinct().transform(materialize_lazy)
     )
 
     def _adj(e: DataFrame) -> DataFrame:
@@ -418,6 +418,9 @@ def near_dup_pairs(
     for every one of the three places the verify references it (same
     lineage-cut discipline as connected_components and ivf_build)."""
     wide = minhash_wide(df, text_col, id_col, num_perm, shingle_n)
+    # EAGER: the verify references cand from sibling stages of one
+    # job — a lazy cut could replay the 4-exchange banding per stage
+    # on a cluster
     cand = lsh_candidate_pairs_wide(wide, id_col, num_perm, bands).transform(materialize)
     return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
@@ -615,6 +618,8 @@ def prefix_filter_pairs(
             "probe_len",
             F.col("n_tok") - _ceil(F.lit(probe_frac) * F.col("n_tok")) + 1,
         )
+        # EAGER: probe/index/verify reference this frame from sibling
+        # stages of one job (see materialize_lazy docstring)
         .transform(materialize)
     )
     # One posexplode serves both roles: rows with pos < probe_len are

@@ -946,11 +946,12 @@ def semdedup(
     # assigned feeds three consumers (both pairwise block sides + the
     # final join-back); materialize it once — the stand-in for the
     # persisted cid-bucketed table a production deployment would read.
-    # LAZY (eager=False): the blocks are written when the first
-    # consuming job touches them and reused by every later consumer —
-    # same one-materialization guarantee, one fewer synchronous
-    # driver job per call (measured as part of the 18% sf0.1 win).
-    assigned = materialize(assigned, eager=False)
+    # EAGER deliberately: the consumers are sibling stages of one job
+    # (the fold-engine pairwise joins two replicas of it), and a lazy
+    # cut could compute the assignment projection once per sibling
+    # stage on a cluster (block-level dedup is executor-local) — see
+    # materialize_lazy's docstring for the rule.
+    assigned = materialize(assigned)
     # The within-cluster quadratic is the shared triangle core
     # (norm hoisting, triangle cells, adaptive fold/BLAS scoring,
     # zero-norm exclusion — a zero-norm vector near-dups nothing and
@@ -972,8 +973,10 @@ def semdedup(
     )
     # dup_of is one slim row per dropped id; checkpointing it means
     # the expensive pairwise scan runs exactly once no matter how many
-    # times a consumer re-reads the result (lazy for the same
-    # one-fewer-job reason as assigned above).
+    # times a consumer re-reads the result.  LAZY is safe here: the
+    # result frame references it exactly once, so the first consuming
+    # job materializes it with no sibling-stage race — one fewer
+    # synchronous driver job per call.
     dup_of = materialize(dup_of, eager=False)
     out = (
         assigned.join(dup_of, id_col, "left")

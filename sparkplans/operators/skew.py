@@ -28,7 +28,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, materialize_lazy
 
 
 def salted_join(
@@ -100,7 +100,7 @@ def skew_report(df, key: str):
     counts = (
         df.groupBy(key)
         .agg(F.count("*").alias("cnt"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     return counts.agg(
         F.sum("cnt").cast("bigint").alias("n_rows"),

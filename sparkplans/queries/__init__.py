@@ -58,7 +58,7 @@ from sparkplans.functions import (
     token_count,
 )
 from sparkplans.sources import load_table
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, materialize_lazy
 
 
 @dataclass
@@ -2769,6 +2769,9 @@ def q_unigram_logprob_scores(spark, sf_dir):
     # (vocab build + scoring pass) instead of three times, and the
     # token total is a free rollup of the vocab instead of a third
     # corpus scan.
+    # EAGER: freq is the build side of TWO concurrent broadcasts
+    # (the scoring join + the total) — lazy would race them into
+    # tokenizing the corpus once per build on a cluster
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt")).transform(materialize)
     total = freq.agg(F.sum("cnt").alias("t"))
     return (
@@ -2846,7 +2849,7 @@ def q_dsir_importance_weights(spark, sf_dir):
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint") % B,
     )
     dc = toks.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
-    dc = dc.transform(materialize)  # feeds stats AND the scoring join
+    dc = dc.transform(materialize_lazy)  # feeds stats AND the scoring join
     stats = dc.groupBy("b").agg(
         F.sum("c").alias("cr"),
         F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("ct"),

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sparkplans.queries import _shared_sql, _t, _t_cpu, register
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, materialize_lazy
 
 
 @register(
@@ -905,7 +905,7 @@ def q_label_propagation_communities(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("src", "dst")
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     labels = label_propagation(edges, iterations=5)
     comp = connected_components(

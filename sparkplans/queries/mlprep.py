@@ -16,7 +16,7 @@ from functools import reduce
 
 from pyspark.sql import functions as F
 
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, materialize_lazy
 from pyspark.sql.window import Window
 
 from sparkplans.functions import cosine_similarity, token_count
@@ -146,7 +146,7 @@ def q_temperature_mixture_weights(spark, sf_dir):
         # the mixing table and its total both derive from this 20-row
         # frame; materialize it once so the corpus is scanned once,
         # not once per consumer
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     w = pc.select(
         "source",
@@ -244,11 +244,14 @@ def q_bigram_lm_scores(spark, sf_dir):
             "prev"
         ),
     )
-    toks = materialize(toks)  # feeds uni, bg and db
+    toks = materialize_lazy(toks)  # feeds uni, bg and db
     uni = (
         toks.groupBy(F.col("cur").alias("tok"))
         .agg(F.count("*").alias("c1"))
     )
+    # EAGER: uni feeds TWO concurrent broadcast builds (prev/cur
+    # relabels) — the eager job also computes toks first, so the lazy
+    # toks/db cuts below it stay race-free
     uni = materialize(uni)  # feeds both prob joins and tot
     tot = uni.agg(F.sum("c1").alias("t"))
     db = (
@@ -256,7 +259,7 @@ def q_bigram_lm_scores(spark, sf_dir):
         .groupBy("doc_id", "prev", "cur")
         .agg(F.count("*").alias("c"))
     )
-    db = materialize(db)  # feeds corpus bigram counts AND scoring
+    db = materialize_lazy(db)  # feeds corpus bigram counts AND scoring
     # corpus bigram counts roll up from the per-doc counts — one pass
     # over the tokenized frame instead of two
     bg = db.groupBy("prev", "cur").agg(F.sum("c").alias("c2"))
@@ -369,7 +372,7 @@ def q_roc_auc_cosine(spark, sf_dir):
             F.sum("y").alias("np_s"),
             F.sum(F.lit(1) - F.col("y")).alias("nn_s"),
         )
-        .transform(materialize)  # feeds quantiles, offsets, final
+        .transform(materialize_lazy)  # feeds quantiles, offsets, final
     )
     n_buckets = max(spark.sparkContext.defaultParallelism, 2)
     bounds = sorted(
@@ -713,7 +716,7 @@ def q_ccnet_perplexity_buckets(spark, sf_dir):
     dt = (
         toks.groupBy("doc_id", "lang", "tok")
         .agg(F.count("*").alias("c"))
-        .transform(materialize)  # feeds vocabulary AND scoring
+        .transform(materialize_lazy)  # feeds vocabulary AND scoring
     )
     freq = dt.groupBy("tok").agg(F.sum("c").alias("cnt"))
     tot = freq.agg(F.sum("cnt").alias("t"))
@@ -818,7 +821,7 @@ def q_token_budget_epochs(spark, sf_dir):
         )
         .groupBy("source")
         .agg(F.sum("nt").cast("bigint").alias("n"))
-        .transform(materialize)  # 20-row frame feeding 3 consumers
+        .transform(materialize_lazy)  # 20-row frame feeding 3 consumers
     )
     caps = pc.select("source", "n", (F.lit(4) * F.col("n")).alias("cap"))
     tot = caps.agg(
@@ -914,7 +917,14 @@ def q_bloom_prefilter_dedup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     fp = d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
-    seen = fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint").distinct()
+    # seen feeds TWO actions — the bloom-build collect and the final
+    # anti-join — and ReuseExchange cannot share an exchange across
+    # separate jobs, so without the lineage cut the corpus scan +
+    # fingerprint + distinct shuffle ran twice (measured 2.72 ->
+    # 1.59 s at sf0.1 from materializing it once).
+    seen = materialize_lazy(
+        fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint").distinct()
+    )
     # Size from footer stats (no Spark job): ~n/2 seen rows, 16 bits
     # per item with k=5 -> expected FP ~0.1%.
     from sparkplans.queries import _rowcount
@@ -1010,7 +1020,7 @@ def q_bloom_decontamination(spark, sf_dir):
     # the distinct train grams once — tokenize/shingle/distinct run one
     # time, the stand-in for the persisted gram index a production
     # decontamination deployment maintains.
-    train_grams = materialize(
+    train_grams = materialize_lazy(
         g.filter(F.col("split") == "train").select("gram").distinct()
     )
     # ~128 distinct grams per doc at 16 bits/item, sized from footers —
@@ -1078,7 +1088,7 @@ def q_cms_token_counts(spark, sf_dir):
     # One tokenize pass feeds both the sketch build and the exact
     # top-20 (the sketch is the scale artifact; the exact side is the
     # oracle's half of the tolerance contract).
-    toks = toks.transform(materialize)
+    toks = toks.transform(materialize_lazy)
     cms = cms_build(toks, "tok", depth=4, width=4096)
     top = (
         toks.groupBy("tok")
@@ -1264,14 +1274,14 @@ def q_ffd_sequence_packing(spark, sf_dir):
     decision logic, numpy-vectorized inside), one groupBy(seq_id) for
     loads, then 1-row aggregates.  The packed frame is materialized
     once and read by both consumers."""
-    from sparkplans.materialize import materialize
+    from sparkplans.materialize import materialize, materialize_lazy
     from sparkplans.operators.packing import pack_sequences
 
     budget, parts = 256, 8
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").cast("int").alias("nt")
     )
-    packed = materialize(
+    packed = materialize_lazy(
         pack_sequences(d, id_col="doc_id", size_col="nt", budget=budget, parts=parts)
     )
     docs_stats = packed.agg(
@@ -1362,7 +1372,7 @@ def q_mixture_epoch_sample(spark, sf_dir):
         .agg(F.sum("nt").alias("src_tokens"))
         # 20-row mixing state feeds the max AND the rate table;
         # materialize once so the corpus is counted once, not twice
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     mx = per_src.agg(F.max("src_tokens").alias("max_tokens"))
     rates = per_src.crossJoin(F.broadcast(mx)).select(
@@ -1596,7 +1606,7 @@ def q_feature_drift_psi(spark, sf_dir):
     # 10-row bin table re-read twice (totals + final projection):
     # materialize so the events scan happens exactly once — without
     # this the totals branch re-scans the corpus under the join.
-    counts = materialize(
+    counts = materialize_lazy(
         binned.groupBy("bin").agg(
             F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("cnt_a"),
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cnt_b"),
@@ -1856,6 +1866,8 @@ def q_mutual_information_features(spark, sf_dir):
             F.col("o_orderstatus").alias("y"),
         )
         .agg(F.count("*").alias("nxy"))
+        # EAGER: tx/ty/tot are three concurrent broadcast builds over
+        # this frame (see materialize_lazy docstring)
         .transform(materialize)
     )
     tx = c.groupBy("x").agg(F.sum("nxy").alias("nx"))

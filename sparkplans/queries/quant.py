@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, materialize_lazy
 from pyspark.sql.window import Window
 
 from sparkplans.queries import _rowcount, _shared_sql, _t, _t_cpu, register
@@ -328,7 +328,7 @@ def q_revenue_gini(spark, sf_dir):
         o.groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
         .withColumn("sd", F.col("s").cast("double"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     n_buckets = max(spark.sparkContext.defaultParallelism, 2)
     bounds = sorted(
@@ -470,7 +470,7 @@ def q_psi_value_drift(spark, sf_dir):
             F.sum(F.when(F.col("half") == "a", F.col("n")).otherwise(0)).alias("na"),
             F.sum(F.when(F.col("half") == "b", F.col("n")).otherwise(0)).alias("nb"),
         )
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     t = p.groupBy().agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
     ra = F.col("na").cast("double") / F.col("ta")
@@ -540,7 +540,7 @@ def q_ks_doc_length_drift(spark, sf_dir):
                 F.when(F.col("source") == "src1", F.col("n")).otherwise(0)
             ).alias("nb"),
         )
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     tot = g.groupBy().agg(
         F.sum("na").alias("ta"), F.sum("nb").alias("tb")
@@ -937,6 +937,10 @@ def q_source_vocab_jaccard(spark, sf_dir):
             ).alias("tok"),
         )
         .distinct()
+        # EAGER: st feeds the a/b sides of a self-join — sibling map
+        # stages that run concurrently; a lazy cut could compute the
+        # tokenize+distinct twice on a cluster (block-level dedup is
+        # executor-local).  See materialize_lazy's docstring.
         .transform(materialize)
     )
     sz = st.groupBy("source").agg(F.count("*").alias("n"))
@@ -1345,6 +1349,9 @@ def q_event_dow_chisq(spark, sf_dir):
     o = (
         ev.groupBy("event_type", (F.weekday("ts") + 1).alias("dow"))
         .agg(F.count("*").alias("obs"))
+        # EAGER: m/d/t are three CONCURRENT broadcast builds over this
+        # frame — lazy would race them into recomputing the corpus
+        # aggregate per build on a cluster
         .transform(materialize)
     )  # types×7 rows; the corpus aggregates ONCE across the 4 branches
     m = o.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))

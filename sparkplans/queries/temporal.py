@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 from sparkplans.functions import cosine_similarity
 from sparkplans.queries import _shared_sql, _t, _t_cpu, register
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, materialize_lazy
 
 
 # ---------------------------------------------------------------------
@@ -150,7 +150,7 @@ def q_mad_outlier_days(spark, sf_dir):
     daily = (
         ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count("*").alias("n"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )  # types×days rows; the corpus aggregates ONCE across the
     # median / deviation / MAD branches
     med = daily.groupBy("event_type").agg(
@@ -462,7 +462,7 @@ def q_pq_ann_topk(spark, sf_dir):
     coded, books = pq_build(nemb, num_sub=16, k=16, iters=1)
     # materialize the encoded corpus (the persisted-index analog):
     # the search plan then reads codes only, as it would in production
-    coded = coded.transform(materialize)
+    coded = coded.transform(materialize_lazy)
     probes = nemb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sparkplans.queries import _shared_sql, _t, _t_cpu, register
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, materialize_lazy
 
 
 # ---------------------------------------------------------------------
@@ -552,7 +552,7 @@ def q_rfm_segments(spark, sf_dir):
             F.count("*").alias("freq"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
         )
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     maxd = c.agg(F.max("last_order")).collect()[0][0]
     r = c.select(
@@ -560,7 +560,7 @@ def q_rfm_segments(spark, sf_dir):
         "freq",
         F.col("mon").cast("double").alias("mon_d"),
         F.datediff(F.lit(maxd), F.col("last_order")).alias("rec"),
-    ).transform(materialize)
+    ).transform(materialize_lazy)
     qrow = r.agg(
         *[
             F.round(F.expr(f"percentile({col}, {p})"), 6).alias(f"{col}_{i}")

@@ -18,7 +18,7 @@ from typing import Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from sparkplans.materialize import materialize
+from sparkplans.materialize import materialize, materialize_lazy
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -698,7 +698,7 @@ def dedup_ingest_sink(
         clean, _ = incremental_exact_dedup(
             batch_df, seen, id_col=id_col, text_col=text_col
         )
-        clean = clean.transform(materialize)  # evaluate once, commit twice
+        clean = clean.transform(materialize_lazy)  # evaluate once, commit twice
         corpus.streaming_append_batch(clean, batch_id)
         index.streaming_append_batch(
             clean.select("fingerprint"), batch_id
@@ -749,7 +749,7 @@ def near_dedup_ingest_sink(
             bands=bands,
             threshold=threshold,
         )
-        clean = clean.transform(materialize)
+        clean = clean.transform(materialize_lazy)
         corpus.streaming_append_batch(clean, batch_id)
         # append only the NEW signatures (incremental_near_dedup
         # returns the full updated index; the delta is the clean rows')
@@ -833,7 +833,7 @@ def bloom_dedup_ingest_sink(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         fp = batch_df.withColumn("fingerprint", doc_fingerprint(text_col))
         keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-        firsts = fp.join(keep, ["fingerprint", id_col]).transform(materialize)
+        firsts = fp.join(keep, ["fingerprint", id_col]).transform(materialize_lazy)
         pre = _load_bloom()
         batch_bits = bloom_build(
             firsts.select("fingerprint"), "fingerprint", num_bits=num_bits
@@ -851,7 +851,7 @@ def bloom_dedup_ingest_sink(
             verified_new = flagged.join(seen, "fingerprint", "left_anti")
         except FileNotFoundError:
             verified_new = flagged
-        clean = definite_new.unionByName(verified_new).transform(materialize)
+        clean = definite_new.unionByName(verified_new).transform(materialize_lazy)
         corpus.streaming_append_batch(clean, batch_id)
         index.streaming_append_batch(clean.select("fingerprint"), batch_id)
 
