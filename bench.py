@@ -376,8 +376,16 @@ def main() -> None:
     if minrunq:
         med = sorted(minrunq.values())[len(minrunq) // 2]
         margin = max(4, cpus // 2)
+        # Round-9 lesson: a SUSTAINED burst raises the slate-wide
+        # median runq itself, so a median-relative margin alone can
+        # never fire (the driver's contended r9 run had cpu_par 3.2x
+        # yet spike_queries=[]).  The absolute floor catches that
+        # case: the sample is taken at a query boundary where the
+        # bench's own executor threads are parked, so a runnable
+        # count of cpus//4+ on EVERY rep is external demand.
+        abs_floor = max(4, cpus // 4)
         spike_queries = sorted(
-            n for n, q in minrunq.items() if q > med + margin
+            n for n, q in minrunq.items() if q > med + margin or q > abs_floor
         )
     try:
         load_end = round(os.getloadavg()[0], 2)

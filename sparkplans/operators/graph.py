@@ -174,9 +174,13 @@ def pagerank(
     # where that path is the plan pay no re-layout at all; the
     # broadcast path (|V| <= bcast_limit, known only after the counts
     # action below) re-layouts to dst once, releasing the src copy.
+    # Filter on the ALIASED output column: filtering with F.col(src)
+    # after the rename would resolve against the projection output, so
+    # a caller whose column names swap roles (src="dst", dst="src")
+    # would silently filter the wrong side.
     pairs = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).filter(F.col(src).isNotNull())
+    ).filter(F.col("src").isNotNull())
     e_deg = materialize(
         pairs.repartition(parts, "src")
         .distinct()

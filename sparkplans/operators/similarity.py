@@ -893,7 +893,7 @@ def semdedup(
     id_col: str = "vec_id",
     split: int = 8,
     return_parts: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame, DataFrame]:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via k-means clustering of embeddings, then pairwise
     cosine inside each cluster only.

@@ -127,6 +127,16 @@ def _walk_live(jplan, out: list) -> None:
     if name.endswith("QueryStageExec"):
         _walk_live(jplan.plan(), out)
         return
+    # Plans nested in EXPRESSIONS (non-correlated scalar subqueries,
+    # in-subqueries, DPP filter plans) are not in children() — without
+    # this, a shuffle inside a subquery is invisible to the exchange
+    # ratchet.
+    try:
+        sit = jplan.subqueries().iterator()
+        while sit.hasNext():
+            _walk_live(sit.next(), out)
+    except Exception:
+        pass
     it = jplan.children().iterator()
     while it.hasNext():
         _walk_live(it.next(), out)

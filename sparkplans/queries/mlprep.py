@@ -259,7 +259,12 @@ def q_bigram_lm_scores(spark, sf_dir):
         .groupBy("doc_id", "prev", "cur")
         .agg(F.count("*").alias("c"))
     )
-    db = materialize_lazy(db)  # feeds corpus bigram counts AND scoring
+    # EAGER: db feeds the bg->lp subtree AND the scoring probe side of
+    # the SAME final job, and lp attaches via a shuffle join (not a
+    # blocking broadcast build), so on a multi-executor cluster the
+    # sibling stages could each recompute db's reduce-side aggregate
+    # (block dedup is executor-local — see materialize_lazy's rule).
+    db = materialize(db)
     # corpus bigram counts roll up from the per-doc counts — one pass
     # over the tokenized frame instead of two
     bg = db.groupBy("prev", "cur").agg(F.sum("c").alias("c2"))
