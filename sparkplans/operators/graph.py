@@ -15,7 +15,7 @@ join reuses the same partitioning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
-from sparkplans.materialize import materialize, release
+from sparkplans.materialize import materialize, materialize_lazy, release
 
 # Last pagerank() run decomposition (diagnostics for scale harnesses,
 # same pattern as dedup.last_auto_decision): which path ran
@@ -203,21 +203,35 @@ def pagerank(
         .distinct()
     )
     # sorted within partitions so the per-iteration rank-update SMJ
-    # streams this side with neither an exchange nor a sort
+    # streams this side with neither an exchange nor a sort.  |V| and
+    # the dangling count RIDE the materialization action as observe()
+    # metrics (round 10, guide §2.6) — the previous separate
+    # counts-aggregate job over the fresh cache was pure driver
+    # latency; the fallback aggregate below only runs if the
+    # query-execution listener fails to deliver.
+    cnt_obs = Observation()
     nodes_deg = materialize(
         nodes.join(deg_tbl, "node", "left")
         .select("node", "outdeg")
         .repartition(parts, "node")
-        .sortWithinPartitions("node"),
+        .sortWithinPartitions("node")
+        .observe(
+            cnt_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("outdeg").isNull(), 1)).alias("nd"),
+        ),
         preserve_partitioning=True,
     )
-    # one action returns |V| AND the dangling-node count (the initial
-    # dangling mass is n_dangling/N since every rank starts at 1/N)
-    counts = nodes_deg.agg(
-        F.count("*").alias("n"),
-        F.count(F.when(F.col("outdeg").isNull(), 1)).alias("nd"),
-    ).collect()[0]
-    n_total, n_dangling = int(counts["n"]), int(counts["nd"])
+    from sparkplans.materialize import observed as _observed_tuple
+
+    cnt_vals = _observed_tuple(cnt_obs, ["n", "nd"])
+    if cnt_vals is None:
+        row = nodes_deg.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("outdeg").isNull(), 1)).alias("nd"),
+        ).collect()[0]
+        cnt_vals = (row["n"], row["nd"])
+    n_total, n_dangling = int(cnt_vals[0]), int(cnt_vals[1])
     if n_total == 0:
         last_run_stats = {
             "path": "empty",
@@ -251,14 +265,30 @@ def pagerank(
         )
         release(e_src)
 
-    ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n_total)).transform(
-        materialize
-    )
+    # NOT materialized: the init ranks are a constant-column projection
+    # over the nodes_deg cache — iteration 1 reads the cache directly
+    # (partitioning/ordering advertised through the projection); a
+    # checkpoint here was one more synchronous job + a dead |V|-row
+    # cache copy (round 10, guide §2.6/§5)
+    ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n_total))
     dm = n_dangling * (1.0 / n_total)  # every rank starts at 1/N
+    # With ZERO dangling nodes the dangling mass is identically 0.0 in
+    # every iteration (no outdeg-null rows exist to sum), so nothing
+    # needs to round-trip to the driver between iterations: the
+    # per-iteration lineage cut can be LAZY — the next iteration's
+    # broadcast/shuffle job writes the previous frame's blocks as its
+    # first consumer (single-consumer chain, so the materialize_lazy
+    # sibling-stage rule is satisfied), and the eager checkpoint
+    # action + observation poll per iteration (~2 scheduler jobs of
+    # pure driver latency each on the broadcast path) disappear
+    # (round 10, guide §2.6).  Arithmetic is untouched: the rank
+    # expression already folded dm=0.0 into the same literal.
+    no_dangling = n_dangling == 0
     prologue_sec = _time.perf_counter() - t_start
     iteration_secs: list[float] = []
     iter_exchanges: list[str] | None = None
     iter_sorts: list[str] | None = None
+    stale: list[DataFrame] = []
     for i in range(iterations):
         t_iter = _time.perf_counter()
         rank_side = ranks.select("node", "rank")
@@ -271,11 +301,6 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         prev = ranks
-        # the dangling mass rides the checkpoint action as an observed
-        # metric (CollectMetrics accumulates while the materialization
-        # job runs) — no separate aggregate job, no broadcast branch;
-        # the scalar enters the next iteration's plan as a literal
-        obs = Observation()
         update = (
             nodes_deg.join(contribs, nodes_deg.node == contribs.dst, "left")
             .select(
@@ -286,13 +311,6 @@ def pagerank(
                     + F.lit(damping / n_total * dm)
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
-            )
-            .observe(
-                obs,
-                F.coalesce(
-                    F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
-                    F.lit(0.0),
-                ).alias("dm"),
             )
         )
         if i == 0:
@@ -308,17 +326,45 @@ def pagerank(
                 iter_sorts = _plans.live_sorts(update)
             except Exception:
                 pass
-        ranks = materialize(update)
-        dm = _observed(obs, "dm")
-        if dm is None:
-            # a checkpoint route whose materialization action doesn't
-            # fire the observation listener: fall back to one explicit
-            # aggregate over the (already materialized) slim frame
-            dm = ranks.filter(F.col("outdeg").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0))
-            ).collect()[0][0]
-        release(prev)  # slim, but 10 iterations of dead |V|-row cache add up
+        if no_dangling:
+            last = i == iterations - 1
+            # last iteration EAGER: it executes the deferred chain
+            # while the corpus caches are still alive; the superseded
+            # frames' blocks (written incrementally by each next
+            # iteration's first-consumer job) are then released in one
+            # sweep below.  materialize_lazy (not eager=False) so a
+            # reliable-checkpoint session keeps its eager barrier —
+            # a lazy reliable checkpoint replays its lineage twice.
+            ranks = materialize(update) if last else materialize_lazy(update)
+            stale.append(prev)
+        else:
+            # the dangling mass rides the checkpoint action as an
+            # observed metric (CollectMetrics accumulates while the
+            # materialization job runs) — no separate aggregate job,
+            # no broadcast branch; the scalar enters the next
+            # iteration's plan as a literal
+            obs = Observation()
+            ranks = materialize(
+                update.observe(
+                    obs,
+                    F.coalesce(
+                        F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("dm"),
+                )
+            )
+            dm = _observed(obs, "dm")
+            if dm is None:
+                # a checkpoint route whose materialization action
+                # doesn't fire the observation listener: fall back to
+                # one explicit aggregate over the materialized frame
+                dm = ranks.filter(F.col("outdeg").isNull()).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0))
+                ).collect()[0][0]
+            release(prev)  # 10 iterations of dead |V|-row cache add up
         iteration_secs.append(round(_time.perf_counter() - t_iter, 3))
+    for prev in stale:
+        release(prev)
     last_run_stats = {
         "path": "broadcast" if use_bcast else "shuffle",
         "n_nodes": n_total,
@@ -328,6 +374,10 @@ def pagerank(
         "iteration_secs": iteration_secs,
         "iteration_exchanges": iter_exchanges,
         "iteration_sorts": iter_sorts,
+        # True => iterations chained as lazy cuts (no dangling mass to
+        # observe); per-iteration secs are then plan-build latency and
+        # the LAST entry carries the chain's execution
+        "iterations_lazy_chained": no_dangling,
     }
     # the returned frame reads only the final ranks checkpoint; the
     # static persisted frames are dead weight past this point, and
@@ -399,11 +449,20 @@ def label_propagation(
         .sortWithinPartitions("b"),
         preserve_partitioning=True,
     )
+    # LAZY chain (round 10, guide §2.6): no scalar crosses the driver
+    # between rounds (fixed iteration count, no convergence observe),
+    # and each round's labels frame has exactly ONE consumer (the next
+    # round's join), so every lineage cut but the LAST can defer its
+    # blocks to that consumer's job — one scheduler job per round
+    # instead of two.  The last round is EAGER: it executes the
+    # deferred chain while the corpus cache is still alive (release(e)
+    # below would otherwise force the caller's action to recompute the
+    # symmetric edge list once per round).
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     global lpa_last_round_plan
     lpa_last_round_plan = None
@@ -429,7 +488,11 @@ def label_propagation(
                 }
             except Exception:
                 pass
-        labels = materialize(update)
+        labels = (
+            materialize(update)
+            if i == iterations - 1
+            else materialize_lazy(update)
+        )
     # labels is a self-contained checkpoint; the corpus cache entry
     # would otherwise outlive the call (CacheManager holds it)
     release(e)

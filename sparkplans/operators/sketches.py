@@ -20,7 +20,7 @@ import math
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from sparkplans.functions import date_bin
@@ -375,6 +375,12 @@ def tdigest_build(
     """Per-group t-digest of ``col``: one row per group with the
     mergeable state ``(means, weights, n, lo, hi)``.
 
+    Plan: one partial pass (:func:`_td_partials`) + one keyed merge
+    (:func:`_td_merge_rows`).  When the group digests are immediately
+    coarsened to a derived key (day -> week), use
+    :func:`tdigest_rollup` instead — it fuses the fine fold and the
+    coarse merge into a single shuffle + fold pass.
+
     Null-key caveat: a genuine NaN value in a double-typed group
     column merges into the SQL NULL group (Arrow delivers Spark
     nulls as NaN on this path, so the two were never distinguishable
@@ -399,6 +405,25 @@ def tdigest_build(
     Arrow batch sizes (partials are canonically sorted before the
     final fold, so the merged digest is a pure function of the partial
     multiset)."""
+    part, group_cols, state_schema, keyed = _td_partials(
+        df, col, group_cols, delta, chunk_rows
+    )
+    merged = _td_merge_rows(part, group_cols, state_schema, delta)
+    return merged.drop("__g") if not keyed else merged
+
+
+def _td_partials(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None,
+    delta: int,
+    chunk_rows: int,
+) -> tuple[DataFrame, list[str], str, bool]:
+    """The partial pass of :func:`tdigest_build`: mapInPandas over the
+    corpus producing one bounded digest-state row per (partition,
+    group) — the map-side aggregation that keeps the shuffle
+    state-sized.  Returns ``(part, group_cols, state_schema, keyed)``
+    so build/rollup variants can attach different merge shapes."""
     import numpy as np
 
     group_cols = list(group_cols or [])
@@ -511,8 +536,126 @@ def tdigest_build(
             )
 
     part = src.mapInPandas(partials, state_schema)
-    merged = _td_merge_rows(part, group_cols, state_schema, delta)
-    return merged.drop("__g") if not keyed else merged
+    return part, group_cols, state_schema, keyed
+
+
+def tdigest_rollup(
+    df: DataFrame,
+    col: str,
+    fine_cols: list[str],
+    coarse: dict[str, Column],
+    delta: int = 200,
+    chunk_rows: int = 500_000,
+) -> DataFrame:
+    """Fused build-then-coarsen: per-``fine_cols`` digests merged up to
+    the derived ``coarse`` keys in ONE shuffle + ONE fold pass.
+
+    Result is BIT-IDENTICAL to the unfused pair ::
+
+        dig_fine = tdigest_build(df, col, group_cols=fine_cols)
+        tdigest_merge(dig_fine.withColumns(coarse), group_cols=list(coarse))
+
+    (ratcheted by tests/test_tdigest.py) — the fine fold and the
+    coarse merge are both concatenate -> canonical-sort -> compress,
+    so fusing them into the same partition pass changes no arithmetic;
+    it removes one digest-row exchange and one Python stage from the
+    plan.  Requires every ``coarse`` entry to be a deterministic
+    column expression over the fine key columns (day -> week): then
+    partitioning the partial states by the coarse key co-locates every
+    fine group's partials too, and the fold can compress each fine
+    group before merging fine digests into their coarse group.
+
+    Shuffle budget: the corpus never moves — what crosses the one
+    exchange is (input partitions x fine groups) KB-sized state rows,
+    exactly the build's own partial shuffle; the extra digest-row
+    exchange of the unfused pair (fine -> coarse) is gone."""
+    import numpy as np
+
+    fine_cols = list(fine_cols)
+    if not fine_cols:
+        raise ValueError("tdigest_rollup requires non-empty fine_cols")
+    coarse_names = list(coarse)
+    _td_check_group_cols(fine_cols + coarse_names)
+    part, fine_cols, _state_schema, _keyed = _td_partials(
+        df, col, fine_cols, delta, chunk_rows
+    )
+    for name, expr in coarse.items():
+        part = part.withColumn(name, expr)
+    key_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in part.schema.fields
+        if f.name in coarse_names
+    )
+    out_schema = f"{key_ddl}, {_TD_STATE_DDL}"
+
+    def fused_fold(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, dict] = {}
+        for pdf in it:
+            if len(fine_cols) == 1:
+                gb = pdf.groupby(fine_cols[0], sort=False, dropna=False).indices
+                items = [((k,), ix) for k, ix in gb.items()]
+            else:
+                gb = pdf.groupby(fine_cols, sort=False, dropna=False).indices
+                items = list(gb.items())
+            means_col = pdf["means"].to_numpy()
+            weights_col = pdf["weights"].to_numpy()
+            lo_col = pdf["lo"].to_numpy()
+            hi_col = pdf["hi"].to_numpy()
+            coarse_cols_np = {c: pdf[c].to_numpy() for c in coarse_names}
+            for key, ix in items:
+                a = acc.setdefault(
+                    _td_canon_key(key),
+                    {
+                        "ms": [],
+                        "ws": [],
+                        "lo": math.inf,
+                        "hi": -math.inf,
+                        # coarse keys are functions of the fine key, so
+                        # any row of the fine group carries them
+                        "ck": tuple(coarse_cols_np[c][ix[0]] for c in coarse_names),
+                    },
+                )
+                for i in ix:
+                    a["ms"].append(np.asarray(means_col[i], dtype="float64"))
+                    a["ws"].append(np.asarray(weights_col[i], dtype="float64"))
+                lo = float(lo_col[ix].min())
+                hi = float(hi_col[ix].max())
+                if lo < a["lo"]:
+                    a["lo"] = lo
+                if hi > a["hi"]:
+                    a["hi"] = hi
+        # level 1: one compress per FINE group (identical to the
+        # build's own fold); level 2: concatenate the fine digests per
+        # COARSE group and compress once (identical to tdigest_merge's
+        # fold) — both order-independent via the canonical sort.
+        wacc: dict[tuple, dict] = {}
+        for a in acc.values():
+            ms = np.concatenate(a["ms"]) if a["ms"] else np.array([])
+            ws = np.concatenate(a["ws"]) if a["ws"] else np.array([])
+            m, w = _td_compress(ms, ws, delta)
+            wa = wacc.setdefault(
+                _td_canon_key(a["ck"]),
+                {"ms": [], "ws": [], "lo": math.inf, "hi": -math.inf},
+            )
+            wa["ms"].append(m)
+            wa["ws"].append(w)
+            if a["lo"] < wa["lo"]:
+                wa["lo"] = a["lo"]
+            if a["hi"] > wa["hi"]:
+                wa["hi"] = a["hi"]
+        rows = []
+        for key, a in wacc.items():
+            ms = np.concatenate(a["ms"]) if a["ms"] else np.array([])
+            ws = np.concatenate(a["ws"]) if a["ws"] else np.array([])
+            m, w = _td_compress(ms, ws, delta)
+            rows.append((*key, list(m), list(w), float(w.sum()), a["lo"], a["hi"]))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[*coarse_names, "means", "weights", "n", "lo", "hi"],
+            )
+
+    return part.repartition(*coarse_names).mapInPandas(fused_fold, out_schema)
 
 
 def _td_merge_rows(

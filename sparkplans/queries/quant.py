@@ -2680,26 +2680,37 @@ def q_tdigest_weekly_rollup(spark, sf_dir):
     holds ≳1k points; at scale the term vanishes and the band
     governs.
 
-    Plan shape: grouped build (mapInPandas partials + keyed merge,
-    state KBs/group), merge shuffles DIGEST ROWS only (2.5k -> ~360),
-    audit = one scan + broadcast join + two-phase agg."""
+    Plan shape (round-10 rework, guide §4 "pass only the columns the
+    function needs" + §2.4 "share one exchange"): ONE fanned corpus
+    frame ``base = (day, x)`` feeds both the digest build and the
+    audit probe (the r9 shape fanned lineitem out twice with different
+    projections — different canonical subtrees, so ReuseExchange
+    could not share them — and shipped ``week`` through Arrow even
+    though it is a function of ``day``); the day build + week merge
+    run FUSED via tdigest_rollup (one state-row shuffle + one fold
+    pass instead of two of each — bit-identical digests, ratcheted in
+    tests/test_tdigest.py), and the audit derives week from the same
+    ``base`` frame, so its subtree reuses the one fan-out exchange.
+    Audit = one corpus pass + broadcast join + two-phase agg."""
     from sparkplans.operators.sketches import (
-        tdigest_build,
-        tdigest_merge,
+        tdigest_rollup,
         tdigest_quantiles,
     )
 
-    li = _t_cpu(spark, sf_dir, "lineitem").select(
-        F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("week"),
-        F.col("l_extendedprice").alias("x"),
-    )
-    day_src = _t_cpu(spark, sf_dir, "lineitem").select(
+    base = _t_cpu(spark, sf_dir, "lineitem").select(
         F.col("l_shipdate").cast("date").alias("day"),
-        F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("week"),
         F.col("l_extendedprice").alias("x"),
     )
-    dig_day = tdigest_build(day_src, "x", group_cols=["day", "week"])
-    dig_week = tdigest_merge(dig_day, group_cols=["week"])
+    li = base.select(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+        "x",
+    )
+    dig_week = tdigest_rollup(
+        base,
+        "x",
+        fine_cols=["day"],
+        coarse={"week": F.date_trunc("week", F.col("day")).cast("date")},
+    )
     # The lossless fields (n/lo/hi — functionally dependent on week:
     # one digest row per week) RIDE the estimate rows instead of
     # re-reading dig_week in a second branch: the digest build/merge

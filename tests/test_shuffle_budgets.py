@@ -494,11 +494,11 @@ BUDGETS = {
     # them (executed plan shows 2 ReusedExchange; partials run once —
     # sf10 wall dropped 45.9 -> 34.4 s with the change)
     "tdigest_price_quantiles": 7,
-    # grouped day build (partials -> keyed merge), week re-key merge,
-    # per-week audit agg + join-back, final order; digest subtrees
-    # appear in both the estimate and lossless branches of the static
-    # plan (ReuseExchange collapses at runtime, same as above)
-    "tdigest_weekly_rollup": 9,
+    # round-10 fused rollup: ONE fan-out of the shared (day, x) frame
+    # (build + audit probe read the same exchange), ONE state-row
+    # shuffle into the fused day->week fold (tdigest_rollup replaced
+    # build-then-merge's two), audit agg pair + final order
+    "tdigest_weekly_rollup": 5,
     # ONE corpus shuffle into the checkpointed (key,cnt) frame; the 3
     # rollup branches shuffle slim checkpoint scans only
     "key_skew_report": 3,

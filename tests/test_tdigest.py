@@ -227,3 +227,40 @@ def test_empty_and_single_value(spark):
     est = tdigest_quantiles(dig, [0.0, 0.5, 1.0]).collect()
     for r in est:
         assert r["est"] == 42.0
+
+
+def test_rollup_fused_bit_identical(spark):
+    """tdigest_rollup (one shuffle + one fused fold) must reproduce
+    the unfused build-then-merge pair BIT-IDENTICALLY — same centroid
+    means/weights, same n/lo/hi, same groups — because both paths are
+    concatenate -> canonical-sort -> compress over the same partial
+    multiset.  This is the equivalence the weekly-rollup query's
+    round-10 plan rework leans on."""
+    from sparkplans.operators.sketches import tdigest_rollup
+
+    df = _stream(spark, 20_000).select(
+        (F.col("id") % 97).cast("int").alias("day"), "x"
+    )
+    coarse_expr = (F.col("day") % 7).cast("int")
+    fused = tdigest_rollup(
+        df, "x", fine_cols=["day"], coarse={"wk": coarse_expr}, delta=DELTA
+    )
+    dig_day = tdigest_build(df, "x", group_cols=["day"], delta=DELTA)
+    unfused = tdigest_merge(
+        dig_day.withColumn("wk", coarse_expr), group_cols=["wk"], delta=DELTA
+    )
+
+    def canon(frame):
+        return sorted(
+            (
+                r["wk"],
+                tuple(r["means"]),
+                tuple(r["weights"]),
+                r["n"],
+                r["lo"],
+                r["hi"],
+            )
+            for r in frame.collect()
+        )
+
+    assert canon(fused) == canon(unfused)
