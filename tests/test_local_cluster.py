@@ -19,6 +19,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # compact slate, one query per process-boundary shape: two-phase agg,
@@ -35,6 +37,7 @@ SLATE = [
 ]
 
 
+@pytest.mark.heavy
 def test_local_cluster_hash_identical():
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     proc = subprocess.run(
@@ -57,6 +60,7 @@ def test_local_cluster_hash_identical():
     assert "FAIL" not in proc.stdout, proc.stdout[-3000:]
 
 
+@pytest.mark.heavy
 def test_executor_loss_recovery_contract():
     """materialize()'s documented trade, proven with a real SIGKILL'd
     executor JVM (examples/executor_loss_proof.py): localCheckpoint
@@ -81,6 +85,7 @@ def test_executor_loss_recovery_contract():
     assert "PROOF OK" in proc.stdout
 
 
+@pytest.mark.heavy
 def test_standalone_daemon_cluster_hash_identical():
     """The last execution rung (examples/daemon_cluster_proof.py):
     real spark:// Master/Worker daemon processes, executors forked by
@@ -114,6 +119,7 @@ def test_standalone_daemon_cluster_hash_identical():
     assert "FAIL" not in proc.stdout, proc.stdout[-3000:]
 
 
+@pytest.mark.heavy
 def test_daemon_worker_kill_chaos_hash_identical():
     """Fault-tolerance rung on the REAL daemon topology (r5 verdict
     item 4): mid-slate, one executor JVM is kill -9'd, then worker 1's
@@ -150,6 +156,7 @@ def test_daemon_worker_kill_chaos_hash_identical():
     assert '"all_ok": true' in proc.stdout, proc.stdout[-2000:]
 
 
+@pytest.mark.heavy
 def test_cluster_gap_within_floor():
     """Regression gate for the decomposed local-cluster gap (r5
     decomposition, r6 knob attempts — SCALE.md): the measured floor is

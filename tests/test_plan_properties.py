@@ -128,7 +128,7 @@ def test_limit0_schema_peek(spark, engine):
     assert [f.name for f in schema.fields] == ["n_nationkey", "n_name", "n_regionkey"]
 
 
-def test_no_python_in_any_query_hot_path(spark):
+def test_no_python_in_any_query_hot_path(spark, registry_frame):
     """Global structural gate: every registered query plans entirely
     JVM-side — no row-at-a-time Python (BatchEvalPython) and no Arrow
     Python stages (ArrowEvalPython/MapInPandas) outside the explicitly
@@ -170,10 +170,10 @@ def test_no_python_in_any_query_hot_path(spark):
         "tdigest_weekly_rollup",
     }
     offenders = []
-    for name, spec in sorted(Q.REGISTRY.items()):
+    for name in sorted(Q.REGISTRY):
         if name in python_by_design:
             continue
-        df = spec.fn(spark, SF_DIR)
+        df = registry_frame(name)
         txt = P.physical_plan_str(df)
         if (
             "BatchEvalPython" in txt

@@ -563,8 +563,9 @@ def test_budget_covers_every_registered_query():
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
-def test_shuffle_budget(spark, name):
-    df = Q.REGISTRY[name].fn(spark, SF_DIR)
+def test_shuffle_budget(spark, name, registry_frame):
+    # shared session memo — the no-python gate re-reads the same frames
+    df = registry_frame(name)
     n = plans.num_exchanges(df)
     assert n <= BUDGETS[name], (
         f"{name}: {n} exchanges > budget {BUDGETS[name]} — a shuffle "

@@ -1102,6 +1102,7 @@ def test_sessionize_wide_batch_no_invalid_timeout(spark, tmp_path):
     assert 2 not in got, got  # open session stays in state
 
 
+@pytest.mark.heavy
 def test_streaming_scale_harness_all_ok():
     """CI gate for examples/streaming_scale.py — the measured streaming
     evidence (SCALE.md 'Streaming at scale') must keep passing its own
@@ -1132,6 +1133,7 @@ def test_streaming_scale_harness_all_ok():
     assert out["pipelines"]["dedup_ingest"]["exact_vs_batch_ok"]
 
 
+@pytest.mark.heavy
 def test_mid_stream_sigkill_chaos_gate():
     """Mid-stream SIGKILL + same-checkpoint resume must be
     indistinguishable from a never-killed run (examples/
@@ -1314,6 +1316,7 @@ def test_rocksdb_large_key_cardinality_dedup(spark, tmp_path, rocksdb_state):
     assert spark.table("rkd").count() == n
 
 
+@pytest.mark.heavy
 def test_streaming_scale_harness_rocksdb_all_ok():
     """CI gate for `--state rocksdb`: the full streaming_scale slate
     must hold its exactness gates under the RocksDB provider too

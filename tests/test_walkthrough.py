@@ -1,11 +1,13 @@
 """The docs/1-9 parity walkthrough must keep running end-to-end —
 it's the executable face of the reference-doc surface."""
 
+import pytest
 import os
 import subprocess
 import sys
 
 
+@pytest.mark.heavy
 def test_walkthrough_runs_clean():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
